@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics.Queries
+import graft.ops.OpQueries
+import graft.prescriptive.Scoring
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every implemented operator's named entry
+  * (SURVEY.md §2 inventory); `oracleSql` carries the DuckDB twin of each
+  * (same column aliases — the driver's compare sorts columns by name
+  * before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full prescriptive hygiene-scoring pipeline (O-30): scan → clean
+    * → broadcast-join → window filter → weighted score → CASE tiers. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Scoring.hygieneScore(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.queries ++ OpQueries.queries ++ Map(
+      "o30_prescriptive" -> ((s: SparkSession, dir: String) => Scoring.hygieneScore(s, dir)),
+    )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Queries.oracles ++ OpQueries.oracles ++ Map(
+      "o30_prescriptive" -> Scoring.oracleSql,
+    )
 }

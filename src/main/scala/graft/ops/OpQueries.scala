@@ -1,0 +1,310 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+import graft.io.Tables
+
+/** Driver-contract query entries for the operator inventory
+  * (SURVEY.md §2.1-2.7, O-1…O-33). Each entry exercises one operator
+  * over the driver testdata and has an ANSI-SQL oracle twin (DuckDB).
+  *
+  * Connector-shaped operators (O-1 CSV sniffing, O-24 malformed guards)
+  * run on in-memory fixtures built inside the query — the *parser* is
+  * the operator under test, not the transport (zero-egress env,
+  * SURVEY.md §7.4).
+  */
+object OpQueries {
+
+  /** O-1 — permissive CSV source: BOM strip, delimiter inference,
+    * drop-malformed rows (ref `ingestion/sheets/sheets_to_raw.py:40-68`).
+    * Delimiter sniffing = tiny driver-side probe of the first line, like
+    * the reference's csv.Sniffer; parsing itself is distributed. */
+  def o1CsvSource(s: SparkSession, dir: String): DataFrame = {
+    
+    val raw = Seq(
+      "﻿Id Col;Total Val", // BOM + header needing normalization
+      "1;10.5", "2;20.25", "malformed_single_field", "3;30.75")
+    val header = raw.head.replace("﻿", "")
+    val sep = Seq(";", ",", "\t", "|").maxBy(d => header.split(java.util.regex.Pattern.quote(d)).length)
+    val parsed = s.read
+      .option("sep", sep).option("header", "true").option("mode", "DROPMALFORMED")
+      .schema("`Id Col` INT, `Total Val` DOUBLE")
+      .csv(s.createDataset(raw)(org.apache.spark.sql.Encoders.STRING))
+    Cleaning.normalizeColumns(parsed).filter($"id_col".isNotNull)
+  }
+
+  /** O-5/O-6 — object-store reader + tz-normalizing table reader: scan
+    * with projection/filter pushed into parquet (`PushedFilters`). */
+  def o5PushdownScan(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" < lit("2001-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice")
+
+  /** O-13 — latest-snapshot pick: global top-1 by (ts, id) without a
+    * global sort (ref `elt/clean_sheets.py:42-51`). */
+  def o13LatestSnapshot(s: SparkSession, dir: String): DataFrame =
+    Snapshot.latestRow(Tables.events(s, dir), "ts", "event_id")
+      .select($"event_id", $"event_type", $"value")
+
+  /** O-14 — column normalization round-trip on deliberately messy names
+    * (idempotence: norm∘norm = norm). */
+  def o14Normalize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_returnflag", $"l_quantity")
+    val messy = li.toDF("﻿ L OrderKey ", "L ReturnFlag", "  l Quantity")
+    Cleaning.normalizeColumns(Cleaning.normalizeColumns(messy))
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** O-15 — timestamp coercion with null-on-error. */
+  def o15TryTimestamp(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).agg(
+      count(Cleaning.tryTimestamp($"o_orderdate".cast("date").cast("string"))).as("n_ok"),
+      count(Cleaning.tryTimestamp($"o_orderpriority")).as("n_bad"))
+
+  /** O-16 — numeric coercion with null-on-error (round-trip + garbage). */
+  def o16TryNumeric(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).agg(
+      count(Cleaning.tryDouble($"o_orderpriority")).as("n_bad"),
+      round(sum(Cleaning.tryDouble($"o_totalprice".cast("string"))), 2).as("roundtrip_sum"))
+
+  /** O-17/O-18 — canonical-column derive + prune to serving schema. */
+  def o18Prune(s: SparkSession, dir: String): DataFrame =
+    Cleaning.prune(
+      Tables.orders(s, dir).withColumn("generated_at", $"o_orderdate"),
+      Seq("o_orderkey", "generated_at", "o_totalprice"))
+
+  /** O-19 — local-clock shift (WITA = UTC+8) on second-truncated ts. */
+  def o19TzShift(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      $"event_id",
+      Cleaning.toLocalClock(date_trunc("second", $"ts")).as("local_ts"))
+
+  /** O-20 — null-key drop after coercion (json-path k, then dropna). */
+  def o20DropNull(s: SparkSession, dir: String): DataFrame = {
+    val withK = Enrich.jsonField(Tables.events(s, dir), "props", "k", "k")
+    Cleaning.dropNullKeys(withK, Seq("k"))
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+  }
+
+  /** O-21 — window filter vs cross-table scalar, as a broadcast
+    * cross-join of a 1-row aggregate (no collect, no subquery). */
+  def o21WindowFilter(s: SparkSession, dir: String): DataFrame = {
+    val lastBath = Tables.orders(s, dir)
+      .agg(max(when($"o_orderstatus" === "F", $"o_orderdate")).as("last_bath"))
+    Tables.lineitem(s, dir).crossJoin(broadcast(lastBath))
+      .filter($"l_shipdate" > $"last_bath")
+      .agg(count(lit(1)).as("n_after"), round(sum($"l_quantity"), 2).as("qty_after"))
+  }
+
+  /** O-22 — boolean row predicate as Column algebra (no UDF). */
+  def o22BoolPredicate(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.part(s, dir)
+      .select($"p_partkey".as("l_partkey"), ($"p_size" / 10.0).as("met"), $"p_type".as("category"))
+    Enrich.enrich(Tables.lineitem(s, dir), dim, "l_partkey")
+      .filter(Cleaning.sweatyPredicate($"met", $"category", "promo"))
+      .agg(count(lit(1)).as("n_sweaty"))
+  }
+
+  /** O-23 — status guard filter. */
+  def o23StatusGuard(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter($"event_type".isin("click", "view", "error"))
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .orderBy($"event_type")
+
+  /** O-24 — malformed-parse guards: count surviving rows + column-count
+    * guard on a fixture with broken lines (ref `sheets_to_raw.py:53`). */
+  def o24MalformedGuard(s: SparkSession, dir: String): DataFrame = {
+    
+    val raw = Seq("a,b", "1,2", "oops", "3,4", ",,,,")
+    val parsed = s.read.option("header", "true").option("mode", "DROPMALFORMED")
+      .schema("a INT, b INT").csv(s.createDataset(raw)(org.apache.spark.sql.Encoders.STRING))
+    require(parsed.columns.length > 1, "1-column parse rejected (O-24 guard)")
+    parsed.filter($"a".isNotNull).agg(count(lit(1)).as("n_rows"), sum($"b").as("sum_b"))
+  }
+
+  /** O-25 — fact ⋈ broadcast(dim) enrichment, aggregated by dim attr. */
+  def o25JoinEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.part(s, dir).select($"p_partkey".as("l_partkey"), $"p_type")
+    Enrich.enrich(Tables.lineitem(s, dir), dim, "l_partkey")
+      .groupBy($"p_type")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy($"p_type")
+  }
+
+  /** O-26 — two-hop dim chain orders⋈customer⋈nation (dirtiness path). */
+  def o26JoinChain(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select($"c_custkey".as("o_custkey"), $"c_nationkey")
+    val n = Tables.nation(s, dir).select($"n_nationkey".as("c_nationkey"), $"n_name")
+    Enrich.enrich(Enrich.enrich(Tables.orders(s, dir), c, "o_custkey"), n, "c_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"n_name")
+  }
+
+  /** O-27 — same join chain reused under a different filter (odor path;
+    * the reference computes the identical join twice — we share the
+    * plan, Catalyst reuses the broadcast exchange). */
+  def o27JoinFiltered(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select($"c_custkey".as("o_custkey"), $"c_nationkey")
+    val n = Tables.nation(s, dir).select($"n_nationkey".as("c_nationkey"), $"n_name")
+    Enrich.enrich(Enrich.enrich(
+      Tables.orders(s, dir).filter($"o_orderstatus" === "F"), c, "o_custkey"), n, "c_nationkey")
+      .groupBy($"n_name").agg(count(lit(1)).as("n_f_orders"))
+      .orderBy($"n_name")
+  }
+
+  /** O-28 — serving-table enrichment: full history rows + dim attrs. */
+  def o28ServingEnrich(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select($"c_custkey".as("o_custkey"), $"c_name", $"c_nationkey")
+    val n = Tables.nation(s, dir).select($"n_nationkey".as("c_nationkey"), $"n_name")
+    Enrich.enrich(Enrich.enrich(Tables.orders(s, dir), c, "o_custkey"), n, "c_nationkey")
+      .select($"o_orderkey", $"o_totalprice", $"c_name", $"n_name")
+      .orderBy($"o_orderkey")
+  }
+
+  /** O-29 — scalar max/min with clamp (future-timestamp guard). */
+  def o29MinMax(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      date_trunc("second", max($"l_shipdate")).as("max_ship"),
+      date_trunc("second", min($"l_shipdate")).as("min_ship"),
+      date_trunc("second",
+        least(max($"l_shipdate"), lit("2001-09-01 00:00:00").cast("timestamp"))).as("clamped"))
+
+  /** O-31 — latest row per group (window rank=1: the one window fn). */
+  def o31LatestPerGroup(s: SparkSession, dir: String): DataFrame =
+    Snapshot.latestRowPerGroup(Tables.events(s, dir), "event_type", "ts", "event_id")
+      .select($"event_type", $"event_id", $"value")
+      .orderBy($"event_type")
+
+  /** O-32 — global sort by time before write. */
+  def o32GlobalSort(s: SparkSession, dir: String): DataFrame =
+    Snapshot.globalSort(
+      Tables.events(s, dir).select($"event_id", date_trunc("second", $"ts").as("ts2"), $"value"),
+      "ts2").orderBy($"ts2", $"event_id")
+
+  /** O-33 — nested-array flattening via the built-in Generator
+    * (explode), token-frequency shape. */
+  def o33Flatten(s: SparkSession, dir: String): DataFrame =
+    Enrich.explodeTokens(Tables.documents(s, dir), "text", "token")
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"token")
+
+  /** O-33b — JSON dict-path extraction (ref AQICN `iaqi.pm25.v`). */
+  def o33JsonPath(s: SparkSession, dir: String): DataFrame =
+    Enrich.jsonField(Tables.events(s, dir), "props", "k", "k")
+      .agg(sum($"k").as("sum_k"), count($"k").as("n_k"))
+
+  val oracles: Map[String, String] = Map(
+    "o1_csv_source" ->
+      """SELECT CAST(id_col AS INT) AS id_col, CAST(total_val AS DOUBLE) AS total_val
+         FROM (VALUES (1, 10.5), (2, 20.25), (3, 30.75)) AS t(id_col, total_val)""",
+    "o5_pushdown_scan" ->
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '2001-01-01 00:00:00'""",
+    "o13_latest_snapshot" ->
+      """SELECT event_id, event_type, value FROM events
+         ORDER BY ts DESC, event_id DESC LIMIT 1""",
+    "o14_normalize" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "o15_try_timestamp" ->
+      """SELECT count(TRY_CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS TIMESTAMP)) AS n_ok,
+                count(TRY_CAST(o_orderpriority AS TIMESTAMP)) AS n_bad FROM orders""",
+    "o16_try_numeric" ->
+      """SELECT count(TRY_CAST(o_orderpriority AS DOUBLE)) AS n_bad,
+                round(sum(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE)), 2) AS roundtrip_sum
+         FROM orders""",
+    "o18_prune" ->
+      "SELECT o_orderkey, o_orderdate AS generated_at, o_totalprice FROM orders",
+    "o19_tz_shift" ->
+      """SELECT event_id, date_trunc('second', ts) + INTERVAL 8 HOUR AS local_ts FROM events""",
+    "o20_drop_null" ->
+      """SELECT count(*) AS n, sum(k) AS sum_k FROM (
+           SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+         WHERE k IS NOT NULL""",
+    "o21_window_filter" ->
+      """SELECT count(*) AS n_after, round(sum(l_quantity), 2) AS qty_after FROM lineitem
+         WHERE l_shipdate > (SELECT max(o_orderdate) FROM orders WHERE o_orderstatus = 'F')""",
+    "o22_bool_predicate" ->
+      """SELECT count(*) AS n_sweaty FROM lineitem l
+         LEFT JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE p.p_size / 10.0 > 3.0 OR lower(coalesce(p.p_type, '')) LIKE '%promo%'""",
+    "o23_status_guard" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE event_type IN ('click', 'view', 'error')
+         GROUP BY 1 ORDER BY event_type""",
+    "o24_malformed_guard" ->
+      "SELECT CAST(2 AS BIGINT) AS n_rows, CAST(6 AS BIGINT) AS sum_b",
+    "o25_join_enrich" ->
+      """SELECT p.p_type, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                count(*) AS n FROM lineitem l
+         LEFT JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1 ORDER BY p_type""",
+    "o26_join_chain" ->
+      """SELECT n.n_name, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+         FROM orders o
+         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1 ORDER BY n_name""",
+    "o27_join_filtered" ->
+      """SELECT n.n_name, count(*) AS n_f_orders FROM orders o
+         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE o.o_orderstatus = 'F'
+         GROUP BY 1 ORDER BY n_name""",
+    "o28_serving_enrich" ->
+      """SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name FROM orders o
+         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         ORDER BY o_orderkey""",
+    "o29_minmax" ->
+      """SELECT date_trunc('second', max(l_shipdate)) AS max_ship,
+                date_trunc('second', min(l_shipdate)) AS min_ship,
+                date_trunc('second', least(max(l_shipdate), TIMESTAMP '2001-09-01 00:00:00')) AS clamped
+         FROM lineitem""",
+    "o31_latest_per_group" ->
+      """SELECT event_type, event_id, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY event_type""",
+    "o32_global_sort" ->
+      """SELECT event_id, date_trunc('second', ts) AS ts2, value FROM events
+         ORDER BY ts2, event_id""",
+    "o33_flatten" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         WHERE token <> '' GROUP BY 1 ORDER BY token""",
+    "o33_json_path" ->
+      """SELECT sum(k) AS sum_k, count(k) AS n_k FROM (
+           SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o1_csv_source" -> o1CsvSource _,
+    "o5_pushdown_scan" -> o5PushdownScan _,
+    "o13_latest_snapshot" -> o13LatestSnapshot _,
+    "o14_normalize" -> o14Normalize _,
+    "o15_try_timestamp" -> o15TryTimestamp _,
+    "o16_try_numeric" -> o16TryNumeric _,
+    "o18_prune" -> o18Prune _,
+    "o19_tz_shift" -> o19TzShift _,
+    "o20_drop_null" -> o20DropNull _,
+    "o21_window_filter" -> o21WindowFilter _,
+    "o22_bool_predicate" -> o22BoolPredicate _,
+    "o23_status_guard" -> o23StatusGuard _,
+    "o24_malformed_guard" -> o24MalformedGuard _,
+    "o25_join_enrich" -> o25JoinEnrich _,
+    "o26_join_chain" -> o26JoinChain _,
+    "o27_join_filtered" -> o27JoinFiltered _,
+    "o28_serving_enrich" -> o28ServingEnrich _,
+    "o29_minmax" -> o29MinMax _,
+    "o31_latest_per_group" -> o31LatestPerGroup _,
+    "o32_global_sort" -> o32GlobalSort _,
+    "o33_flatten" -> o33Flatten _,
+    "o33_json_path" -> o33JsonPath _,
+  )
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local pre-flight of the driver's correctness gate.
+
+Runs AFTER `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query output parquet under <outDir>, runs the matching
+oracle_sql.json entry in DuckDB (tables = the sf parquet files) and
+compares schema + column-sorted, row-sorted values.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            import datetime
+            first = df[c].dropna().iloc[0] if df[c].notna().any() else None
+            if isinstance(first, datetime.date):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].astype(str)
+        if np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(6)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+fails = 0
+names = sorted(oracle.keys())
+extra = sorted(set(os.path.basename(d) for d in glob.glob(f"{outdir}/*") if os.path.isdir(d))
+               - set(names))
+for name in names:
+    pdir = f"{outdir}/{name}"
+    if not os.path.isdir(pdir):
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        got = canon(pd.read_parquet(pdir))
+    except Exception as e:
+        print(f"FAIL {name}: cannot read spark output: {e}"); fails += 1; continue
+    try:
+        want = canon(con.sql(oracle[name]).df())
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {str(e)[:160]}"); fails += 1; continue
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); fails += 1; continue
+    if len(got) != len(want):
+        print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails += 1; continue
+    try:
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6)
+        print(f"ok   {name} ({len(got)} rows)")
+    except AssertionError as e:
+        print(f"FAIL {name}: values differ: {str(e).splitlines()[-1][:200]}"); fails += 1
+        diff = (got != want) & ~(got.isna() & want.isna())
+        bad = diff.any(axis=1)
+        if bad.any():
+            i = bad.idxmax()
+            print("  got :", got.loc[i].to_dict())
+            print("  want:", want.loc[i].to_dict())
+for name in extra:
+    print(f"note {name}: spark output without oracle (rows-only check)")
+print(f"\n{len(names)-fails}/{len(names)} oracles pass; {len(extra)} rows-only")
+sys.exit(1 if fails else 0)
