@@ -3,8 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Queries
+import graft.dedup.Dedup
+import graft.multimodal.Binary
 import graft.ops.OpQueries
 import graft.prescriptive.Scoring
+import graft.similarity.Ann
+import graft.streaming.Stream
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,14 +28,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.queries ++ OpQueries.queries ++ Map(
+    Queries.queries ++ OpQueries.queries ++
+      Dedup.queries ++ Ann.queries ++ TextOps.queries ++
+      Binary.queries ++ Stream.queries ++ Map(
       "o30_prescriptive" -> ((s: SparkSession, dir: String) => Scoring.hygieneScore(s, dir)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ OpQueries.oracles ++ Map(
+    Queries.oracles ++ OpQueries.oracles ++
+      Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++
+      Binary.oracles ++ Stream.oracles ++ Map(
       "o30_prescriptive" -> Scoring.oracleSql,
     )
 }

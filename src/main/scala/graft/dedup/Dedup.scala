@@ -1,0 +1,204 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+import graft.io.Tables
+
+/** Large-scale training-data deduplication operators over `documents`.
+  *
+  * Portable hash family: md5 over seeded strings — identical in Spark
+  * (`functions.md5`) and the DuckDB oracle (`md5(...)`), so every
+  * signature is bit-reproducible across engines. MinHash uses the
+  * lexicographic minimum of seeded md5 hex strings (a valid uniform
+  * min-hash family over a 128-bit keyspace).
+  *
+  * Scale design (the 100 TB story):
+  *  - shingling is a per-row Generator (explode) — no shuffle;
+  *  - per-doc signatures are ONE groupBy(doc_id) with 16 partial-agg
+  *    min()s — a single shuffle on doc_id, map-side combined;
+  *  - LSH banding turns O(n²) all-pairs into groupBy(band_signature)
+  *    bucket joins — candidate generation touches only colliding docs;
+  *  - exact Jaccard verification runs on LSH candidates only, never on
+  *    the cross product.
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val Bands = 4 // 4 bands x 4 rows: P(collide) = 1-(1-J^4)^4
+
+  /** Word 3-gram shingles (vocab here is tiny, so unigrams would make
+    * every pair look similar; 3-grams give a ~vocab³ shingle space).
+    * Spark arrays are 0-based; the oracle's DuckDB lists are 1-based —
+    * both enumerate the same trigrams. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("arr"))
+      .select($"doc_id", explode(expr(
+        // guard: Spark's sequence(0, -1) would count DOWN; emit no shingles for <3 tokens
+        """CASE WHEN size(arr) >= 3
+             THEN transform(sequence(0, size(arr)-3), i -> concat(arr[i],' ',arr[i+1],' ',arr[i+2]))
+             ELSE array() END"""))
+        .as("shingle"))
+      .distinct()
+
+  /** D-1 — exact dedup: hash-groupBy on content. Output one row per
+    * distinct content hash with the kept (minimum) doc_id and the
+    * duplicate count. One shuffle on the md5 key. */
+  def d1Exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5($"text").as("content_hash"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy($"keep_id")
+
+  /** D-2 — per-doc MinHash signature (16 seeded min-md5s), digested to
+    * one md5 for a compact, comparable output. */
+  def d2MinhashSig(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), $"shingle"))).as(s"m$i"))
+    shingles(s, dir)
+      .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .select($"doc_id", md5(concat((0 until NumHashes).map(i => col(s"m$i")): _*)).as("sig"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-doc band signatures (Bands rows per doc). */
+  private def banded(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), $"shingle"))).as(s"m$i"))
+    val sigs = shingles(s, dir).groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val rows = NumHashes / Bands
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"m${b * rows + r}"))
+      struct(lit(b).as("band"), md5(concat(parts :+ lit(b.toString): _*)).as("sig"))
+    }
+    sigs.select($"doc_id", explode(array(bandCols: _*)).as("bs"))
+      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+  }
+
+  /** D-3 — MinHash-LSH candidate pairs: docs sharing any band bucket.
+    * The self-join is on (band, sig) — each bucket is tiny, so the join
+    * output is ~near-duplicates only, never the cross product. */
+  def d3LshPairs(s: SparkSession, dir: String): DataFrame = {
+    val b = banded(s, dir)
+    val l = b.select($"band", $"sig", $"doc_id".as("doc_a"))
+    val r = b.select($"band", $"sig", $"doc_id".as("doc_b"))
+    l.join(r, Seq("band", "sig"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** D-4 — exact n-gram Jaccard on a deterministic pair sample
+    * (every-100th doc vs the next 3 docs): intersection via shingle
+    * equi-join, union = |A|+|B|-∩. At scale the pair source is
+    * [[d3LshPairs]]; the sample keeps the gate output non-empty at
+    * small SF where no true near-dups exist. */
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sizes.select($"doc_id".as("doc_a"), $"n".as("na"))
+      .filter($"doc_a" % 100 === 0)
+      .crossJoin(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")))
+      .filter($"doc_b" > $"doc_a" && $"doc_b" <= $"doc_a" + 3)
+    val inter = sh.filter($"doc_id" % 100 === 0).select($"doc_id".as("doc_a"), $"shingle")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
+      .filter($"doc_b" > $"doc_a" && $"doc_b" <= $"doc_a" + 3)
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs.join(inter, Seq("doc_a", "doc_b"), "left")
+      .select($"doc_a", $"doc_b",
+        round(coalesce($"n_inter", lit(0)) / ($"na" + $"nb" - coalesce($"n_inter", lit(0))), 4)
+          .as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** D-5 — SimHash (16-bit) per doc: for bit j, sum ±1 votes from hex
+    * nibble j of each distinct token's md5; fingerprint = Σ bit_j·2^j.
+    * Near-dup docs agree on most nibble majorities → small Hamming
+    * distance. All integer/string algebra — no UDF, fully portable. */
+  def d5Simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "").distinct()
+      .withColumn("h", md5($"tok"))
+    val votes = (0 until 16).map { j =>
+      sum(when(instr(lit("0123456789abcdef"), substring($"h", j + 1, 1)) - 1 >= 8, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+      .select($"doc_id",
+        (0 until 16).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Shared SQL fragment: word-3-gram shingles (1-based DuckDB lists). */
+  private val shingleSql =
+    """SELECT DISTINCT doc_id, shingle FROM (
+         SELECT doc_id, unnest([arr[i]||' '||arr[i+1]||' '||arr[i+2]
+                                for i in range(1, greatest(len(arr)-1, 1))]) AS shingle
+         FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents))"""
+
+  private val minhashSql = {
+    val mins = (0 until NumHashes).map(i => s"min(md5('$i:'||shingle)) AS m$i").mkString(", ")
+    s"SELECT doc_id, $mins FROM ($shingleSql) GROUP BY doc_id"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "d2_minhash_sig" -> {
+      val cat = (0 until NumHashes).map(i => s"m$i").mkString("||")
+      s"SELECT doc_id, md5($cat) AS sig FROM ($minhashSql) ORDER BY doc_id"
+    },
+    "d3_lsh_pairs" -> {
+      val rows = NumHashes / Bands
+      val bandSelects = (0 until Bands).map { b =>
+        val cat = (0 until rows).map(r => s"m${b * rows + r}").mkString("||")
+        s"SELECT doc_id, $b AS band, md5($cat||'$b') AS sig FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH mh AS ($minhashSql), bands AS ($bandSelects)
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+          ORDER BY doc_a, doc_b"""
+    },
+    "d4_ngram_jaccard" ->
+      s"""WITH sh AS ($shingleSql),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb
+            FROM sizes a JOIN sizes b
+              ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
+            WHERE a.doc_id % 100 = 0),
+          inter AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh x JOIN sh y ON x.shingle = y.shingle
+              AND y.doc_id > x.doc_id AND y.doc_id <= x.doc_id + 3
+            WHERE x.doc_id % 100 = 0
+            GROUP BY 1, 2)
+          SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+                 round(coalesce(i.n_inter, 0) / (p.na + p.nb - coalesce(i.n_inter, 0)), 4) AS jaccard
+          FROM pairs p LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+          ORDER BY p.doc_a, p.doc_b""",
+    "d5_simhash" -> {
+      val votes = (0 until 16).map { j =>
+        s"sum(CASE WHEN strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS v$j"
+      }.mkString(", ")
+      val bits = (0 until 16).map(j => s"CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+            SELECT DISTINCT doc_id, md5(tok) AS h FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+            WHERE tok <> ''),
+          v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+          SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
+    },
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> d1Exact _,
+    "d2_minhash_sig" -> d2MinhashSig _,
+    "d3_lsh_pairs" -> d3LshPairs _,
+    "d4_ngram_jaccard" -> d4NgramJaccard _,
+    "d5_simhash" -> d5Simhash _,
+  )
+}

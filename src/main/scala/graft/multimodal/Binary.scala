@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.syntax._
+import graft.io.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct, plus a
+  * decode/feature-extract stage as a partition-wise batch operator.
+  *
+  * The container has no image/audio codecs, so the *decode kernel* is a
+  * deterministic fake (clearly marked below); everything around it —
+  * the binary+struct schema, the `mapPartitions` batch shape (one codec
+  * init per partition, streamed rows), the partitioning story — is the
+  * real 100 TB plumbing: payload bytes never hit the driver, and the
+  * decode stage is a narrow map (no shuffle).
+  */
+object Binary {
+
+  /** The asset table: payload as binary + typed metadata struct.
+    * (Payload here is the document text's UTF-8 bytes standing in for
+    * image bytes; at production scale this column is the raw media.) */
+  def assets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      $"doc_id".as("asset_id"),
+      encode($"text", "UTF-8").as("payload"),
+      struct(
+        $"source".as("origin"),
+        lit("image/fake").as("mime"),
+        octet_length(encode($"text", "UTF-8")).as("n_bytes")).as("meta"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** STUB DECODER — stands in for an image/audio codec (none in this
+    * container). Deterministic fake: dimensions derived from payload
+    * length/first bytes. The mapPartitions batch shape (init-once per
+    * partition, iterate rows) is exactly where a real codec handle
+    * would live. */
+  private def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    // ??? <- a real build links an actual decoder here
+    val n = payload.length
+    val first = if (n > 0) payload(0) & 0xff else 0
+    (64 + (n % 64), 64 + (first % 64), 1 + (n % 8))
+  }
+
+  /** M-2 — partition-wise decode/feature-extract over the binary column. */
+  def m2DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(featureSchema))
+    assets(s, dir).select($"asset_id", $"payload", $"meta.n_bytes".as("n_bytes"))
+      .mapPartitions { it =>
+        // codec init would happen HERE, once per partition
+        it.map { r =>
+          val (w, h, f) = fakeDecode(r.getAs[Array[Byte]]("payload"))
+          Row(r.getAs[Long]("asset_id"), r.getAs[Int]("n_bytes"), w, h, f)
+        }
+      }(enc).toDF().orderBy($"asset_id")
+  }
+
+  /** M-1 — binary metadata projection (oracle-checkable part: byte
+    * length and content hash are portable; the fake decode output is
+    * checked by [[m2DecodeFeatures]]'s spec instead). */
+  def m1BinaryMeta(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir).select(
+      $"asset_id", $"meta.origin".as("origin"), $"meta.n_bytes".as("n_bytes"),
+      md5($"payload").as("content_md5"))
+      .orderBy($"asset_id")
+
+  val oracles: Map[String, String] = Map(
+    "m1_binary_meta" ->
+      """SELECT doc_id AS asset_id, source AS origin,
+                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                md5(text) AS content_md5
+         FROM documents ORDER BY asset_id""",
+    // m2_decode_features: stub decode has no SQL twin -> rows-only check
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_binary_meta" -> m1BinaryMeta _,
+    "m2_decode_features" -> m2DecodeFeatures _,
+  )
+}

@@ -1,0 +1,174 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+import graft.io.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-d).
+  *
+  * Three tiers:
+  *  - [[s1BruteTopK]] — exact cosine top-k for a query set: the
+  *    correctness baseline. Cross join is query-set × corpus, so cost is
+  *    |Q|·N, not N² — the query side is tiny and broadcast.
+  *  - [[s2LshTopK]] — sign-random-projection LSH: corpus is bucketed by
+  *    the sign pattern of 8 fixed pseudo-random projections; search
+  *    touches only the query's bucket. This is the 100 TB path: the
+  *    bucket-join replaces the cross join, and buckets can be written
+  *    partitioned-by-bucket so a query prunes to one partition.
+  *  - [[s3CosineNearDup]] — embedding near-duplicate pairs, blocked by
+  *    `label` (the metadata blocking key): all-pairs only *within* a
+  *    block, never globally.
+  *
+  * All dot products are `aggregate(zip_with(...))` fold expressions over
+  * the array columns — codegen'd Column algebra, no UDFs. Floats are
+  * cast to double *before* any arithmetic so Spark and the DuckDB oracle
+  * accumulate identically; summation is sequential in both.
+  *
+  * The projection hyperplanes are derived from md5 — computed once
+  * driver-side here and inlined as literals into BOTH the Spark plan and
+  * the oracle SQL, so the two engines share one source of truth.
+  */
+object Ann {
+
+  val Dim = 64
+  val NumPlanes = 8
+  val TopK = 5
+
+  /** cos(a, b) as a Column over two array<double> columns — explicit
+    * dot/(sqrt(na)*sqrt(nb)) so the oracle can mirror it token-for-token. */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private val cosineSql =
+    """list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
+       (sqrt(list_sum([a.v[i]*a.v[i] for i in range(1, len(a.v)+1)])) *
+        sqrt(list_sum([b.v[i]*b.v[i] for i in range(1, len(b.v)+1)])))"""
+
+  /** Deterministic ±1 hyperplanes from md5(plane:dim) — same values are
+    * inlined into the oracle SQL below. */
+  private[similarity] val planes: Seq[Seq[Int]] = {
+    val mdist = java.security.MessageDigest.getInstance("MD5")
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { d =>
+        val h = mdist.digest(s"$p:$d".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1 else -1
+      }
+    }
+  }
+
+  private def planeLit(p: Seq[Int]): Column = array(p.map(v => lit(v.toDouble)): _*)
+  private def planeSqlLit(p: Seq[Int]): String = p.mkString("[", ",", "]")
+
+  /** Sign-pattern bucket id of an array<double> column: bit b set iff
+    * v·plane_b >= 0. */
+  private def bucketOf(v: Column): Column =
+    (0 until NumPlanes).map { b =>
+      val proj = aggregate(zip_with(v, planeLit(planes(b)), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def bucketSql(vexpr: String): String =
+    (0 until NumPlanes).map { b =>
+      s"""(CASE WHEN list_sum([($vexpr)[i] * (${planeSqlLit(planes(b))}::DOUBLE[])[i]
+                 for i in range(1, ${Dim + 1})]) >= 0 THEN ${1L << b} ELSE 0 END)"""
+    }.mkString(" + ")
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+
+  /** S-1 — exact brute-force cosine top-k: queries = every 100th vector,
+    * ranked against the full corpus. */
+  def s1BruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val q = c.filter($"vec_id" % 100 === 0).select($"vec_id".as("query_id"), $"v".as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), cosine($"qv", $"v").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
+      .select($"query_id", $"rank", $"neighbor_id", round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** S-2 — LSH-bucketed ANN: same queries, but candidates are only the
+    * corpus vectors in the query's sign bucket. Output includes the
+    * bucket so recall vs S-1 is inspectable. */
+  def s2LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir).withColumn("bucket", bucketOf($"v"))
+    val q = c.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"bucket")
+    val scored = c.join(broadcast(q), "bucket")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"bucket", $"vec_id".as("neighbor_id"), cosine($"qv", $"v").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
+      .select($"query_id", $"bucket", $"rank", $"neighbor_id", round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** S-3 — embedding-cosine near-duplicate pairs, blocked by label. */
+  def s3CosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val a = c.select($"label", $"vec_id".as("vec_a"), $"v".as("va"))
+    val b = c.select($"label", $"vec_id".as("vec_b"), $"v".as("vb"))
+    a.join(b, "label")
+      .filter($"vec_a" < $"vec_b")
+      .select($"label", $"vec_a", $"vec_b", cosine($"va", $"vb").as("cos"))
+      .filter($"cos" >= 0.3)
+      .select($"label", $"vec_a", $"vec_b", round($"cos", 4).as("cosine"))
+      .orderBy($"label", $"vec_a", $"vec_b")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "s1_ann_brute" ->
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v FROM c WHERE vec_id % 100 = 0),
+          scored AS (
+            SELECT q.query_id AS query_id, a.vec_id AS neighbor_id,
+                   ${cosineSql.replace("b.v", "q.v").replace("a.v", "a.v")} AS cos
+            FROM c a CROSS JOIN q WHERE a.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+          FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""",
+    "s2_ann_lsh" ->
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            ${bucketSql("embedding::DOUBLE[]")} AS bucket
+                     FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v, bucket FROM c WHERE vec_id % 100 = 0),
+          scored AS (
+            SELECT q.query_id AS query_id, q.bucket AS bucket, a.vec_id AS neighbor_id,
+                   ${cosineSql.replace("b.v", "q.v")} AS cos
+            FROM c a JOIN q ON a.bucket = q.bucket WHERE a.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, bucket, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, bucket, rank, neighbor_id, round(cos, 4) AS cosine
+          FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""",
+    "s3_cosine_neardup" ->
+      s"""WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          pairs AS (
+            SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   $cosineSql AS cos
+            FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id)
+          SELECT label, vec_a, vec_b, round(cos, 4) AS cosine
+          FROM pairs WHERE cos >= 0.3 ORDER BY label, vec_a, vec_b""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_ann_brute" -> s1BruteTopK _,
+    "s2_ann_lsh" -> s2LshTopK _,
+    "s3_cosine_neardup" -> s3CosineNearDup _,
+  )
+}

@@ -1,6 +1,5 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Scratch entry-point: drives the library the way a user would. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -8,7 +7,10 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.SparkEntry.entry(spark).show(5, false)
+    val df = graft.ops.OpQueries.o22BoolPredicate(spark, "/root/testdata/sf0.1")
+    df.explain("formatted")
+    val t0 = System.nanoTime(); df.count(); println(s"o22 took ${(System.nanoTime()-t0)/1e9}s")
+    val t1 = System.nanoTime(); df.count(); println(s"o22 again ${(System.nanoTime()-t1)/1e9}s")
     spark.stop()
   }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.multimodal.Binary
+import graft.similarity.Ann
+import graft.streaming.Stream
+import graft.text.TextOps
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+  val sfBig = "/root/testdata/sf0.1"
+
+  test("minhash-LSH recalls every exact-duplicate pair (sf0.1 has 8 planted)") {
+    val exactPairs = Dedup.d1Exact(spark, sfBig)
+      .filter(col("n_dups") > 1).count()
+    assert(exactPairs == 8, s"expected 8 planted dup groups, got $exactPairs")
+    // every doc pair with identical text shares all shingles => all bands collide
+    val docs = graft.io.Tables.documents(spark, sfBig)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(expr("ids[0]").as("doc_a"), expr("ids[1]").as("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    val lsh = Dedup.d3LshPairs(spark, sfBig)
+    assert(docs.join(lsh, Seq("doc_a", "doc_b"), "left_anti").count() == 0,
+      "an exact-duplicate pair escaped LSH")
+  }
+
+  test("simhash of exact-duplicate docs is identical") {
+    val sh = Dedup.d5Simhash(spark, sfBig)
+    val dups = graft.io.Tables.documents(spark, sfBig)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(expr("ids[0]").as("a"), expr("ids[1]").as("b"))
+    val joined = dups
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("simhash", "sim_a"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("simhash", "sim_b"), "b")
+    assert(joined.filter(col("sim_a") =!= col("sim_b")).count() == 0)
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates with identical scores") {
+    val brute = Ann.s1BruteTopK(spark, sf)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val lsh = Ann.s2LshTopK(spark, sf)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("lsh_cosine"))
+    // any (query, neighbor) in both must carry the same cosine
+    val both = brute.join(lsh, Seq("query_id", "neighbor_id"))
+    assert(both.filter(abs(col("cosine") - col("lsh_cosine")) > 1e-9).count() == 0)
+  }
+
+  test("jaccard is 1.0 for identical docs and within [0,1] everywhere") {
+    val j = Dedup.d4NgramJaccard(spark, sf).collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val v = if (r.isNullAt(r.fieldIndex("jaccard"))) 0.0 else r.getAs[Double]("jaccard")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+  }
+
+  test("multimodal decode: one feature row per asset, deterministic") {
+    val f1 = Binary.m2DecodeFeatures(spark, sf).collect()
+    val f2 = Binary.m2DecodeFeatures(spark, sf).collect()
+    assert(f1.length == 500 && f1.sameElements(f2))
+    f1.foreach { r =>
+      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 128)
+      assert(r.getAs[Int]("n_frames") >= 1)
+    }
+  }
+
+  test("streaming hourly agg equals the batch equivalent") {
+    val streamed = Stream.st1StreamHourly(spark, sf)
+    val batch = graft.io.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("language ID emits one prediction per doc from the profile set") {
+    val langs = TextOps.LangProfiles.map(_._1).toSet + "und"
+    val out = TextOps.t1LangId(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach(r => assert(langs.contains(r.getAs[String]("pred_lang"))))
+  }
+}
