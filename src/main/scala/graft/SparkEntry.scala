@@ -6,8 +6,10 @@ import graft.analytics.Queries
 import graft.dedup.Dedup
 import graft.multimodal.Binary
 import graft.ops.OpQueries
+import graft.pipeline.Pipeline
 import graft.prescriptive.Scoring
 import graft.similarity.Ann
+import graft.sources.RestJson
 import graft.streaming.Stream
 import graft.text.TextOps
 
@@ -28,18 +30,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.queries ++ OpQueries.queries ++
+    Queries.queries ++ OpQueries.queries ++ RestJson.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
-      Binary.queries ++ Stream.queries ++ Map(
+      Binary.queries ++ Stream.queries ++ Pipeline.queries ++ Map(
       "o30_prescriptive" -> ((s: SparkSession, dir: String) => Scoring.hygieneScore(s, dir)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ OpQueries.oracles ++
+    Queries.oracles ++ OpQueries.oracles ++ RestJson.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++
-      Binary.oracles ++ Stream.oracles ++ Map(
+      Binary.oracles ++ Stream.oracles ++ Pipeline.oracles ++ Map(
       "o30_prescriptive" -> Scoring.oracleSql,
     )
 }

@@ -32,8 +32,11 @@ object Dedup {
     * every pair look similar; 3-grams give a ~vocab³ shingle space).
     * Spark arrays are 0-based; the oracle's DuckDB lists are 1-based —
     * both enumerate the same trigrams. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** `distinct = false` skips the dedup shuffle — safe wherever the
+    * consumer is duplicate-insensitive (min() for MinHash signatures);
+    * set-cardinality consumers (Jaccard counts) need `distinct = true`. */
+  private def shingles(s: SparkSession, dir: String, distinct: Boolean = true): DataFrame = {
+    val sh = Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("arr"))
       .select($"doc_id", explode(expr(
         // guard: Spark's sequence(0, -1) would count DOWN; emit no shingles for <3 tokens
@@ -41,7 +44,8 @@ object Dedup {
              THEN transform(sequence(0, size(arr)-3), i -> concat(arr[i],' ',arr[i+1],' ',arr[i+2]))
              ELSE array() END"""))
         .as("shingle"))
-      .distinct()
+    if (distinct) sh.distinct() else sh
+  }
 
   /** D-1 — exact dedup: hash-groupBy on content. Output one row per
     * distinct content hash with the kept (minimum) doc_id and the
@@ -56,7 +60,7 @@ object Dedup {
     * one md5 for a compact, comparable output. */
   def d2MinhashSig(s: SparkSession, dir: String): DataFrame = {
     val aggs = (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), $"shingle"))).as(s"m$i"))
-    shingles(s, dir)
+    shingles(s, dir, distinct = false)
       .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
       .select($"doc_id", md5(concat((0 until NumHashes).map(i => col(s"m$i")): _*)).as("sig"))
       .orderBy($"doc_id")
@@ -65,7 +69,7 @@ object Dedup {
   /** Per-doc band signatures (Bands rows per doc). */
   private def banded(s: SparkSession, dir: String): DataFrame = {
     val aggs = (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), $"shingle"))).as(s"m$i"))
-    val sigs = shingles(s, dir).groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigs = shingles(s, dir, distinct = false).groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
     val rows = NumHashes / Bands
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until rows).map(r => col(s"m${b * rows + r}"))
@@ -76,17 +80,21 @@ object Dedup {
   }
 
   /** D-3 — MinHash-LSH candidate pairs: docs sharing any band bucket.
-    * The self-join is on (band, sig) — each bucket is tiny, so the join
-    * output is ~near-duplicates only, never the cross product. */
-  def d3LshPairs(s: SparkSession, dir: String): DataFrame = {
-    val b = banded(s, dir)
-    val l = b.select($"band", $"sig", $"doc_id".as("doc_a"))
-    val r = b.select($"band", $"sig", $"doc_id".as("doc_b"))
-    l.join(r, Seq("band", "sig"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
+    * Single pass: groupBy(band, sig) collects each bucket's doc ids and
+    * pairs are generated bucket-locally with array transforms — the
+    * signature subplan runs ONCE (a self-join would compute it twice)
+    * and no bucket leaves its partition before pairing. Buckets are
+    * near-duplicate sets, so |ids|² per bucket stays tiny. */
+  def d3LshPairs(s: SparkSession, dir: String): DataFrame =
+    banded(s, dir)
+      .groupBy($"band", $"sig").agg(collect_set($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        """flatten(transform(array_sort(ids), (a, i) ->
+             transform(slice(array_sort(ids), i + 2, size(ids)),
+                       b -> struct(a AS doc_a, b AS doc_b))))""")).as("p"))
+      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b")).distinct()
       .orderBy($"doc_a", $"doc_b")
-  }
 
   /** D-4 — exact n-gram Jaccard on a deterministic pair sample
     * (every-100th doc vs the next 3 docs): intersection via shingle

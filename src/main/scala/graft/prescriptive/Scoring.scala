@@ -44,13 +44,16 @@ object Scoring {
 
   val OutdoorToken = "promo"
 
-  /** The full prescriptive computation as one lazy plan. */
-  def hygieneScore(spark: SparkSession, dir: String): DataFrame = {
-    val li  = Tables.lineitem(spark, dir)
-    val ord = Tables.orders(spark, dir)
-    val ev  = Tables.events(spark, dir)
-    val prt = Tables.part(spark, dir)
+  /** The full prescriptive computation as one lazy plan over the driver
+    * testdata tables. */
+  def hygieneScore(spark: SparkSession, dir: String): DataFrame =
+    score(
+      Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.events(spark, dir), Tables.part(spark, dir))
 
+  /** Same computation over caller-supplied tables (the pipeline feeds
+    * zone-round-tripped inputs through this). */
+  def score(li: DataFrame, ord: DataFrame, ev: DataFrame, prt: DataFrame): DataFrame = {
     // --- injected deterministic clock + last-bath scalar (O-29) ---
     val liAgg  = li.agg(max($"l_shipdate").as("max_ship"), min($"l_shipdate").as("min_ship"))
     val ordAgg = ord.agg(

@@ -37,13 +37,16 @@ object Ann {
   val NumPlanes = 8
   val TopK = 5
 
-  /** cos(a, b) as a Column over two array<double> columns — explicit
-    * dot/(sqrt(na)*sqrt(nb)) so the oracle can mirror it token-for-token. */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** dot(a, b) as a sequential fold — mirrors the oracle's list_sum
+    * comprehension term-for-term so doubles accumulate identically. */
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** cos(a, b) with per-vector norms precomputed upstream: dividing by
+    * the product of the two cached sqrt norms is bit-identical to
+    * computing them per pair, at a third of the flops. */
+  private def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
 
   private val cosineSql =
     """list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
@@ -80,18 +83,22 @@ object Ann {
                  for i in range(1, ${Dim + 1})]) >= 0 THEN ${1L << b} ELSE 0 END)"""
     }.mkString(" + ")
 
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
     Tables.embeddings(s, dir)
-      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", $"label", v.as("v"), sqrt(dot(v, v)).as("nrm"))
+  }
 
   /** S-1 — exact brute-force cosine top-k: queries = every 100th vector,
     * ranked against the full corpus. */
   def s1BruteTopK(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    val q = c.filter($"vec_id" % 100 === 0).select($"vec_id".as("query_id"), $"v".as("qv"))
+    val q = c.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
     val scored = c.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"), cosine($"qv", $"v").as("cos"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine($"qv", $"v", $"qnrm", $"nrm").as("cos"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
       .select($"query_id", $"rank", $"neighbor_id", round($"cos", 4).as("cosine"))
@@ -104,10 +111,11 @@ object Ann {
   def s2LshTopK(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir).withColumn("bucket", bucketOf($"v"))
     val q = c.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"bucket")
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"bucket")
     val scored = c.join(broadcast(q), "bucket")
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"bucket", $"vec_id".as("neighbor_id"), cosine($"qv", $"v").as("cos"))
+      .select($"query_id", $"bucket", $"vec_id".as("neighbor_id"),
+        cosine($"qv", $"v", $"qnrm", $"nrm").as("cos"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
       .select($"query_id", $"bucket", $"rank", $"neighbor_id", round($"cos", 4).as("cosine"))
@@ -117,11 +125,11 @@ object Ann {
   /** S-3 — embedding-cosine near-duplicate pairs, blocked by label. */
   def s3CosineNearDup(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    val a = c.select($"label", $"vec_id".as("vec_a"), $"v".as("va"))
-    val b = c.select($"label", $"vec_id".as("vec_b"), $"v".as("vb"))
+    val a = c.select($"label", $"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"))
+    val b = c.select($"label", $"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"))
     a.join(b, "label")
       .filter($"vec_a" < $"vec_b")
-      .select($"label", $"vec_a", $"vec_b", cosine($"va", $"vb").as("cos"))
+      .select($"label", $"vec_a", $"vec_b", cosine($"va", $"vb", $"na", $"nb").as("cos"))
       .filter($"cos" >= 0.3)
       .select($"label", $"vec_a", $"vec_b", round($"cos", 4).as("cosine"))
       .orderBy($"label", $"vec_a", $"vec_b")
