@@ -7,6 +7,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Binary
 import graft.ops.OpQueries
 import graft.pipeline.Pipeline
+import graft.plans.{AsOfJoin, Sketches}
 import graft.prescriptive.Scoring
 import graft.similarity.Ann
 import graft.sources.RestJson
@@ -32,7 +33,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.queries ++ OpQueries.queries ++ RestJson.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
-      Binary.queries ++ Stream.queries ++ Pipeline.queries ++ Map(
+      Binary.queries ++ Stream.queries ++ Pipeline.queries ++
+      AsOfJoin.queries ++ Sketches.queries ++ Map(
       "o30_prescriptive" -> ((s: SparkSession, dir: String) => Scoring.hygieneScore(s, dir)),
     )
 
@@ -41,7 +43,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Queries.oracles ++ OpQueries.oracles ++ RestJson.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++
-      Binary.oracles ++ Stream.oracles ++ Pipeline.oracles ++ Map(
+      Binary.oracles ++ Stream.oracles ++ Pipeline.oracles ++
+      AsOfJoin.oracles ++ Sketches.oracles ++ Map(
       "o30_prescriptive" -> Scoring.oracleSql,
     )
 }

@@ -1,0 +1,156 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.syntax._
+import graft.io.Tables
+
+/** X-2 — a native Catalyst aggregate: KMV (k-minimum-values) bottom-k
+  * sketch for distinct-count estimation.
+  *
+  * This is the one place the built-in surface genuinely runs out:
+  * "keep the k smallest hashes seen" is stateful and order-dependent,
+  * so it's a [[TypedImperativeAggregate]] (the same extension point
+  * Spark's own HLL++ uses) — NOT a UDAF: the buffer lives in the
+  * aggregation hash map, partial sketches merge map-side, and only k
+  * strings per partition cross the wire.
+  *
+  * Unlike HLL, KMV with a fixed hash is fully DETERMINISTIC, so the
+  * oracle can reproduce it exactly: the k smallest distinct md5s are
+  * just `ORDER BY hash LIMIT k` in SQL, and the estimator
+  * (k-1)/kth_hash_fraction is plain arithmetic on both sides.
+  */
+case class BottomKSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[String]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): java.util.TreeSet[String] =
+    new java.util.TreeSet[String]()
+
+  override def update(buf: java.util.TreeSet[String], input: InternalRow): java.util.TreeSet[String] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.add(v.toString)
+      if (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+
+  override def merge(b: java.util.TreeSet[String], other: java.util.TreeSet[String]): java.util.TreeSet[String] = {
+    b.addAll(other)
+    while (b.size > k) b.pollLast()
+    b
+  }
+
+  override def eval(buf: java.util.TreeSet[String]): Any =
+    new GenericArrayData(buf.iterator.asScala.map(s => UTF8String.fromString(s)).toArray[Any])
+
+  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.iterator.asScala.foreach(out.writeUTF)
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val s = new java.util.TreeSet[String]()
+    (0 until n).foreach(_ => s.add(in.readUTF()))
+    s
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): BottomKSketch = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKSketch = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): BottomKSketch = copy(child = newChild)
+  override def prettyName: String = "bottom_k_sketch"
+}
+
+object Sketches {
+
+  val K = 64
+
+  private def registerBottomK(s: SparkSession): Unit =
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottom_k_sketch", exprs => BottomKSketch(exprs.head, K), "scala_udf")
+
+  /** X-2 — KMV distinct estimate of l_partkey (vs the exact count).
+    * The kth-smallest hash's leading 13 hex digits (52 bits — exact in
+    * a double) give the fraction of hash space covered. */
+  def x2KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    registerBottomK(s)
+    // try_element_at: under-k sketches (cardinality < K) have no kth
+    // element — ANSI element_at would throw. KMV convention: a sketch
+    // smaller than K IS the distinct set, so the estimate is its size.
+    val kth = try_element_at($"sketch", lit(K))
+    Tables.lineitem(s, dir)
+      .select(md5($"l_partkey".cast("string")).as("h"), $"l_partkey")
+      .agg(expr("bottom_k_sketch(h)").as("sketch"),
+        countDistinct($"l_partkey").as("n_exact"))
+      .select(
+        kth.as("kth_hash"),
+        size($"sketch").as("sketch_size"),
+        $"n_exact",
+        when(size($"sketch") < K, size($"sketch").cast("double"))
+          .otherwise(round(lit(K - 1) /
+            (conv(substring(kth, 1, 13), 16, 10).cast("bigint") /
+              lit(4503599627370496.0)), 2)).as("n_distinct_est"))
+  }
+
+  /** X-3 — salted two-phase aggregation over a heavily skewed key
+    * (l_returnflag: 3 values over the whole fact table). Phase 1
+    * spreads each hot key over 16 salt buckets (parallel partials);
+    * phase 2 merges per key. Result is provably identical to the
+    * direct groupBy — which is exactly what the oracle checks. */
+  def x3SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", pmod(hash($"l_orderkey", $"l_linenumber"), lit(16)).as("salt"))
+      .agg(sum($"l_quantity").as("q"), count(lit(1)).as("c"),
+        sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("r"))
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"q"), 2).as("sum_qty"), sum($"c").as("n"),
+        round(sum($"r"), 2).as("revenue"))
+      .orderBy($"l_returnflag")
+
+  val oracles: Map[String, String] = Map(
+    "x2_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+          topk AS (SELECT h FROM h ORDER BY h LIMIT $K),
+          kth AS (SELECT max(h) AS kth_hash, count(*) AS sketch_size FROM topk)
+          SELECT CASE WHEN sketch_size < $K THEN NULL ELSE kth_hash END AS kth_hash,
+                 CAST(sketch_size AS INT) AS sketch_size,
+                 (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_exact,
+                 CASE WHEN sketch_size < $K THEN CAST(sketch_size AS DOUBLE)
+                      ELSE round(${K - 1} /
+                        ((('0x' || substr(kth_hash, 1, 13))::BIGINT) / 4503599627370496.0), 2)
+                 END AS n_distinct_est
+          FROM kth""",
+    "x3_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x2_kmv_distinct" -> x2KmvDistinct _,
+    "x3_salted_agg" -> x3SaltedAgg _,
+  )
+}

@@ -1,5 +1,6 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -7,10 +8,18 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.ops.OpQueries.o22BoolPredicate(spark, "/root/testdata/sf0.1")
-    df.explain("formatted")
-    val t0 = System.nanoTime(); df.count(); println(s"o22 took ${(System.nanoTime()-t0)/1e9}s")
-    val t1 = System.nanoTime(); df.count(); println(s"o22 again ${(System.nanoTime()-t1)/1e9}s")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottom_k_sketch", exprs => graft.plans.BottomKSketch(exprs.head, 64), "scala_udf")
+    // under-k cardinality: 3 distinct statuses vs k=64 (hardened path)
+    val k = 64
+    val kth = try_element_at(col("sketch"), lit(k))
+    graft.io.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(md5(col("o_orderstatus")).as("h"))
+      .agg(expr("bottom_k_sketch(h)").as("sketch"))
+      .select(size(col("sketch")).as("sketch_size"), kth.as("kth_or_null"),
+        when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
+          .otherwise(lit(-1.0)).as("n_distinct_est"))
+      .show(false)
     spark.stop()
   }
 }

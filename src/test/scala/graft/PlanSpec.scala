@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Queries
+import graft.dedup.Dedup
+import graft.ops.OpQueries
+import graft.plans.AsOfJoin
+import graft.prescriptive.Scoring
+import graft.similarity.Ann
+
+/** Physical-plan shape assertions — the 100 TB contract, checked
+  * mechanically: the right joins broadcast, aggregates combine
+  * map-side, scans prune, and O(n²) shapes never appear.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dim enrichment joins broadcast (never sort-merge)") {
+    Seq(
+      OpQueries.o25JoinEnrich(spark, sf),
+      OpQueries.o26JoinChain(spark, sf),
+      Scoring.hygieneScore(spark, sf)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+      assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge:\n" + p.take(2000))
+    }
+  }
+
+  test("group-by aggregates have map-side partial aggregation") {
+    val p = plan(Queries.q6Trend(spark, sf))
+    // two HashAggregates around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("latest-row is a partial aggregate, not a global sort") {
+    val p = plan(OpQueries.o13LatestSnapshot(spark, sf))
+    assert(!p.contains("Sort "), "top-1 should not globally sort:\n" + p.take(2000))
+    assert(p.contains("max_by") || p.contains("HashAggregate") || p.contains("SortAggregate"),
+      p.take(2000))
+  }
+
+  test("LSH pair generation contains no join operator at all") {
+    val p = plan(Dedup.d3LshPairs(spark, sf))
+    assert(!p.contains("Join"), "bucket-local pairing must not join:\n" + p.take(2000))
+  }
+
+  test("as-of join is one shuffle on the key + window (no nested loop)") {
+    val p = plan(AsOfJoin.x1AsOfJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
+  }
+
+  test("ANN brute force broadcasts the query side, never the corpus x corpus product") {
+    val p = plan(Ann.s1BruteTopK(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
+  test("scans read only the needed columns (projection pushdown)") {
+    val p = plan(Queries.q1Count(spark, sf))
+    // count(*) should read no data columns at all
+    assert(p.contains("ReadSchema: struct<>"), p.take(2000))
+  }
+}
