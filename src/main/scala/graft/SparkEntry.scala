@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.Queries
+import graft.analytics.{Advanced, Queries}
 import graft.dedup.Dedup
 import graft.multimodal.Binary
 import graft.ops.OpQueries
@@ -34,7 +34,7 @@ object SparkEntry {
     Queries.queries ++ OpQueries.queries ++ RestJson.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
       Binary.queries ++ Stream.queries ++ Pipeline.queries ++
-      AsOfJoin.queries ++ Sketches.queries ++ Map(
+      AsOfJoin.queries ++ Sketches.queries ++ Advanced.queries ++ Map(
       "o30_prescriptive" -> ((s: SparkSession, dir: String) => Scoring.hygieneScore(s, dir)),
     )
 
@@ -44,7 +44,7 @@ object SparkEntry {
     Queries.oracles ++ OpQueries.oracles ++ RestJson.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++
       Binary.oracles ++ Stream.oracles ++ Pipeline.oracles ++
-      AsOfJoin.oracles ++ Sketches.oracles ++ Map(
+      AsOfJoin.oracles ++ Sketches.oracles ++ Advanced.oracles ++ Map(
       "o30_prescriptive" -> Scoring.oracleSql,
     )
 }

@@ -54,7 +54,8 @@ object Queries {
   def q6Trend(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(date_trunc("minute", $"ts").as("bucket"))
-      .agg(round(avg($"value"), 4).as("avg_value"), count(lit(1)).as("n"))
+      .agg(round(sum(round($"value" * 100).cast("bigint")) / (count(lit(1)) * 100.0), 6)
+        .as("avg_value"), count(lit(1)).as("n"))
       .orderBy($"bucket")
 
   /** Q-7 — uncorrelated scalar-subquery filter (ref dump:11118,11129).
@@ -85,7 +86,8 @@ object Queries {
   def q10MinuteAvg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(date_trunc("minute", $"ts").as("bucket"))
-      .agg(round(avg($"value"), 4).as("avg_value"))
+      .agg(round(sum(round($"value" * 100).cast("bigint")) / (count(lit(1)) * 100.0), 6)
+        .as("avg_value"))
       .orderBy($"bucket".desc)
 
   /** Q-11 — UNION ALL labeled funnel (ref dump:10311-10312). */
@@ -114,14 +116,16 @@ object Queries {
   def q13HourHeatmap(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(hour($"ts").as("hh"), to_date($"ts").as("dd"))
-      .agg(round(avg($"value"), 4).as("avg_value"))
+      .agg(round(sum(round($"value" * 100).cast("bigint")) / (count(lit(1)) * 100.0), 6)
+        .as("avg_value"))
       .orderBy($"hh", $"dd")
 
   /** Q-14 — relative-time "today" filter (ref dump:10334); the clock is
     * injected as max(ts)'s date, never wall-clock (SURVEY.md §7.4). */
   def q14Today(s: SparkSession, dir: String): DataFrame = {
     Tables.registerViews(s, dir)
-    s.sql("""SELECT count(*) AS n_today, round(sum(value), 4) AS sum_value
+    s.sql("""SELECT count(*) AS n_today,
+                    sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
              FROM events
              WHERE cast(ts AS DATE) = (SELECT cast(max(ts) AS DATE) FROM events)""")
   }
@@ -161,7 +165,8 @@ object Queries {
       """SELECT o_orderstatus, count(*) AS n FROM orders
          GROUP BY o_orderstatus ORDER BY n DESC, o_orderstatus""",
     "q6_trend" ->
-      """SELECT date_trunc('minute', ts) AS bucket, round(avg(value), 4) AS avg_value,
+      """SELECT date_trunc('minute', ts) AS bucket,
+                round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0), 6) AS avg_value,
                 count(*) AS n FROM events GROUP BY 1 ORDER BY bucket""",
     "q7_scalar_subquery" ->
       """SELECT count(*) AS n_after FROM lineitem
@@ -173,7 +178,8 @@ object Queries {
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem
          LIMIT 1048575""",
     "q10_minute_avg" ->
-      """SELECT date_trunc('minute', ts) AS bucket, round(avg(value), 4) AS avg_value
+      """SELECT date_trunc('minute', ts) AS bucket,
+                round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0), 6) AS avg_value
          FROM events GROUP BY 1 ORDER BY bucket DESC""",
     "q11_funnel" ->
       """SELECT 'all' AS stage, count(*) AS n FROM orders
@@ -189,10 +195,11 @@ object Queries {
                      ELSE 1 END AS keputusan_kode FROM orders""",
     "q13_hour_heatmap" ->
       """SELECT CAST(extract(hour FROM ts) AS INT) AS hh, CAST(ts AS DATE) AS dd,
-                round(avg(value), 4) AS avg_value FROM events
-         GROUP BY 1, 2 ORDER BY hh, dd""",
+                round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0), 6) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY hh, dd""",
     "q14_today" ->
-      """SELECT count(*) AS n_today, round(sum(value), 4) AS sum_value FROM events
+      """SELECT count(*) AS n_today,
+                sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c FROM events
          WHERE CAST(ts AS DATE) = (SELECT CAST(max(ts) AS DATE) FROM events)""",
     "q15_query_on_query" ->
       """SELECT keputusan_kode, count(*) AS n FROM (

@@ -54,7 +54,8 @@ object OpQueries {
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_returnflag", $"l_quantity")
     val messy = li.toDF("﻿ L OrderKey ", "L ReturnFlag", "  l Quantity")
     Cleaning.normalizeColumns(Cleaning.normalizeColumns(messy))
-      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"),
+        sum(round($"l_quantity" * 100).cast("bigint")).as("qty_c"))
       .orderBy($"l_returnflag")
   }
 
@@ -68,7 +69,7 @@ object OpQueries {
   def o16TryNumeric(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).agg(
       count(Cleaning.tryDouble($"o_orderpriority")).as("n_bad"),
-      round(sum(Cleaning.tryDouble($"o_totalprice".cast("string"))), 2).as("roundtrip_sum"))
+      sum(round(Cleaning.tryDouble($"o_totalprice".cast("string")) * 100).cast("bigint")).as("roundtrip_sum_c"))
 
   /** O-17/O-18 — canonical-column derive + prune to serving schema. */
   def o18Prune(s: SparkSession, dir: String): DataFrame =
@@ -96,7 +97,8 @@ object OpQueries {
       .agg(max(when($"o_orderstatus" === "F", $"o_orderdate")).as("last_bath"))
     Tables.lineitem(s, dir).crossJoin(broadcast(lastBath))
       .filter($"l_shipdate" > $"last_bath")
-      .agg(count(lit(1)).as("n_after"), round(sum($"l_quantity"), 2).as("qty_after"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(round($"l_quantity" * 100).cast("bigint")).as("qty_after_c"))
   }
 
   /** O-22 — boolean row predicate as Column algebra (no UDF). */
@@ -131,7 +133,8 @@ object OpQueries {
     val dim = Tables.part(s, dir).select($"p_partkey".as("l_partkey"), $"p_type")
     Enrich.enrich(Tables.lineitem(s, dir), dim, "l_partkey")
       .groupBy($"p_type")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+      .agg(sum(round($"l_extendedprice" * 100).cast("bigint") *
+          (lit(100L) - round($"l_discount" * 100).cast("bigint"))).as("revenue_c4"),
         count(lit(1)).as("n"))
       .orderBy($"p_type")
   }
@@ -142,7 +145,8 @@ object OpQueries {
     val n = Tables.nation(s, dir).select($"n_nationkey".as("c_nationkey"), $"n_name")
     Enrich.enrich(Enrich.enrich(Tables.orders(s, dir), c, "o_custkey"), n, "c_nationkey")
       .groupBy($"n_name")
-      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("bigint")).as("total_c"))
       .orderBy($"n_name")
   }
 
@@ -210,14 +214,16 @@ object OpQueries {
       """SELECT event_id, event_type, value FROM events
          ORDER BY ts DESC, event_id DESC LIMIT 1""",
     "o14_normalize" ->
-      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      """SELECT l_returnflag, count(*) AS n,
+                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "o15_try_timestamp" ->
       """SELECT count(TRY_CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS TIMESTAMP)) AS n_ok,
                 count(TRY_CAST(o_orderpriority AS TIMESTAMP)) AS n_bad FROM orders""",
     "o16_try_numeric" ->
       """SELECT count(TRY_CAST(o_orderpriority AS DOUBLE)) AS n_bad,
-                round(sum(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE)), 2) AS roundtrip_sum
+                sum(CAST(round(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) * 100) AS BIGINT))
+                  AS roundtrip_sum_c
          FROM orders""",
     "o18_prune" ->
       "SELECT o_orderkey, o_orderdate AS generated_at, o_totalprice FROM orders",
@@ -228,7 +234,8 @@ object OpQueries {
            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
          WHERE k IS NOT NULL""",
     "o21_window_filter" ->
-      """SELECT count(*) AS n_after, round(sum(l_quantity), 2) AS qty_after FROM lineitem
+      """SELECT count(*) AS n_after,
+                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_after_c FROM lineitem
          WHERE l_shipdate > (SELECT max(o_orderdate) FROM orders WHERE o_orderstatus = 'F')""",
     "o22_bool_predicate" ->
       """SELECT count(*) AS n_sweaty FROM lineitem l
@@ -241,12 +248,15 @@ object OpQueries {
     "o24_malformed_guard" ->
       "SELECT CAST(2 AS BIGINT) AS n_rows, CAST(6 AS BIGINT) AS sum_b",
     "o25_join_enrich" ->
-      """SELECT p.p_type, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      """SELECT p.p_type,
+                sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+                    (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_c4,
                 count(*) AS n FROM lineitem l
          LEFT JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY 1 ORDER BY p_type""",
     "o26_join_chain" ->
-      """SELECT n.n_name, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+      """SELECT n.n_name, count(*) AS n_orders,
+                sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_c
          FROM orders o
          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -123,11 +123,14 @@ object Sketches {
   def x3SaltedAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag", pmod(hash($"l_orderkey", $"l_linenumber"), lit(16)).as("salt"))
-      .agg(sum($"l_quantity").as("q"), count(lit(1)).as("c"),
-        sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("r"))
+      // money/quantity as exact integer 1e-4 units: the two-phase sum
+      // reassociates additions, which is only provably equal to the
+      // direct GROUP BY (the oracle) in exact arithmetic
+      .agg(sum(round($"l_quantity" * 100).cast("bigint")).as("q"), count(lit(1)).as("c"),
+        sum(round($"l_extendedprice" * 100).cast("bigint") *
+          (lit(100L) - round($"l_discount" * 100).cast("bigint"))).as("r"))
       .groupBy($"l_returnflag")
-      .agg(round(sum($"q"), 2).as("sum_qty"), sum($"c").as("n"),
-        round(sum($"r"), 2).as("revenue"))
+      .agg(sum($"q").as("sum_qty_c"), sum($"c").as("n"), sum($"r").as("revenue_c4"))
       .orderBy($"l_returnflag")
 
   val oracles: Map[String, String] = Map(
@@ -144,8 +147,11 @@ object Sketches {
                  END AS n_distinct_est
           FROM kth""",
     "x3_salted_agg" ->
-      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT l_returnflag,
+                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+                count(*) AS n,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                    (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
   )
 
