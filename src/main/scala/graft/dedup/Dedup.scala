@@ -56,10 +56,19 @@ object Dedup {
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy($"keep_id")
 
-  /** D-2 — per-doc MinHash signature (16 seeded min-md5s), digested to
-    * one md5 for a compact, comparable output. */
+  /** The 16 hash functions are 8-hex (32-bit) windows over 4 seeded md5
+    * digests — 4 md5 evaluations per shingle instead of 16 (wide-hash
+    * slicing, the standard MinHash trick). Lexicographic min over fixed-
+    * width hex == numeric min. Same construction verbatim in the oracle. */
+  private def hashCols: Seq[org.apache.spark.sql.Column] =
+    (0 until NumHashes).map { i =>
+      min(substring(md5(concat(lit(s"${i / 4}:"), $"shingle")), (i % 4) * 8 + 1, 8)).as(s"m$i")
+    }
+
+  /** D-2 — per-doc MinHash signature (16 min-hashes), digested to one
+    * md5 for a compact, comparable output. */
   def d2MinhashSig(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), $"shingle"))).as(s"m$i"))
+    val aggs = hashCols
     shingles(s, dir, distinct = false)
       .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
       .select($"doc_id", md5(concat((0 until NumHashes).map(i => col(s"m$i")): _*)).as("sig"))
@@ -68,7 +77,7 @@ object Dedup {
 
   /** Per-doc band signatures (Bands rows per doc). */
   private def banded(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), $"shingle"))).as(s"m$i"))
+    val aggs = hashCols
     val sigs = shingles(s, dir, distinct = false).groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
     val rows = NumHashes / Bands
     val bandCols = (0 until Bands).map { b =>
@@ -147,7 +156,9 @@ object Dedup {
          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents))"""
 
   private val minhashSql = {
-    val mins = (0 until NumHashes).map(i => s"min(md5('$i:'||shingle)) AS m$i").mkString(", ")
+    val mins = (0 until NumHashes).map { i =>
+      s"min(substr(md5('${i / 4}:'||shingle), ${(i % 4) * 8 + 1}, 8)) AS m$i"
+    }.mkString(", ")
     s"SELECT doc_id, $mins FROM ($shingleSql) GROUP BY doc_id"
   }
 

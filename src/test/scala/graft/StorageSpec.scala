@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-layout scale patterns: partitioned layout → partition
+  * pruning; bucketed layout → shuffle-free co-located joins. These are
+  * the write-side half of the 100 TB story (the read-side plan shapes
+  * live in PlanSpec).
+  */
+class StorageSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("partitioned write + filter => partition pruning in the scan") {
+    val dir = Files.createTempDirectory("graft_part_").toString
+    graft.io.Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    // layout: one dir per event_type
+    val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.count(_.startsWith("event_type=")) == 5, dirs.mkString(","))
+
+    val q = spark.read.parquet(dir).filter(col("event_type") === "error")
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(1500))
+    val n = q.collect().head.getLong(0)
+    val expected = graft.io.Tables.events(spark, sf)
+      .filter(col("event_type") === "error").count()
+    assert(n == expected)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // default warehouse (./spark-warehouse, gitignored) — warehouse.dir
+    // is a static conf and cannot be set per-test
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    graft.io.Tables.orders(spark, sf)
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    graft.io.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_customer")
+    // disable broadcast so the join would otherwise shuffle both sides
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        .groupBy(col("c_name")).agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      // bucket co-location: the join itself needs NO Exchange on either side
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+      val exchangesBeforeAgg = "Exchange hashpartitioning\\(o_custkey".r
+        .findAllIn(plan).size
+      assert(exchangesBeforeAgg == 0,
+        s"bucketed join still shuffles on the key:\n${plan.take(2500)}")
+      assert(j.collect().map(_.getLong(1)).sum == 1500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}
