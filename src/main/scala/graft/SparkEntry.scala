@@ -11,7 +11,7 @@ import graft.plans.{AsOfJoin, Sketches}
 import graft.prescriptive.Scoring
 import graft.similarity.Ann
 import graft.sources.RestJson
-import graft.streaming.Stream
+import graft.streaming.{Stateful, Stream}
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -33,7 +33,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.queries ++ OpQueries.queries ++ RestJson.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
-      Binary.queries ++ Stream.queries ++ Pipeline.queries ++
+      Binary.queries ++ Stream.queries ++ Stateful.queries ++ Pipeline.queries ++
       AsOfJoin.queries ++ Sketches.queries ++ Advanced.queries ++ Map(
       "o30_prescriptive" -> ((s: SparkSession, dir: String) => Scoring.hygieneScore(s, dir)),
     )
@@ -43,7 +43,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Queries.oracles ++ OpQueries.oracles ++ RestJson.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++
-      Binary.oracles ++ Stream.oracles ++ Pipeline.oracles ++
+      Binary.oracles ++ Stream.oracles ++ Stateful.oracles ++ Pipeline.oracles ++
       AsOfJoin.oracles ++ Sketches.oracles ++ Advanced.oracles ++ Map(
       "o30_prescriptive" -> Scoring.oracleSql,
     )

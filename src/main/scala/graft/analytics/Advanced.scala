@@ -92,6 +92,19 @@ object Advanced {
       .orderBy($"user_id", $"session_seq")
   }
 
+  /** Q-23 — approximate sketches (rows-only: HLL++ and quantile-sketch
+    * internals are engine-specific, so there is no cross-engine oracle;
+    * accuracy vs exact is asserted in ExtensionsSpec instead). At scale
+    * these replace their exact counterparts: HLL buffers merge map-side
+    * in O(1) memory vs countDistinct's exchange of every distinct
+    * value. */
+  def q23ApproxSketches(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+      countDistinct($"l_partkey").as("exact_parts"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+
   /** ST-2 — sliding event-time windows (2h length, 1h slide) via
     * Structured Streaming; each event lands in exactly two windows. */
   def st2StreamSliding(s: SparkSession, dir: String): DataFrame = {
@@ -176,6 +189,7 @@ object Advanced {
     "q20_semi_anti" -> q20SemiAnti _,
     "q21_running_window" -> q21RunningWindow _,
     "q22_sessionize" -> q22Sessionize _,
+    "q23_approx_sketches" -> q23ApproxSketches _, // rows-only (no oracle)
     "st2_stream_sliding" -> st2StreamSliding _,
   )
 }

@@ -148,12 +148,62 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D-6 — duplicate clustering: connected components over the LSH
+    * candidate graph, so each near-dup group keeps exactly one doc.
+    * Iterative min-label propagation (the scalable CC pattern: each
+    * round is one join + one groupBy; rounds ≈ graph diameter, and
+    * near-dup components are tiny, so it converges in 2-3 rounds).
+    * The driver loop only checks a scalar convergence count — the data
+    * never leaves the cluster. Oracle: DuckDB recursive CTE. */
+  def d6DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d3LshPairs(s, dir)
+    val sym = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .cache()
+    var labels = sym.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaNeighbors = labels.join(sym, $"doc_id" === $"src")
+        .select($"dst".as("doc_id"), $"label")
+      val next = labels.unionAll(viaNeighbors)
+        .groupBy($"doc_id").agg(min($"label").as("label")).cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter($"label" < $"old").count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    val docs = Tables.documents(s, dir).select($"doc_id")
+    docs.join(labels.withColumnRenamed("label", "cluster"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cluster", $"doc_id").as("cluster_id"),
+        ($"doc_id" === coalesce($"cluster", $"doc_id")).cast("int").as("is_kept"))
+      .orderBy($"doc_id")
+  }
+
   /** Shared SQL fragment: word-3-gram shingles (1-based DuckDB lists). */
   private val shingleSql =
     """SELECT DISTINCT doc_id, shingle FROM (
          SELECT doc_id, unnest([arr[i]||' '||arr[i+1]||' '||arr[i+2]
                                 for i in range(1, greatest(len(arr)-1, 1))]) AS shingle
          FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents))"""
+
+  /** Shared CTE chain ending in `lsh_pairs(doc_a, doc_b)` (used by the
+    * D-3 oracle and as the edge set of the D-6 clustering oracle). */
+  private lazy val lshPairsCtes: String = {
+    val rows = NumHashes / Bands
+    val bandSelects = (0 until Bands).map { b =>
+      val cat = (0 until rows).map(r => s"m${b * rows + r}").mkString("||")
+      s"SELECT doc_id, $b AS band, md5($cat||'$b') AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""mh AS ($minhashSql), bands AS ($bandSelects),
+        lsh_pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
+  }
 
   private val minhashSql = {
     val mins = (0 until NumHashes).map { i =>
@@ -170,17 +220,23 @@ object Dedup {
       val cat = (0 until NumHashes).map(i => s"m$i").mkString("||")
       s"SELECT doc_id, md5($cat) AS sig FROM ($minhashSql) ORDER BY doc_id"
     },
-    "d3_lsh_pairs" -> {
-      val rows = NumHashes / Bands
-      val bandSelects = (0 until Bands).map { b =>
-        val cat = (0 until rows).map(r => s"m${b * rows + r}").mkString("||")
-        s"SELECT doc_id, $b AS band, md5($cat||'$b') AS sig FROM mh"
-      }.mkString(" UNION ALL ")
-      s"""WITH mh AS ($minhashSql), bands AS ($bandSelects)
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-          ORDER BY doc_a, doc_b"""
-    },
+    "d3_lsh_pairs" ->
+      s"""WITH $lshPairsCtes
+          SELECT doc_a, doc_b FROM lsh_pairs ORDER BY doc_a, doc_b""",
+    "d6_dup_clusters" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+          sym(a, b) AS (SELECT doc_a, doc_b FROM lsh_pairs
+                        UNION SELECT doc_b, doc_a FROM lsh_pairs),
+          reach(doc, label) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.a, r.label FROM reach r JOIN sym s ON s.b = r.doc),
+          comp AS (SELECT doc, min(label) AS cluster FROM reach GROUP BY doc)
+          SELECT d.doc_id AS doc_id,
+                 coalesce(c.cluster, d.doc_id) AS cluster_id,
+                 CAST(d.doc_id = coalesce(c.cluster, d.doc_id) AS INT) AS is_kept
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+          ORDER BY doc_id""",
     "d4_ngram_jaccard" ->
       s"""WITH sh AS ($shingleSql),
           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -219,5 +275,6 @@ object Dedup {
     "d3_lsh_pairs" -> d3LshPairs _,
     "d4_ngram_jaccard" -> d4NgramJaccard _,
     "d5_simhash" -> d5Simhash _,
+    "d6_dup_clusters" -> d6DupClusters _,
   )
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+
+/** ST-3 — custom-state streaming: gap-based sessionization via
+  * `flatMapGroupsWithState` over the event stream. This is the
+  * arbitrary-state API a live pipeline would use (state = the open
+  * session per user, emitted when the 30-min gap closes); under
+  * `Trigger.AvailableNow` the replay drains in one batch, so every
+  * session closes and the output equals the batch sessionization
+  * (q22) — which is exactly the oracle it shares.
+  */
+object Stateful {
+
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  case class SessionOut(
+      user_id: Long, session_seq: Long, n_events: Long,
+      session_start: Timestamp, session_end: Timestamp, session_value_c: Long)
+
+  /** Open-session state: (seq, events-so-far summary). */
+  case class OpenSession(
+      seq: Long, n: Long, startMs: Long, lastMs: Long, valueC: Long)
+
+  private val GapSeconds = 1800L
+
+  private def truncSec(ms: Long): Long = math.floorDiv(ms, 1000L) * 1000L
+
+  /** The per-group transition: fold time-ordered events into sessions,
+    * carrying the open session in GroupState between invocations. */
+  def sessionize(
+      uid: Long, events: Iterator[Ev], state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    val sorted = events.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var open = state.getOption
+    val out = Seq.newBuilder[SessionOut]
+    def close(s: OpenSession): Unit =
+      out += SessionOut(uid, s.seq, s.n, new Timestamp(truncSec(s.startMs)),
+        new Timestamp(truncSec(s.lastMs)), s.valueC)
+    sorted.foreach { e =>
+      val ms = e.ts.getTime
+      val cents = math.round(e.value * 100)
+      open match {
+        case Some(s) if math.floorDiv(ms, 1000L) - math.floorDiv(s.lastMs, 1000L) > GapSeconds =>
+          close(s)
+          open = Some(OpenSession(s.seq + 1, 1, ms, ms, cents))
+        case Some(s) =>
+          open = Some(s.copy(n = s.n + 1, lastMs = ms, valueC = s.valueC + cents))
+        case None =>
+          open = Some(OpenSession(0, 1, ms, ms, cents))
+      }
+    }
+    // AvailableNow replay: the single batch holds the whole history, so
+    // the trailing open session is final — emit it. (A live stream
+    // would instead set a timeout and emit on expiry.)
+    open.foreach(close)
+    state.remove()
+    out.result().iterator
+  }
+
+  def st3StatefulSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val name = "st3_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_id"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.table(name).orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Same output contract as q22 — shares its oracle. */
+  val oracles: Map[String, String] = Map(
+    "st3_stateful_sessions" -> graft.analytics.Advanced.oracles("q22_sessionize"),
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st3_stateful_sessions" -> st3StatefulSessions _,
+  )
+}

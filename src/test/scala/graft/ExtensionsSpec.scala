@@ -80,6 +80,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("dup clustering groups every exact duplicate under one kept doc (sf0.1)") {
+    val clusters = Dedup.d6DupClusters(spark, sfBig)
+    val dups = graft.io.Tables.documents(spark, sfBig)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_id"), expr("array_min(ids)").as("expect_cluster"))
+    val joined = dups.join(clusters, "doc_id")
+    // all members of an exact-dup group share one cluster id
+    assert(joined.groupBy(col("expect_cluster"))
+      .agg(countDistinct(col("cluster_id")).as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    // exactly one kept doc per cluster
+    val badClusters = clusters.groupBy(col("cluster_id"))
+      .agg(sum(col("is_kept")).as("kept")).filter(col("kept") =!= 1).count()
+    assert(badClusters == 0)
+  }
+
+  test("approx sketches land within tolerance of exact") {
+    val r = graft.analytics.Advanced.q23ApproxSketches(spark, sfBig).collect().head
+    val (approxN, exactN) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
+    assert(math.abs(approxN - exactN).toDouble / exactN < 0.1,
+      s"HLL off by >10%: $approxN vs $exactN")
+    val (ap50, ep50) = (r.getAs[Double]("approx_p50"), r.getAs[Double]("exact_p50"))
+    assert(math.abs(ap50 - ep50) / ep50 < 0.05, s"approx p50 off: $ap50 vs $ep50")
+  }
+
   test("language ID emits one prediction per doc from the profile set") {
     val langs = TextOps.LangProfiles.map(_._1).toSet + "und"
     val out = TextOps.t1LangId(spark, sf).collect()
