@@ -91,12 +91,17 @@ object Scoring {
       .otherwise($"dur" * ($"met" / 10))
     val sweaty = when(Cleaning.sweatyPredicate($"met", $"category", OutdoorToken), 1).otherwise(0)
 
+    // GLOBAL aggregate (no grouping): an empty activity window must
+    // still yield one zero-score row (ref returns a result even with no
+    // activity since the last bath, `prescriptive_logic.py:95-97`) —
+    // grouping by the env scalars would emit zero rows instead. Env
+    // scalars rejoin afterwards as a 1-row broadcast.
     val agg = joined
-      .select(skorIndividu.as("skor_individu"), sweaty.as("sweaty"),
-        $"temperature", $"humidity", $"aqi")
-      .groupBy($"temperature", $"humidity", $"aqi")
-      .agg(sum($"skor_individu").as("sum_skor"), sum($"sweaty").as("n_bau"),
+      .select(skorIndividu.as("skor_individu"), sweaty.as("sweaty"))
+      .agg(sum($"skor_individu").as("sum_skor"),
+        coalesce(sum($"sweaty"), lit(0L)).as("n_bau"),
         count(lit(1)).as("n_recent"))
+      .crossJoin(broadcast(env))
 
     // --- score algebra on the 1-row aggregate ---
     val jam = greatest(lit(0.0),
@@ -165,15 +170,15 @@ object Scoring {
       FROM joined
     ),
     agg AS (
-      SELECT temperature, humidity, aqi,
-             sum(skor_individu) AS sum_skor, sum(sweaty) AS n_bau, count(*) AS n_recent
-      FROM scored GROUP BY 1,2,3
+      SELECT sum(skor_individu) AS sum_skor, coalesce(sum(sweaty), 0) AS n_bau,
+             count(*) AS n_recent
+      FROM scored
     ),
     base AS (
       SELECT *,
         greatest(0.0, (epoch(now) - epoch(last_bath)) / 3600.0) AS jam_raw,
         round(least(coalesce(sum_skor, 0.0)/15, 10.0), 2) AS skor_kekotoran
-      FROM agg CROSS JOIN clock
+      FROM agg CROSS JOIN env CROSS JOIN clock
     ),
     base2 AS (
       SELECT *,

@@ -1,6 +1,6 @@
 package graft.tools
+import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -8,18 +8,18 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bottom_k_sketch", exprs => graft.plans.BottomKSketch(exprs.head, 64), "scala_udf")
-    // under-k cardinality: 3 distinct statuses vs k=64 (hardened path)
-    val k = 64
-    val kth = try_element_at(col("sketch"), lit(k))
-    graft.io.Tables.orders(spark, "/root/testdata/sf0.001")
-      .select(md5(col("o_orderstatus")).as("h"))
-      .agg(expr("bottom_k_sketch(h)").as("sketch"))
-      .select(size(col("sketch")).as("sketch_size"), kth.as("kth_or_null"),
-        when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
-          .otherwise(lit(-1.0)).as("n_distinct_est"))
-      .show(false)
+    import spark.implicits._
+    // flagship as a user drives it
+    graft.SparkEntry.entry(spark).show(false)
+    // empty-window edge through the public score() surface
+    val li = Seq((10L, Timestamp.valueOf("2020-01-01 00:00:00"), 5.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+    val ord = Seq(("F", Timestamp.valueOf("2020-01-10 00:00:00")))
+      .toDF("o_orderstatus", "o_orderdate")
+    val ev = Seq((1L, Timestamp.valueOf("2020-01-05 00:00:00"), "click", 30.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val prt = Seq((10L, 40, "PROMO X")).toDF("p_partkey", "p_size", "p_type")
+    graft.prescriptive.Scoring.score(li, ord, ev, prt).show(false)
     spark.stop()
   }
 }
