@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{Advanced, Queries}
 import graft.dedup.Dedup
+import graft.maintenance.Maintenance
 import graft.multimodal.Binary
 import graft.ops.OpQueries
 import graft.pipeline.Pipeline
@@ -34,7 +35,8 @@ object SparkEntry {
     Queries.queries ++ OpQueries.queries ++ RestJson.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
       Binary.queries ++ Stream.queries ++ Stateful.queries ++ Pipeline.queries ++
-      AsOfJoin.queries ++ Sketches.queries ++ Advanced.queries ++ Map(
+      AsOfJoin.queries ++ Sketches.queries ++ Advanced.queries ++
+      Maintenance.queries ++ Map(
       "o30_prescriptive" -> ((s: SparkSession, dir: String) => Scoring.hygieneScore(s, dir)),
     )
 
@@ -44,7 +46,8 @@ object SparkEntry {
     Queries.oracles ++ OpQueries.oracles ++ RestJson.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++
       Binary.oracles ++ Stream.oracles ++ Stateful.oracles ++ Pipeline.oracles ++
-      AsOfJoin.oracles ++ Sketches.oracles ++ Advanced.oracles ++ Map(
+      AsOfJoin.oracles ++ Sketches.oracles ++ Advanced.oracles ++
+      Maintenance.oracles ++ Map(
       "o30_prescriptive" -> Scoring.oracleSql,
     )
 }

@@ -1,0 +1,138 @@
+package graft.maintenance
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+import graft.io.Tables
+
+/** Lakehouse-hygiene maintenance operators — the table-upkeep half of
+  * the medallion design (the reference gets these implicitly from its
+  * full-snapshot overwrites; at 100 TB they are explicit jobs):
+  *
+  *  - small-file compaction: hourly micro-batch writes leave thousands
+  *    of KB-files per partition; scans then pay per-file open cost.
+  *    Compact = read → repartition to a target file size → atomic swap.
+  *  - snapshot retention: the raw zone's immutable timestamped objects
+  *    (`name_YYYYMMDD_HHMMSS`) accumulate forever; keep the newest K.
+  *  - merge/upsert: the Delta `MERGE INTO` upgrade path (SURVEY §1.1)
+  *    emulated on parquet: anti-join old vs updates + union = upsert,
+  *    then snapshot-swap.
+  *  - table stats: row counts / file counts / bytes per table — the
+  *    inputs every maintenance decision (and the optimizer) needs.
+  */
+object Maintenance {
+
+  /** Upsert semantics on plain parquet (Delta MERGE emulation): rows of
+    * `updates` replace same-key rows of `target`, others append. Pure
+    * plan: one anti-join (broadcast when updates are small) + union. */
+  def mergeUpsert(target: DataFrame, updates: DataFrame, key: String): DataFrame =
+    target.join(updates.select(col(key)).distinct(), Seq(key), "left_anti")
+      .unionByName(updates)
+
+  /** Small-file compaction with atomic-ish swap (write aside, then
+    * replace) — never overwrites the directory it is reading. */
+  def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(dir)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    val tmp = dir + ".compact_tmp"
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    deleteRecursively(Paths.get(dir))
+    Files.move(Paths.get(tmp), Paths.get(dir))
+  }
+
+  /** Keep the newest K timestamped snapshot objects under a prefix
+    * (name-embedded `_YYYYMMDD_HHMMSS` gives the total order, same
+    * convention the reference's consumers rely on). Returns deleted. */
+  def retainSnapshots(root: String, keep: Int): Seq[String] = {
+    val dirs = new java.io.File(root).listFiles().toSeq
+      .filter(_.getName.matches(".*_\\d{8}_\\d{6}$")).sortBy(_.getName)
+    val doomed = dirs.dropRight(keep)
+    doomed.foreach(d => deleteRecursively(d.toPath))
+    doomed.map(_.getName)
+  }
+
+  def fileStats(dir: String): (Long, Long) = {
+    val fs = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    (fs.length.toLong, fs.map(_.length).sum)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+
+  /** MT-1 — per-table stats (row counts + key cardinalities): the
+    * catalog-stat scan every maintenance/optimizer decision reads. */
+  def mt1TableStats(s: SparkSession, dir: String): DataFrame = {
+    def stat(name: String, keyCol: String) =
+      Tables.table(s, dir, name).agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(keyCol)).as("n_keys"))
+        .select(lit(name).as("table_name"), $"n_rows", $"n_keys")
+    stat("lineitem", "l_orderkey")
+      .unionAll(stat("orders", "o_orderkey"))
+      .unionAll(stat("customer", "c_custkey"))
+      .unionAll(stat("part", "p_partkey"))
+      .unionAll(stat("events", "event_id"))
+      .unionAll(stat("documents", "doc_id"))
+      .unionAll(stat("embeddings", "vec_id"))
+      .orderBy($"table_name")
+  }
+
+  /** MT-2 — merge/upsert as a checkable query: replace the 100 lowest
+    * order keys with re-priced rows, append 5 synthetic new ones. */
+  def mt2MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val target = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+    val repriced = target.filter($"o_orderkey" <= 100)
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("bigint").as("price_c"), lit("U").as("o_orderstatus"))
+    val fresh = s.range(1, 6)
+      .select((lit(9000000L) + $"id").as("o_orderkey"), lit(1L).as("o_custkey"),
+        lit(0L).as("price_c"), lit("N").as("o_orderstatus"))
+    val updates = repriced.unionByName(fresh)
+    mergeUpsert(
+      target.withColumn("price_c", round($"o_totalprice" * 100).cast("bigint"))
+        .drop("o_totalprice"),
+      updates, "o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"price_c").as("total_c"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "mt1_table_stats" ->
+      """SELECT 'customer' AS table_name, count(*) AS n_rows, count(DISTINCT c_custkey) AS n_keys FROM customer
+         UNION ALL SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents
+         UNION ALL SELECT 'embeddings', count(*), count(DISTINCT vec_id) FROM embeddings
+         UNION ALL SELECT 'events', count(*), count(DISTINCT event_id) FROM events
+         UNION ALL SELECT 'lineitem', count(*), count(DISTINCT l_orderkey) FROM lineitem
+         UNION ALL SELECT 'orders', count(*), count(DISTINCT o_orderkey) FROM orders
+         UNION ALL SELECT 'part', count(*), count(DISTINCT p_partkey) FROM part
+         ORDER BY table_name""",
+    "mt2_merge_upsert" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_custkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, o_orderstatus
+           FROM orders),
+         updates AS (
+           SELECT o_orderkey, o_custkey, price_c, 'U' AS o_orderstatus
+           FROM target WHERE o_orderkey <= 100
+           UNION ALL
+           SELECT 9000000 + i, 1, 0, 'N' FROM generate_series(1, 5) t(i)),
+         merged AS (
+           SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+           UNION ALL SELECT * FROM updates)
+         SELECT o_orderstatus, count(*) AS n, sum(price_c) AS total_c
+         FROM merged GROUP BY 1 ORDER BY o_orderstatus""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mt1_table_stats" -> mt1TableStats _,
+    "mt2_merge_upsert" -> mt2MergeUpsert _,
+  )
+}

@@ -1,6 +1,7 @@
 package graft.tools
-import java.sql.Timestamp
+import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import graft.maintenance.Maintenance
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -8,18 +9,18 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    // flagship as a user drives it
-    graft.SparkEntry.entry(spark).show(false)
-    // empty-window edge through the public score() surface
-    val li = Seq((10L, Timestamp.valueOf("2020-01-01 00:00:00"), 5.0))
-      .toDF("l_partkey", "l_shipdate", "l_quantity")
-    val ord = Seq(("F", Timestamp.valueOf("2020-01-10 00:00:00")))
-      .toDF("o_orderstatus", "o_orderdate")
-    val ev = Seq((1L, Timestamp.valueOf("2020-01-05 00:00:00"), "click", 30.0))
-      .toDF("event_id", "ts", "event_type", "value")
-    val prt = Seq((10L, 40, "PROMO X")).toDF("p_partkey", "p_size", "p_type")
-    graft.prescriptive.Scoring.score(li, ord, ev, prt).show(false)
+    val dir = Files.createTempDirectory("probe_compact_").toString + "/t"
+    graft.io.Tables.lineitem(spark, "/root/testdata/sf0.001").repartition(40).write.parquet(dir)
+    val (f0, b0) = Maintenance.fileStats(dir)
+    Maintenance.compact(spark, dir, 10000)
+    val (f1, b1) = Maintenance.fileStats(dir)
+    println(s"compact: files $f0 -> $f1, bytes $b0 -> $b1, rows=" + spark.read.parquet(dir).count())
+    // retention edge: keep more than exist
+    val root = Files.createTempDirectory("probe_retain_").toString
+    Seq("20010101_000000", "20010102_000000").foreach { t =>
+      new java.io.File(s"$root/a_$t").mkdirs() }
+    println("keep=5 deletes: " + Maintenance.retainSnapshots(root, 5))
+    println("keep=0 deletes: " + Maintenance.retainSnapshots(root, 0))
     spark.stop()
   }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.maintenance.Maintenance
+
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("compaction shrinks file count without changing data") {
+    val dir = Files.createTempDirectory("graft_compact_").toString + "/t"
+    val src = graft.io.Tables.lineitem(spark, sf)
+    src.repartition(50).write.parquet(dir) // simulate micro-batch small files
+    val (before, _) = Maintenance.fileStats(dir)
+    assert(before == 50)
+    val sumBefore = spark.read.parquet(dir)
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint"))).collect().head.getLong(0)
+    Maintenance.compact(spark, dir, targetRowsPerFile = 10000)
+    val (after, _) = Maintenance.fileStats(dir)
+    assert(after == 1, s"expected 1 file after compaction, got $after")
+    val d = spark.read.parquet(dir)
+    assert(d.count() == 6000)
+    assert(d.agg(sum(round(col("l_extendedprice") * 100).cast("bigint")))
+      .collect().head.getLong(0) == sumBefore)
+  }
+
+  test("snapshot retention keeps only the newest K timestamped objects") {
+    val root = Files.createTempDirectory("graft_retain_").toString
+    Seq("20010101_000000", "20010102_000000", "20010103_000000").foreach { t =>
+      val d = new java.io.File(s"$root/activity_$t"); d.mkdirs()
+      Files.writeString(d.toPath.resolve("x.parquet"), "stub")
+    }
+    new java.io.File(s"$root/not_a_snapshot").mkdirs() // must be untouched
+    val deleted = Maintenance.retainSnapshots(root, keep = 2)
+    assert(deleted == Seq("activity_20010101_000000"))
+    val remaining = new java.io.File(root).listFiles().map(_.getName).sorted
+    assert(remaining.toSeq ==
+      Seq("activity_20010102_000000", "activity_20010103_000000", "not_a_snapshot"))
+  }
+
+  test("mergeUpsert replaces matched keys and appends new ones") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B2"), (9L, "new")).toDF("k", "v")
+    val out = Maintenance.mergeUpsert(target, updates, "k")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+  }
+}
