@@ -25,11 +25,15 @@ object Queries {
   def q1Count(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(count(lit(1)).as("n_rows"))
 
-  /** Q-2 — ungrouped AVG cards (ref dump:11125,11110). */
+  /** Q-2 — ungrouped AVG cards (ref dump:11125,11110). Cents policy:
+    * exact integer sum / exact count — identical operands in both
+    * engines, so the final division and rounding cannot diverge. */
   def q2Avg(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).agg(
-      round(avg($"o_totalprice"), 4).as("avg_totalprice"),
-      round(avg($"o_totalprice" * 0.1), 4).as("avg_tithe"))
+      round(sum(round($"o_totalprice" * 100).cast("bigint")) / (count(lit(1)) * 100.0), 6)
+        .as("avg_totalprice"),
+      round(sum(round($"o_totalprice" * 100).cast("bigint")) / (count(lit(1)) * 1000.0), 6)
+        .as("avg_tithe"))
 
   /** Q-3 — latest-value scalar: ORDER BY ts DESC LIMIT 1 (ref
     * dump:11124). max_by form: no global sort, one partial-agg pass. */
@@ -153,8 +157,10 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q1_count" -> "SELECT count(*) AS n_rows FROM lineitem",
     "q2_avg" ->
-      """SELECT round(avg(o_totalprice), 4) AS avg_totalprice,
-                round(avg(o_totalprice * 0.1), 4) AS avg_tithe FROM orders""",
+      """SELECT round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (count(*) * 100.0), 6)
+                  AS avg_totalprice,
+                round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (count(*) * 1000.0), 6)
+                  AS avg_tithe FROM orders""",
     "q3_latest" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
          ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""",

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time watermark semantics over a multi-batch stream: late data
+  * within the watermark is merged; data later than the watermark is
+  * dropped. (The file-based st1/st2/st3 queries drain in one batch and
+  * cannot exercise lateness — this spec drives the same windowed-agg
+  * plan through MemoryStream across batches.)
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermark drops too-late events and admits in-watermark late events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("w.start").as("wstart"), col("n"), col("v"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      // batch 1: events in windows 10:00 and 10:10 -> watermark = 10:19-10m = 10:09
+      input.addData((ts("2024-01-01 10:05:00"), 1.0), (ts("2024-01-01 10:19:00"), 2.0))
+      q.processAllAvailable()
+      // batch 2: late-but-in-watermark event for the open 10:10 window,
+      // a too-late event for 10:00 (already below watermark... still open
+      // until watermark passes window end), and an advancing event
+      input.addData(
+        (ts("2024-01-01 10:12:00"), 4.0),   // late, window 10:10 still open
+        (ts("2024-01-01 10:40:00"), 8.0))   // advances watermark to 10:30
+      q.processAllAvailable()
+      // windows 10:00 and 10:10 are now finalized (end <= 10:30) and emitted
+      val emitted = spark.table("wm_out")
+        .orderBy("wstart").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      assert(emitted.toSeq == Seq(
+        ("2024-01-01 10:00:00.0", 1L, 1.0),
+        ("2024-01-01 10:10:00.0", 2L, 6.0))) // 2.0 + late 4.0 merged
+      // batch 3: an event for window 10:00 — hopelessly late (watermark 10:30) — dropped
+      input.addData((ts("2024-01-01 10:01:00"), 100.0))
+      q.processAllAvailable()
+      val after = spark.table("wm_out").count()
+      assert(after == emitted.length, "too-late event must not resurrect a closed window")
+    } finally q.stop()
+  }
+}
