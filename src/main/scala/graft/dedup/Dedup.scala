@@ -67,18 +67,50 @@ object Dedup {
 
   /** D-2 — per-doc MinHash signature (16 min-hashes), digested to one
     * md5 for a compact, comparable output. */
-  def d2MinhashSig(s: SparkSession, dir: String): DataFrame = {
-    val aggs = hashCols
-    shingles(s, dir, distinct = false)
-      .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+  def d2MinhashSig(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir)
       .select($"doc_id", md5(concat((0 until NumHashes).map(i => col(s"m$i")): _*)).as("sig"))
       .orderBy($"doc_id")
+
+  /** Session-level cache of the per-doc SIGNATURE table (m0..m15) —
+    * the expensive stage (4 md5 evaluations per shingle) that D-2, D-3
+    * and D-6 all consume; banding on top is a cheap projection. This is
+    * the session-scale version of the documented production pattern
+    * (persist the signature table; it is tiny next to the corpus).
+    *
+    * ASSUMES the zone dir is immutable for the session (true for the
+    * driver testdata; the medallion raw zone is append-only timestamped
+    * objects). Rewriting a cached dir in-session requires
+    * [[invalidateSignatureCache]]. Bounded: past [[MaxCachedDirs]]
+    * entries the oldest is unpersisted and dropped, so long-lived JVMs
+    * iterating many dirs neither pin sessions nor grow executor cache
+    * memory without bound. */
+  private val MaxCachedDirs = 4
+  private val sigCache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        if (size > MaxCachedDirs) { e.getValue.unpersist(); true } else false
+    }
+
+  private def signatures(s: SparkSession, dir: String): DataFrame = sigCache.synchronized {
+    sigCache.computeIfAbsent((s, dir), _ => {
+      val aggs = hashCols
+      shingles(s, dir, distinct = false)
+        .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*).persist()
+    })
+  }
+
+  /** Drop (and unpersist) cached signatures — call after rewriting a
+    * document dir within a session. */
+  def invalidateSignatureCache(): Unit = sigCache.synchronized {
+    sigCache.values.forEach(_.unpersist())
+    sigCache.clear()
   }
 
   /** Per-doc band signatures (Bands rows per doc). */
   private def banded(s: SparkSession, dir: String): DataFrame = {
-    val aggs = hashCols
-    val sigs = shingles(s, dir, distinct = false).groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigs = signatures(s, dir)
     val rows = NumHashes / Bands
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until rows).map(r => col(s"m${b * rows + r}"))
