@@ -135,6 +135,40 @@ object Ann {
       .orderBy($"label", $"vec_a", $"vec_b")
   }
 
+  /** Number of IVF cells; the codebook is a fixed deterministic subset
+    * of the corpus (every ⌈N/Cells⌉-th vector) — at production scale
+    * this is a trained k-means codebook, but assignment/search
+    * structure is identical. */
+  val Cells = 8
+
+  /** S-4 — IVF-style ANN: corpus is assigned to the nearest codebook
+    * centroid (inverted file); a query searches only its own cell.
+    * Cell id is a partition key at scale — retrieval prunes to one
+    * cell's partition instead of scanning the corpus. */
+  def s4IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val centroids = c.filter($"vec_id" % 61 === 0).orderBy($"vec_id").limit(Cells)
+      .select($"vec_id".as("cell_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    // assign every vector to its max-cosine centroid (ties -> lowest cell id)
+    def assign(df: DataFrame) = df.crossJoin(broadcast(centroids))
+      .select(df.columns.map(col) :+ $"cell_id" :+
+        cosine($"v", $"cv", $"nrm", $"cnrm").as("ccos"): _*)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")))
+      .filter($"rk" === 1).drop("rk", "ccos")
+    val assigned = assign(c)
+    val q = assigned.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"cell_id")
+    val scored = assigned.join(broadcast(q), "cell_id")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"cell_id", $"vec_id".as("neighbor_id"),
+        cosine($"qv", $"v", $"qnrm", $"nrm").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
+      .select($"query_id", $"cell_id", $"rank", $"neighbor_id", round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   val oracles: Map[String, String] = Map(
     "s1_ann_brute" ->
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -164,6 +198,30 @@ object Ann {
             FROM scored)
           SELECT query_id, bucket, rank, neighbor_id, round(cos, 4) AS cosine
           FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""",
+    "s4_ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cent AS (SELECT vec_id AS cell_id, v AS cv FROM c
+                   WHERE vec_id % 61 = 0 ORDER BY vec_id LIMIT $Cells),
+          allcos AS (
+            SELECT a.vec_id AS vec_id, a.v AS v, cent.cell_id AS cell_id,
+                   ${cosineSql.replace("b.v", "cent.cv")} AS ccos
+            FROM c a CROSS JOIN cent),
+          asg AS (
+            SELECT vec_id, v, cell_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rk
+            FROM allcos),
+          a AS (SELECT vec_id, v, cell_id FROM asg WHERE rk = 1),
+          q AS (SELECT vec_id AS query_id, v, cell_id FROM a WHERE vec_id % 100 = 0),
+          scored AS (
+            SELECT q.query_id AS query_id, q.cell_id AS cell_id, a.vec_id AS neighbor_id,
+                   ${cosineSql.replace("b.v", "q.v")} AS cos
+            FROM a JOIN q ON a.cell_id = q.cell_id WHERE a.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, cell_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, cell_id, rank, neighbor_id, round(cos, 4) AS cosine
+          FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""",
     "s3_cosine_neardup" ->
       s"""WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
           pairs AS (
@@ -178,5 +236,6 @@ object Ann {
     "s1_ann_brute" -> s1BruteTopK _,
     "s2_ann_lsh" -> s2LshTopK _,
     "s3_cosine_neardup" -> s3CosineNearDup _,
+    "s4_ann_ivf" -> s4IvfTopK _,
   )
 }
