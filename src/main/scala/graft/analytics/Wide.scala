@@ -60,7 +60,39 @@ object Wide {
       .orderBy($"key_a")
   }
 
+  /** Q-26 — time-series resample with gap filling: an hourly spine
+    * from min(ts) to max(ts) left-joined against the hourly counts, so
+    * silent gaps become explicit zero rows (what every downstream
+    * trend/alerting consumer needs). The spine is sequence+explode —
+    * generated, not scanned; one broadcast of the 2-value bound row. */
+  def q26GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = ev.agg(
+      date_trunc("hour", min($"ts")).as("t0"), date_trunc("hour", max($"ts")).as("t1"))
+    val spine = bounds
+      .select(explode(expr("sequence(t0, t1, interval 1 hour)")).as("bucket"))
+    val counts = ev.groupBy(date_trunc("hour", $"ts").as("bucket"))
+      .agg(count(lit(1)).as("n_raw"))
+    spine.join(counts, Seq("bucket"), "left")
+      .select($"bucket", coalesce($"n_raw", lit(0L)).as("n"),
+        ($"n_raw".isNull).cast("int").as("is_gap"))
+      .orderBy($"bucket")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q26_gap_fill" ->
+      """WITH bounds AS (
+           SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+           FROM events),
+         spine AS (
+           SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket FROM bounds),
+         counts AS (
+           SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_raw
+           FROM events GROUP BY 1)
+         SELECT s.bucket AS bucket, coalesce(c.n_raw, 0) AS n,
+                CAST(c.n_raw IS NULL AS INT) AS is_gap
+         FROM spine s LEFT JOIN counts c ON s.bucket = c.bucket
+         ORDER BY bucket""",
     "q24_pivot" ->
       """SELECT o_orderstatus,
                 sum(CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN 1 ELSE 0 END) AS p1,
@@ -93,6 +125,7 @@ object Wide {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_pivot" -> q24Pivot _,
     "q25_array_hof" -> q25ArrayHof _,
+    "q26_gap_fill" -> q26GapFill _,
     "t5_levenshtein" -> t5Levenshtein _,
   )
 }
