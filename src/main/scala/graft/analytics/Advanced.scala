@@ -39,7 +39,7 @@ object Advanced {
       .select(lit("with_orders").as("grp"), $"n")
     val withoutOrders = c.join(o, Seq("c_custkey"), "left_anti").agg(count(lit(1)).as("n"))
       .select(lit("without_orders").as("grp"), $"n")
-    withOrders.unionAll(withoutOrders)
+    withOrders.unionAll(withoutOrders).orderBy($"grp")
   }
 
   /** Q-21 — running/frame window functions: per-supplier running
@@ -141,7 +141,8 @@ object Advanced {
          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          UNION ALL
          SELECT 'without_orders', count(*) FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY grp""",
     "q21_running_window" ->
       """WITH c AS (
            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,

@@ -84,6 +84,7 @@ object Queries {
   def q9LimitScan(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_partkey", $"l_quantity", $"l_extendedprice")
       .limit(1048575)
 
   /** Q-10 — MBQL temporal-bucket AVG, sorted desc (ref dump:11072,11117). */
@@ -103,6 +104,7 @@ object Queries {
       .unionAll(stage("open", o.filter($"o_orderstatus" === "O")))
       .unionAll(stage("urgent", o.filter($"o_orderpriority".like("1%"))))
       .unionAll(stage("big", o.filter($"o_totalprice" > 200000)))
+      .orderBy($"stage")
   }
 
   /** Q-12 — CASE-mapping recode to ordinal code (ref dump:10310,
@@ -115,6 +117,7 @@ object Queries {
         .when($"o_orderpriority".like("2%"), 3)
         .when($"o_orderpriority" === "3-MEDIUM", 2)
         .otherwise(1).as("keputusan_kode"))
+      .orderBy($"o_orderkey")
 
   /** Q-13 — two-key GROUP BY EXTRACT(HOUR), DATE (ref dump:10316-10317). */
   def q13HourHeatmap(s: SparkSession, dir: String): DataFrame =
@@ -182,6 +185,7 @@ object Queries {
                 o_orderpriority AS prio FROM orders ORDER BY generated_at DESC, id DESC""",
     "q9_limit_scan" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem
+         ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice
          LIMIT 1048575""",
     "q10_minute_avg" ->
       """SELECT date_trunc('minute', ts) AS bucket,
@@ -191,14 +195,16 @@ object Queries {
       """SELECT 'all' AS stage, count(*) AS n FROM orders
          UNION ALL SELECT 'open', count(*) FROM orders WHERE o_orderstatus = 'O'
          UNION ALL SELECT 'urgent', count(*) FROM orders WHERE o_orderpriority LIKE '1%'
-         UNION ALL SELECT 'big', count(*) FROM orders WHERE o_totalprice > 200000""",
+         UNION ALL SELECT 'big', count(*) FROM orders WHERE o_totalprice > 200000
+         ORDER BY stage""",
     "q12_recode" ->
       """SELECT o_orderkey,
                 CASE WHEN o_totalprice >= 400000 THEN 5
                      WHEN o_orderpriority LIKE '1%' THEN 4
                      WHEN o_orderpriority LIKE '2%' THEN 3
                      WHEN o_orderpriority = '3-MEDIUM' THEN 2
-                     ELSE 1 END AS keputusan_kode FROM orders""",
+                     ELSE 1 END AS keputusan_kode FROM orders
+         ORDER BY o_orderkey""",
     "q13_hour_heatmap" ->
       """SELECT CAST(extract(hour FROM ts) AS INT) AS hh, CAST(ts AS DATE) AS dd,
                 round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0), 6) AS avg_value

@@ -32,7 +32,7 @@ object OpQueries {
       .option("sep", sep).option("header", "true").option("mode", "DROPMALFORMED")
       .schema("`Id Col` INT, `Total Val` DOUBLE")
       .csv(s.createDataset(raw)(org.apache.spark.sql.Encoders.STRING))
-    Cleaning.normalizeColumns(parsed).filter($"id_col".isNotNull)
+    Cleaning.normalizeColumns(parsed).filter($"id_col".isNotNull).orderBy($"id_col")
   }
 
   /** O-5/O-6 — object-store reader + tz-normalizing table reader: scan
@@ -41,6 +41,7 @@ object OpQueries {
     Tables.lineitem(s, dir)
       .filter($"l_shipdate" < lit("2001-01-01").cast("timestamp"))
       .select($"l_orderkey", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_extendedprice")
 
   /** O-13 — latest-snapshot pick: global top-1 by (ts, id) without a
     * global sort (ref `elt/clean_sheets.py:42-51`). */
@@ -76,12 +77,14 @@ object OpQueries {
     Cleaning.prune(
       Tables.orders(s, dir).withColumn("generated_at", $"o_orderdate"),
       Seq("o_orderkey", "generated_at", "o_totalprice"))
+      .orderBy(col("o_orderkey"))
 
   /** O-19 — local-clock shift (WITA = UTC+8) on second-truncated ts. */
   def o19TzShift(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       $"event_id",
       Cleaning.toLocalClock(date_trunc("second", $"ts")).as("local_ts"))
+      .orderBy($"event_id")
 
   /** O-20 — null-key drop after coercion (json-path k, then dropna). */
   def o20DropNull(s: SparkSession, dir: String): DataFrame = {
@@ -206,10 +209,12 @@ object OpQueries {
   val oracles: Map[String, String] = Map(
     "o1_csv_source" ->
       """SELECT CAST(id_col AS INT) AS id_col, CAST(total_val AS DOUBLE) AS total_val
-         FROM (VALUES (1, 10.5), (2, 20.25), (3, 30.75)) AS t(id_col, total_val)""",
+         FROM (VALUES (1, 10.5), (2, 20.25), (3, 30.75)) AS t(id_col, total_val)
+         ORDER BY id_col""",
     "o5_pushdown_scan" ->
       """SELECT l_orderkey, l_extendedprice FROM lineitem
-         WHERE l_shipdate < TIMESTAMP '2001-01-01 00:00:00'""",
+         WHERE l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+         ORDER BY l_orderkey, l_extendedprice""",
     "o13_latest_snapshot" ->
       """SELECT event_id, event_type, value FROM events
          ORDER BY ts DESC, event_id DESC LIMIT 1""",
@@ -226,9 +231,10 @@ object OpQueries {
                   AS roundtrip_sum_c
          FROM orders""",
     "o18_prune" ->
-      "SELECT o_orderkey, o_orderdate AS generated_at, o_totalprice FROM orders",
+      "SELECT o_orderkey, o_orderdate AS generated_at, o_totalprice FROM orders ORDER BY o_orderkey",
     "o19_tz_shift" ->
-      """SELECT event_id, date_trunc('second', ts) + INTERVAL 8 HOUR AS local_ts FROM events""",
+      """SELECT event_id, date_trunc('second', ts) + INTERVAL 8 HOUR AS local_ts FROM events
+         ORDER BY event_id""",
     "o20_drop_null" ->
       """SELECT count(*) AS n, sum(k) AS sum_k FROM (
            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
