@@ -108,14 +108,9 @@ object Advanced {
   /** ST-2 — sliding event-time windows (2h length, 1h slide) via
     * Structured Streaming; each event lands in exactly two windows. */
   def st2StreamSliding(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val name = "st2_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"), $"event_type")
+    val q = Tables.eventsStream(s, dir)
+      .select($"ts", $"event_type")
       .groupBy(window($"ts", "2 hours", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .writeStream.outputMode("complete").format("memory").queryName(name)

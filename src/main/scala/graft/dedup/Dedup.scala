@@ -90,7 +90,10 @@ object Dedup {
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        if (size > MaxCachedDirs) { e.getValue.unpersist(); true } else false
+        if (size > MaxCachedDirs) {
+          scala.util.Try(e.getValue.unpersist()) // session may already be stopped
+          true
+        } else false
     }
 
   private def signatures(s: SparkSession, dir: String): DataFrame = sigCache.synchronized {
@@ -104,7 +107,7 @@ object Dedup {
   /** Drop (and unpersist) cached signatures — call after rewriting a
     * document dir within a session. */
   def invalidateSignatureCache(): Unit = sigCache.synchronized {
-    sigCache.values.forEach(_.unpersist())
+    sigCache.values.forEach(df => scala.util.Try(df.unpersist()))
     sigCache.clear()
   }
 
@@ -196,7 +199,8 @@ object Dedup {
       .select($"doc_id", $"doc_id".as("label")).cache()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 48 // propagation rounds ~ component diameter
+    while (!converged && rounds < maxRounds) {
       val viaNeighbors = labels.join(sym, $"doc_id" === $"src")
         .select($"dst".as("doc_id"), $"label")
       val next = labels.unionAll(viaNeighbors)
@@ -208,6 +212,10 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // silent non-convergence would emit wrong cluster ids (and diverge
+    // from the oracle's transitive closure) — fail loudly instead
+    require(converged,
+      s"label propagation did not converge in $maxRounds rounds; component diameter exceeds cap")
     val docs = Tables.documents(s, dir).select($"doc_id")
     docs.join(labels.withColumnRenamed("label", "cluster"), Seq("doc_id"), "left")
       .select($"doc_id",

@@ -46,7 +46,33 @@ object Tables {
 
   /** Register every table as a temp view so spark.sql queries (scalar
     * subqueries, view layering) can reference them by name — the same
-    * names the DuckDB oracle uses. Idempotent per session. */
+    * names the DuckDB oracle uses. Memoized per (session, dir): repeat
+    * callers don't re-open 10 parquet footers. */
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
   def registerViews(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.add((spark, dir)))
+      names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Streaming reader for the events table — the single home of the
+    * TIMESTAMP(NANOS) policy on the streaming path (schema reads ts as
+    * long, converted to TimestampType in the first projection). */
+  val eventsStreamSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", LongType),
+      org.apache.spark.sql.types.StructField("ts", LongType),
+      org.apache.spark.sql.types.StructField("user_id", LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsStreamSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -40,16 +40,22 @@ object Maintenance {
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
     val tmp = dir + ".compact_tmp"
+    val old = dir + ".compact_old"
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
-    deleteRecursively(Paths.get(dir))
+    // crash-safe order: old aside -> new in -> drop old. A failure
+    // between the two moves leaves the data recoverable at `old`,
+    // never a window with no table at the published path.
+    deleteRecursively(Paths.get(old))
+    Files.move(Paths.get(dir), Paths.get(old))
     Files.move(Paths.get(tmp), Paths.get(dir))
+    deleteRecursively(Paths.get(old))
   }
 
   /** Keep the newest K timestamped snapshot objects under a prefix
     * (name-embedded `_YYYYMMDD_HHMMSS` gives the total order, same
     * convention the reference's consumers rely on). Returns deleted. */
   def retainSnapshots(root: String, keep: Int): Seq[String] = {
-    val dirs = new java.io.File(root).listFiles().toSeq
+    val dirs = Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.getName.matches(".*_\\d{8}_\\d{6}$")).sortBy(_.getName)
     val doomed = dirs.dropRight(keep)
     doomed.foreach(d => deleteRecursively(d.toPath))
@@ -57,7 +63,7 @@ object Maintenance {
   }
 
   def fileStats(dir: String): (Long, Long) = {
-    val fs = new java.io.File(dir).listFiles()
+    val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     (fs.length.toLong, fs.map(_.length).sum)
   }

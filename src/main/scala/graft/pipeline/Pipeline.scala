@@ -51,8 +51,10 @@ object Pipeline {
     // list_objects+max(LastModified) done on the name-embedded ts),
     // then normalize/coerce/dropna, snapshot-overwrite (O-9) ----
     val rawRoot = Paths.get(s"$work/raw-zone/sheets")
-    val latest = Files.list(rawRoot).toArray.map(_.toString)
+    val listing = Files.list(rawRoot)
+    val latest = try listing.toArray.map(_.toString)
       .filter(_.contains("activity_")).max // total order on embedded ts
+    finally listing.close()
     val cleaned = Cleaning.dropNullKeys(
       Cleaning.normalizeColumns(
         s.read.option("header", "true")
@@ -85,6 +87,18 @@ object Pipeline {
     * workdir and return the curated result. Shares O-30's oracle — the
     * zone round-trip must be value-exact. */
   def p1Pipeline(s: SparkSession, dir: String): DataFrame = {
+    // reclaim previous invocations' zones (each run writes full CSV+parquet
+    // copies; repeated rounds would otherwise fill the tmp filesystem)
+    val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
+    val old = Files.list(tmpRoot)
+    try old.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("graft_pipeline_"))
+      .foreach { p =>
+        try Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(Files.delete(_))
+        catch { case _: java.io.IOException => () }
+      }
+    finally old.close()
     val work = Files.createTempDirectory("graft_pipeline_").toString
     run(s, dir, work)
   }

@@ -74,8 +74,10 @@ object Scoring {
       .crossJoin(latestVal("error", "aqi"))
 
     // --- master dim (reference aktivitas_joined_master analog) ---
+    // met10 = p_size carries the MET score in exact tenths (met = p_size/10)
     val master = prt.filter($"p_size" > 5)
-      .select($"p_partkey", ($"p_size" / 10.0).as("met"), $"p_type".as("category"))
+      .select($"p_partkey", ($"p_size" / 10.0).as("met"),
+        $"p_size".cast("bigint").as("met10"), $"p_type".as("category"))
 
     // --- activity window since last bath (O-21) + enrichment (O-26/27) ---
     val recent = li.select($"l_partkey", $"l_shipdate", $"l_quantity".as("dur"))
@@ -84,11 +86,15 @@ object Scoring {
     val joined = Enrich.enrich(recent, master.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey")
       .crossJoin(broadcast(env))
 
-    val isOutdoor  = lower(coalesce($"category", lit(""))).contains(OutdoorToken)
-    val envFactor  = greatest(lit(1.0),
-      (coalesce($"temperature", lit(25.0)) / 25) * 0.6 + (coalesce($"aqi", lit(50.0)) / 50) * 0.4)
-    val skorIndividu = when(isOutdoor, $"dur" * ($"met" / 10) * envFactor)
-      .otherwise($"dur" * ($"met" / 10))
+    val isOutdoor = lower(coalesce($"category", lit(""))).contains(OutdoorToken)
+    // per-row contribution dur*(met/10) in EXACT 1e-4 units:
+    // dur is 2-decimal and met/10 = p_size/100, so u = round(dur*100)*p_size
+    // is an exact bigint. The env factor is a per-run SCALAR, so it
+    // factors out of the outdoor subtotal — the whole dirtiness sum
+    // becomes two exact integer sums combined with ONE double multiply,
+    // making the accumulation immune to partial-agg reassociation
+    // (cross-engine and cross-partitioning deterministic).
+    val u = (round($"dur" * 100).cast("bigint") * $"met10").as("u")
     val sweaty = when(Cleaning.sweatyPredicate($"met", $"category", OutdoorToken), 1).otherwise(0)
 
     // GLOBAL aggregate (no grouping): an empty activity window must
@@ -96,19 +102,26 @@ object Scoring {
     // activity since the last bath, `prescriptive_logic.py:95-97`) —
     // grouping by the env scalars would emit zero rows instead. Env
     // scalars rejoin afterwards as a 1-row broadcast.
+    val envFactor = greatest(lit(1.0),
+      (coalesce($"temperature", lit(25.0)) / 25) * 0.6 + (coalesce($"aqi", lit(50.0)) / 50) * 0.4)
     val agg = joined
-      .select(skorIndividu.as("skor_individu"), sweaty.as("sweaty"))
-      .agg(sum($"skor_individu").as("sum_skor"),
+      .select(u, isOutdoor.as("outdoor"), sweaty.as("sweaty"))
+      .agg(
+        sum(when(!$"outdoor", $"u")).as("sum_indoor_u"),
+        sum(when($"outdoor", $"u")).as("sum_outdoor_u"),
         coalesce(sum($"sweaty"), lit(0L)).as("n_bau"),
         count(lit(1)).as("n_recent"))
       .crossJoin(broadcast(env))
+      .withColumn("sum_skor",
+        (coalesce($"sum_indoor_u", lit(0L)) + envFactor * coalesce($"sum_outdoor_u", lit(0L)))
+          / 10000.0)
 
     // --- score algebra on the 1-row aggregate ---
     val jam = greatest(lit(0.0),
       (unix_timestamp($"now") - unix_timestamp($"last_bath")) / lit(3600.0))
     val out = agg.crossJoin(broadcast(clock))
       .withColumn("jam_sejak_mandi_raw", jam)
-      .withColumn("skor_kekotoran", round(least(coalesce($"sum_skor", lit(0.0)) / 15, lit(10.0)), 2))
+      .withColumn("skor_kekotoran", round(least($"sum_skor" / 15, lit(10.0)), 2))
       .withColumn("skor_bau", round(least(
         $"jam_sejak_mandi_raw" * 0.3 + $"n_bau" * 0.7 + (coalesce($"humidity", lit(50.0)) / 100) * 2,
         lit(10.0)), 2))
@@ -150,34 +163,38 @@ object Scoring {
         (SELECT value FROM events WHERE event_type='error' ORDER BY ts DESC, event_id DESC LIMIT 1) AS aqi
     ),
     masterdim AS (
-      SELECT p_partkey, p_size/10.0 AS met, p_type AS category FROM part WHERE p_size > 5
+      SELECT p_partkey, p_size/10.0 AS met, CAST(p_size AS BIGINT) AS met10,
+             p_type AS category FROM part WHERE p_size > 5
     ),
     joined AS (
-      SELECT l.l_quantity AS dur, m.met, m.category, e.temperature, e.humidity, e.aqi
+      SELECT l.l_quantity AS dur, m.met, m.met10, m.category
       FROM lineitem l
       CROSS JOIN clock c
       LEFT JOIN masterdim m ON l.l_partkey = m.p_partkey
-      CROSS JOIN env e
       WHERE l.l_shipdate > c.last_bath
     ),
     scored AS (
-      SELECT temperature, humidity, aqi,
-        CASE WHEN lower(coalesce(category,'')) LIKE '%$OutdoorToken%'
-             THEN dur*(met/10)*greatest(1.0, (coalesce(temperature,25.0)/25)*0.6 + (coalesce(aqi,50.0)/50)*0.4)
-             ELSE dur*(met/10) END AS skor_individu,
+      SELECT CAST(round(dur*100) AS BIGINT) * met10 AS u,
+        lower(coalesce(category,'')) LIKE '%$OutdoorToken%' AS outdoor,
         CASE WHEN met > 3.0 OR lower(coalesce(category,'')) LIKE '%$OutdoorToken%'
              THEN 1 ELSE 0 END AS sweaty
       FROM joined
     ),
     agg AS (
-      SELECT sum(skor_individu) AS sum_skor, coalesce(sum(sweaty), 0) AS n_bau,
+      SELECT sum(CASE WHEN NOT outdoor THEN u END) AS sum_indoor_u,
+             sum(CASE WHEN outdoor THEN u END) AS sum_outdoor_u,
+             coalesce(sum(sweaty), 0) AS n_bau,
              count(*) AS n_recent
       FROM scored
     ),
     base AS (
       SELECT *,
         greatest(0.0, (epoch(now) - epoch(last_bath)) / 3600.0) AS jam_raw,
-        round(least(coalesce(sum_skor, 0.0)/15, 10.0), 2) AS skor_kekotoran
+        round(least(
+          ((coalesce(sum_indoor_u, 0) +
+            greatest(1.0, (coalesce(temperature,25.0)/25)*0.6 + (coalesce(aqi,50.0)/50)*0.4)
+              * coalesce(sum_outdoor_u, 0)) / 10000.0)
+          / 15, 10.0), 2) AS skor_kekotoran
       FROM agg CROSS JOIN env CROSS JOIN clock
     ),
     base2 AS (

@@ -64,15 +64,9 @@ object Stateful {
 
   def st3StatefulSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val name = "st3_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("event_id"), col("value"))
+    val q = graft.io.Tables.eventsStream(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)

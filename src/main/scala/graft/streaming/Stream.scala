@@ -20,38 +20,28 @@ import graft.syntax._
   */
 object Stream {
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS): the stream schema
-    * reads it as long (matching Tables' legacy-nanos policy) and
-    * converts to TimestampType in the first select. */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   def st1StreamHourly(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "st1_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // file stream source requires a directory: read the sf dir with a
-    // glob restricting to the events table
-    val stream = s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ts"),
-        $"event_type", $"value")
+    val stream = graft.io.Tables.eventsStream(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      // cents policy: exact integer sum, immune to partition-order
+      // reassociation (same rule as every batch money sum)
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
     val q = stream.writeStream
       .outputMode("complete").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
     s.table(name)
-      .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value")
+      .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value_c")
       .orderBy($"wstart", $"event_type")
   }
 
   val oracles: Map[String, String] = Map(
     "st1_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type,
-                count(*) AS n, round(sum(value), 4) AS sum_value
+                count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
          FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
   )
 

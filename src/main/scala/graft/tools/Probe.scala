@@ -1,6 +1,6 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import graft.dedup.Dedup
+import graft.maintenance.Maintenance
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -8,18 +8,14 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$label: ${(System.nanoTime()-t0)/1e9}%.2fs"); r
-    }
-    val dirs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"/root/testdata/$s")
-    val first = dirs.map(d => t(s"cold d2 $d")(Dedup.d2MinhashSig(spark, d).count()))
-    val warm = t("warm d2 sf0.001")(Dedup.d2MinhashSig(spark, dirs.head).count())
-    assert(first.head == warm, "cache returned different result")
-    Dedup.invalidateSignatureCache()
-    val recomputed = t("post-invalidate d2 sf0.001")(Dedup.d2MinhashSig(spark, dirs.head).count())
-    assert(recomputed == warm, "invalidate changed results")
-    println("cache semantics OK: identical counts cold/warm/post-invalidate")
+    // NPE guards: nonexistent dirs
+    println("retain on missing dir: " + Maintenance.retainSnapshots("/tmp/does_not_exist_xyz", 3))
+    println("fileStats on missing dir: " + Maintenance.fileStats("/tmp/does_not_exist_xyz"))
+    // p1 temp cleanup: run twice, count leftover workdirs
+    graft.pipeline.Pipeline.p1Pipeline(spark, "/root/testdata/sf0.001").count()
+    graft.pipeline.Pipeline.p1Pipeline(spark, "/root/testdata/sf0.001").count()
+    val n = new java.io.File("/tmp").listFiles().count(_.getName.startsWith("graft_pipeline_"))
+    println(s"pipeline workdirs remaining after 2 runs: $n")
     spark.stop()
   }
 }

@@ -75,7 +75,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val streamed = Stream.st1StreamHourly(spark, sf)
     val batch = graft.io.Tables.events(spark, sf)
       .groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("bigint")).as("sum_value_c"))
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
