@@ -107,6 +107,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(ap50 - ep50) / ep50 < 0.05, s"approx p50 off: $ap50 vs $ep50")
   }
 
+  test("as-of join equals the brute-force correlated formulation") {
+    import graft.plans.AsOfJoin
+    val asof = AsOfJoin.x1AsOfJoin(spark, sf)
+      .select(col("bucket"), col("o_orderkey"), col("trade_t"), col("asof_id"))
+    // brute force: join every quote at-or-before each trade, keep the
+    // latest (then max id at that time) — O(trades x quotes), test-only
+    val trades = graft.io.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select((col("o_custkey") % 10).as("bucket"), col("o_orderdate").as("t"), col("o_orderkey"))
+      .groupBy(col("bucket"), col("t")).agg(max(col("o_orderkey")).as("o_orderkey"))
+    val quotes = graft.io.Tables.lineitem(spark, sf)
+      .select((col("l_suppkey") % 10).as("bucket"), col("l_shipdate").as("qt"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("quote_id"))
+      .groupBy(col("bucket"), col("qt")).agg(max(col("quote_id")).as("quote_id"))
+    val brute = trades.join(quotes, Seq("bucket"), "left")
+      .filter(col("qt").isNull || col("qt") <= col("t"))
+      .groupBy(col("bucket"), col("t"), col("o_orderkey"))
+      .agg(expr("max_by(quote_id, struct(qt, quote_id))").as("asof_id"))
+      .select(col("bucket"), col("o_orderkey"), col("t").as("trade_t"), col("asof_id"))
+    assert(asof.exceptAll(brute).count() == 0 && brute.exceptAll(asof).count() == 0)
+  }
+
   test("language ID emits one prediction per doc from the profile set") {
     val langs = TextOps.LangProfiles.map(_._1).toSet + "und"
     val out = TextOps.t1LangId(spark, sf).collect()
