@@ -1,21 +1,20 @@
 package graft.tools
+
 import org.apache.spark.sql.SparkSession
-import graft.maintenance.Maintenance
+
+/** Quick interactive demo: runs the flagship prescriptive query the way
+  * a library user would (`sbt 'runMain graft.tools.Probe' [sfDir]`). */
 object Probe {
   def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // NPE guards: nonexistent dirs
-    println("retain on missing dir: " + Maintenance.retainSnapshots("/tmp/does_not_exist_xyz", 3))
-    println("fileStats on missing dir: " + Maintenance.fileStats("/tmp/does_not_exist_xyz"))
-    // p1 temp cleanup: run twice, count leftover workdirs
-    graft.pipeline.Pipeline.p1Pipeline(spark, "/root/testdata/sf0.001").count()
-    graft.pipeline.Pipeline.p1Pipeline(spark, "/root/testdata/sf0.001").count()
-    val n = new java.io.File("/tmp").listFiles().count(_.getName.startsWith("graft_pipeline_"))
-    println(s"pipeline workdirs remaining after 2 runs: $n")
+    println(s"flagship prescriptive result @ $sfDir:")
+    graft.prescriptive.Scoring.hygieneScore(spark, sfDir).show(false)
     spark.stop()
   }
 }
