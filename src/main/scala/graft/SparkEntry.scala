@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Advanced, Queries, Wide}
+import graft.analytics.{Advanced, Cohort, Queries, Wide}
 import graft.dedup.Dedup
 import graft.maintenance.Maintenance
 import graft.multimodal.Binary
@@ -36,7 +36,7 @@ object SparkEntry {
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
       Binary.queries ++ Stream.queries ++ Stateful.queries ++ Pipeline.queries ++
       AsOfJoin.queries ++ Sketches.queries ++ Advanced.queries ++
-      Maintenance.queries ++ Wide.queries ++ Map(
+      Maintenance.queries ++ Wide.queries ++ Cohort.queries ++ Map(
       "o30_prescriptive" -> ((s: SparkSession, dir: String) => Scoring.hygieneScore(s, dir)),
     )
 
@@ -47,7 +47,7 @@ object SparkEntry {
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++
       Binary.oracles ++ Stream.oracles ++ Stateful.oracles ++ Pipeline.oracles ++
       AsOfJoin.oracles ++ Sketches.oracles ++ Advanced.oracles ++
-      Maintenance.oracles ++ Wide.oracles ++ Map(
+      Maintenance.oracles ++ Wide.oracles ++ Cohort.oracles ++ Map(
       "o30_prescriptive" -> Scoring.oracleSql,
     )
 }
