@@ -183,6 +183,29 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D-8 — the near-dup verdict: exact Jaccard on the LSH candidate
+    * pairs (the real pipeline stage between candidate generation and
+    * clustering — D-4's sampled variant keeps the gate non-empty at
+    * small SF). Shingle sets are joined only for candidate docs. */
+  def d8LshJaccard(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d3LshPairs(s, dir)
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select($"doc_a", $"doc_b",
+        round(coalesce($"n_inter", lit(0)) / ($"na" + $"nb" - coalesce($"n_inter", lit(0))), 4)
+          .as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** D-6 — duplicate clustering: connected components over the LSH
     * candidate graph, so each near-dup group keeps exactly one doc.
     * Iterative min-label propagation (the scalable CC pattern: each
@@ -295,6 +318,26 @@ object Dedup {
                  round(coalesce(i.n_inter, 0) / (p.na + p.nb - coalesce(i.n_inter, 0)), 4) AS jaccard
           FROM pairs p LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
           ORDER BY p.doc_a, p.doc_b""",
+    "d8_lsh_jaccard" ->
+      s"""WITH $lshPairsCtes,
+          sh AS ($shingleSql),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, count(*) AS n_inter
+            FROM lsh_pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2)
+          SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+                 round(coalesce(i.n_inter, 0) /
+                   (sa.n + sb.n - coalesce(i.n_inter, 0)), 4) AS jaccard
+          FROM lsh_pairs p
+          JOIN sizes sa ON sa.doc_id = p.doc_a
+          JOIN sizes sb ON sb.doc_id = p.doc_b
+          LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+          WHERE round(coalesce(i.n_inter, 0) /
+                (sa.n + sb.n - coalesce(i.n_inter, 0)), 4) >= 0.5
+          ORDER BY doc_a, doc_b""",
     "d5_simhash" -> {
       val votes = (0 until 16).map { j =>
         s"sum(CASE WHEN strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS v$j"
@@ -316,5 +359,6 @@ object Dedup {
     "d4_ngram_jaccard" -> d4NgramJaccard _,
     "d5_simhash" -> d5Simhash _,
     "d6_dup_clusters" -> d6DupClusters _,
+    "d8_lsh_jaccard" -> d8LshJaccard _,
   )
 }
