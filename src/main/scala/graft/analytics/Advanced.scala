@@ -128,7 +128,7 @@ object Advanced {
                 round(quantile_cont(o_totalprice, 0.99), 4) AS p99 FROM orders""",
     "q19_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_c
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q20_semi_anti" ->
@@ -145,9 +145,9 @@ object Advanced {
                     (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4
            FROM lineitem)
          SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
-                sum(rev_c4) OVER (PARTITION BY l_suppkey
+                CAST(sum(rev_c4) OVER (PARTITION BY l_suppkey
                                   ORDER BY l_shipdate, l_orderkey, l_linenumber, rev_c4
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev_c4,
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_rev_c4,
                 rev_c4 - coalesce(lag(rev_c4, 1) OVER (PARTITION BY l_suppkey
                   ORDER BY l_shipdate, l_orderkey, l_linenumber, rev_c4), 0) AS delta_rev_c4,
                 row_number() OVER (PARTITION BY l_suppkey
@@ -163,13 +163,13 @@ object Advanced {
                        THEN 1 ELSE 0 END AS gap
            FROM events),
          s AS (
-           SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           SELECT *, CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
            FROM g)
          SELECT user_id, session_seq, count(*) AS n_events,
                 date_trunc('second', min(ts)) AS session_start,
                 date_trunc('second', max(ts)) AS session_end,
-                sum(CAST(round(value * 100) AS BIGINT)) AS session_value_c
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS session_value_c
          FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     "st2_stream_sliding" ->
       """SELECT wstart, event_type, count(*) AS n FROM (

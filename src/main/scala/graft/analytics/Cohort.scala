@@ -89,7 +89,7 @@ object Cohort {
              ORDER BY ts, event_id) AS rn
            FROM events)
          SELECT count(*) AS n_kept,
-                sum(CAST(round(value * 100) AS BIGINT)) AS kept_value_c
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS kept_value_c
          FROM ranked WHERE rn = 1""",
   )
 

@@ -211,7 +211,7 @@ object Queries {
          FROM events GROUP BY 1, 2 ORDER BY hh, dd""",
     "q14_today" ->
       """SELECT count(*) AS n_today,
-                sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c FROM events
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c FROM events
          WHERE CAST(ts AS DATE) = (SELECT CAST(max(ts) AS DATE) FROM events)""",
     "q15_query_on_query" ->
       """SELECT keputusan_kode, count(*) AS n FROM (

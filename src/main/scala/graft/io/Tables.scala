@@ -46,12 +46,13 @@ object Tables {
 
   /** Register every table as a temp view so spark.sql queries (scalar
     * subqueries, view layering) can reference them by name — the same
-    * names the DuckDB oracle uses. Memoized per (session, dir): repeat
-    * callers don't re-open 10 parquet footers. */
+    * names the DuckDB oracle uses. Memoized on the CURRENT dir per
+    * session (not a seen-set): alternating dirs within one session
+    * re-registers, so the views always point at the requested dir. */
   private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
   def registerViews(spark: SparkSession, dir: String): Unit =
-    if (registered.add((spark, dir)))
+    if (registered.put(spark, dir) != dir)
       names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
 
   /** Streaming reader for the events table — the single home of the

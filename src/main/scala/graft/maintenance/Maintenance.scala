@@ -133,7 +133,7 @@ object Maintenance {
          merged AS (
            SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
            UNION ALL SELECT * FROM updates)
-         SELECT o_orderstatus, count(*) AS n, sum(price_c) AS total_c
+         SELECT o_orderstatus, count(*) AS n, CAST(sum(price_c) AS BIGINT) AS total_c
          FROM merged GROUP BY 1 ORDER BY o_orderstatus""",
   )
 

@@ -220,14 +220,14 @@ object OpQueries {
          ORDER BY ts DESC, event_id DESC LIMIT 1""",
     "o14_normalize" ->
       """SELECT l_returnflag, count(*) AS n,
-                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "o15_try_timestamp" ->
       """SELECT count(TRY_CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS TIMESTAMP)) AS n_ok,
                 count(TRY_CAST(o_orderpriority AS TIMESTAMP)) AS n_bad FROM orders""",
     "o16_try_numeric" ->
       """SELECT count(TRY_CAST(o_orderpriority AS DOUBLE)) AS n_bad,
-                sum(CAST(round(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) * 100) AS BIGINT))
+                CAST(sum(CAST(round(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
                   AS roundtrip_sum_c
          FROM orders""",
     "o18_prune" ->
@@ -236,12 +236,12 @@ object OpQueries {
       """SELECT event_id, date_trunc('second', ts) + INTERVAL 8 HOUR AS local_ts FROM events
          ORDER BY event_id""",
     "o20_drop_null" ->
-      """SELECT count(*) AS n, sum(k) AS sum_k FROM (
+      """SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k FROM (
            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
          WHERE k IS NOT NULL""",
     "o21_window_filter" ->
       """SELECT count(*) AS n_after,
-                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_after_c FROM lineitem
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_after_c FROM lineitem
          WHERE l_shipdate > (SELECT max(o_orderdate) FROM orders WHERE o_orderstatus = 'F')""",
     "o22_bool_predicate" ->
       """SELECT count(*) AS n_sweaty FROM lineitem l
@@ -255,14 +255,14 @@ object OpQueries {
       "SELECT CAST(2 AS BIGINT) AS n_rows, CAST(6 AS BIGINT) AS sum_b",
     "o25_join_enrich" ->
       """SELECT p.p_type,
-                sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
-                    (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_c4,
+                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+                    (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4,
                 count(*) AS n FROM lineitem l
          LEFT JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY 1 ORDER BY p_type""",
     "o26_join_chain" ->
       """SELECT n.n_name, count(*) AS n_orders,
-                sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_c
+                CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
          FROM orders o
          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -295,7 +295,7 @@ object OpQueries {
            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          WHERE token <> '' GROUP BY 1 ORDER BY token""",
     "o33_json_path" ->
-      """SELECT sum(k) AS sum_k, count(k) AS n_k FROM (
+      """SELECT CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS n_k FROM (
            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)""",
   )
 

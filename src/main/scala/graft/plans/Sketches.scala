@@ -148,10 +148,10 @@ object Sketches {
           FROM kth""",
     "x3_salted_agg" ->
       """SELECT l_returnflag,
-                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
                 count(*) AS n,
-                sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-                    (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                    (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
   )
 

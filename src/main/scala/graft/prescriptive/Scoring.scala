@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.syntax._
 import graft.io.Tables
-import graft.ops.{Cleaning, Enrich, Snapshot}
+import graft.ops.{Cleaning, Enrich}
 
 /** O-30 — the weighted "should you shower" prescriptive scoring block
   * (ref `elt/prescriptive/prescriptive_logic.py:95-188`), re-hosted on
@@ -66,12 +66,17 @@ object Scoring {
         .as("last_bath"))
 
     // --- latest env readings (O-31: top-1 per type, deterministic tiebreak) ---
-    def latestVal(tpe: String, name: String) =
-      Snapshot.latestRow(ev.filter($"event_type" === tpe), "ts", "event_id")
-        .select($"value".as(name))
-    val env = latestVal("click", "temperature")
-      .crossJoin(latestVal("view", "humidity"))
-      .crossJoin(latestVal("error", "aqi"))
+    // ONE pass over events for all three scalars (round-1 ran three
+    // Snapshot.latestRow scans): max over a conditional struct — max
+    // skips nulls, struct compares lexicographically on (ts, event_id),
+    // so this is exactly ORDER BY ts DESC, event_id DESC LIMIT 1 per type.
+    def latestOf(tpe: String) =
+      max(when($"event_type" === tpe, struct($"ts", $"event_id", $"value")))
+        .getField("value")
+    val env = ev.agg(
+      latestOf("click").as("temperature"),
+      latestOf("view").as("humidity"),
+      latestOf("error").as("aqi"))
 
     // --- master dim (reference aktivitas_joined_master analog) ---
     // met10 = p_size carries the MET score in exact tenths (met = p_size/10)
@@ -183,7 +188,7 @@ object Scoring {
     agg AS (
       SELECT sum(CASE WHEN NOT outdoor THEN u END) AS sum_indoor_u,
              sum(CASE WHEN outdoor THEN u END) AS sum_outdoor_u,
-             coalesce(sum(sweaty), 0) AS n_bau,
+             CAST(coalesce(sum(sweaty), 0) AS BIGINT) AS n_bau,
              count(*) AS n_recent
       FROM scored
     ),

@@ -41,7 +41,7 @@ object Stream {
   val oracles: Map[String, String] = Map(
     "st1_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type,
-                count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+                count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
          FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
   )
 

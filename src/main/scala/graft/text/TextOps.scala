@@ -103,7 +103,7 @@ object TextOps {
   }
 
   private def profileSumSql(words: Seq[String]): String =
-    words.map(w => s"'$w'").mkString("sum(CASE WHEN tok IN (", ",", ") THEN 1 ELSE 0 END)")
+    words.map(w => s"'$w'").mkString("CAST(sum(CASE WHEN tok IN (", ",", ") THEN 1 ELSE 0 END) AS BIGINT)")
 
   val oracles: Map[String, String] = Map(
     "t1_langid" -> {
@@ -114,7 +114,7 @@ object TextOps {
       s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents),
           scored AS (SELECT doc_id, lang, $scores FROM tok WHERE tok <> '' GROUP BY doc_id, lang),
           m AS (SELECT *, $maxExpr AS m FROM scored)
-          SELECT doc_id, lang, $pred AS pred_lang, m AS best_score,
+          SELECT doc_id, lang, $pred AS pred_lang, CAST(m AS BIGINT) AS best_score,
                  CAST(($pred = lang) AS INT) AS is_match
           FROM m ORDER BY doc_id"""
     },

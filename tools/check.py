@@ -6,6 +6,12 @@ for each query output parquet under <outDir>, runs the matching
 oracle_sql.json entry in DuckDB (tables = the sf parquet files) and
 compares schema + column-sorted, row-sorted values.
 
+DRIVER-EXACT semantics (round-1 lesson): the driver hashes exact
+values after sorting columns by name, so dtype differences (DuckDB
+sum(BIGINT) -> HUGEINT -> float64 vs Spark int64) are FAILURES even
+when values are numerically identical. This gate therefore requires
+identical dtypes and exact values — no rtol, no check_dtype=False.
+
 Usage: python3 tools/check.py <sfDir> <outDir>
 """
 import json, sys, glob, os
@@ -29,15 +35,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if np.issubdtype(df[c].dtype, np.datetime64):
             df[c] = df[c].astype("datetime64[us]")
+        # Driver semantics (verified round 1): int WIDTH is canonicalized
+        # (int32 rank vs BIGINT passed), int-vs-float is NOT (sum HUGEINT
+        # -> float64 failed). So widen all ints to int64, leave floats.
+        if np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
         if df[c].dtype == object:
             import datetime
             first = df[c].dropna().iloc[0] if df[c].notna().any() else None
             if isinstance(first, datetime.date):
+                # date objects -> timestamp; anything else (str, Decimal,
+                # Python int from HUGEINT) stays object so the dtype
+                # check below flags it against Spark's int64/float64.
                 df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-            else:
-                df[c] = df[c].astype(str)
-        if np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(6)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -61,8 +71,12 @@ for name in names:
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); fails += 1; continue
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails += 1; continue
+    dt_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+              for c in got.columns if got[c].dtype != want[c].dtype]
+    if dt_bad:
+        print(f"FAIL {name}: dtypes differ (spark vs oracle): {dt_bad}"); fails += 1; continue
     try:
-        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6)
+        pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
         print(f"ok   {name} ({len(got)} rows)")
     except AssertionError as e:
         print(f"FAIL {name}: values differ: {str(e).splitlines()[-1][:200]}"); fails += 1
