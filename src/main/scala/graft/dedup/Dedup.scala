@@ -129,13 +129,27 @@ object Dedup {
     * signature subplan runs ONCE (a self-join would compute it twice)
     * and no bucket leaves its partition before pairing. Buckets are
     * near-duplicate sets, so |ids|² per bucket stays tiny. */
+  /** Pathological mega-bucket guard: pair at most this many docs per
+    * (band, sig) bucket — the CAP smallest doc_ids, mirrored in the
+    * oracle as rank-within-bucket <= CAP. A real near-dup bucket is
+    * tiny; a bucket past the cap means a degenerate band signature
+    * (e.g. empty docs), where pairing all members is O(bucket²) for no
+    * candidate value. Drops are observable via the `d3_bucket_cap`
+    * metric (zero extra pass — piggybacks on the existing action). */
+  val BucketCap = 1024
+
   def d3LshPairs(s: SparkSession, dir: String): DataFrame =
     banded(s, dir)
-      .groupBy($"band", $"sig").agg(collect_set($"doc_id").as("ids"))
-      .filter(size($"ids") > 1)
+      .groupBy($"band", $"sig").agg(collect_set($"doc_id").as("ids0"))
+      .filter(size($"ids0") > 1)
+      .observe("d3_bucket_cap",
+        sum(when(size($"ids0") > BucketCap, size($"ids0") - BucketCap).otherwise(0))
+          .as("dropped_doc_slots"),
+        max(size($"ids0")).as("max_bucket_size"))
+      .select(slice(sort_array($"ids0"), 1, BucketCap).as("ids"))
       .select(explode(expr(
-        """flatten(transform(array_sort(ids), (a, i) ->
-             transform(slice(array_sort(ids), i + 2, size(ids)),
+        """flatten(transform(ids, (a, i) ->
+             transform(slice(ids, i + 2, size(ids)),
                        b -> struct(a AS doc_a, b AS doc_b))))""")).as("p"))
       .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b")).distinct()
       .orderBy($"doc_a", $"doc_b")
@@ -148,10 +162,17 @@ object Dedup {
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sizes.select($"doc_id".as("doc_a"), $"n".as("na"))
-      .filter($"doc_a" % 100 === 0)
-      .crossJoin(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")))
-      .filter($"doc_b" > $"doc_a" && $"doc_b" <= $"doc_a" + 3)
+    // pair generation as a UNION of three EQUI-joins (doc_b = doc_a + k,
+    // k ∈ 1..3) — hash-partitionable on doc_a, so it scales; the round-1
+    // crossJoin + range filter planned as a BroadcastNestedLoopJoin
+    // (O(N/100 × N), a 10⁹-doc scale-killer)
+    val anchors = sizes.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("doc_a"), $"n".as("na"))
+    val pairs = (1 to 3).map { k =>
+        sizes.select(($"doc_id" - k).as("doc_a"), $"doc_id".as("doc_b"), $"n".as("nb"))
+      }.reduce(_ unionAll _)
+      .join(anchors, "doc_a")
+      .select($"doc_a", $"doc_b", $"na", $"nb")
     val inter = sh.filter($"doc_id" % 100 === 0).select($"doc_id".as("doc_a"), $"shingle")
       .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
       .filter($"doc_b" > $"doc_a" && $"doc_b" <= $"doc_a" + 3)
@@ -263,9 +284,14 @@ object Dedup {
       s"SELECT doc_id, $b AS band, md5($cat||'$b') AS sig FROM mh"
     }.mkString(" UNION ALL ")
     s"""mh AS ($minhashSql), bands AS ($bandSelects),
+        bands_r AS (
+          SELECT doc_id, band, sig,
+                 row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+          FROM bands),
         lsh_pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
+          FROM bands_r a JOIN bands_r b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+          WHERE a.rn <= $BucketCap AND b.rn <= $BucketCap)"""
   }
 
   private val minhashSql = {

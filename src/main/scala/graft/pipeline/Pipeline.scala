@@ -32,6 +32,15 @@ object Pipeline {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** Latest raw object by the name-embedded timestamp (O-13 on object
+    * names — the reference's list_objects + max(LastModified)). */
+  private def latestObject(root: String, prefix: String): String = {
+    val listing = Files.list(Paths.get(root))
+    try listing.toArray.map(_.toString)
+      .filter(_.contains(prefix)).max // total order on embedded ts
+    finally listing.close()
+  }
+
   def run(s: SparkSession, dir: String, work: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
 
@@ -47,14 +56,22 @@ object Pipeline {
     writeRaw(messy.limit(10), "20010101_000000") // stale partial snapshot
     writeRaw(messy, "20010102_000000")           // latest complete snapshot
 
+    // ---- RAW zone, API hop (O-8): env readings land as timestamped
+    // JSON objects (ref `ingestion/api_bmkg/bmkg_to_raw.py:49-57` puts
+    // the API payload at raw/api_bmkg/<name>_<ts>.json) — ts serialized
+    // explicitly so the hop is value-exact, same policy as the CSV hop.
+    val ev = Tables.events(s, dir)
+    val evJson = ev.select($"event_id", date_format($"ts", TsFmt).as("ts"),
+      $"user_id", $"event_type", $"value", $"props")
+    def writeRawJson(df: DataFrame, ts: String): Unit =
+      df.write.mode(SaveMode.Overwrite).json(s"$work/raw-zone/api/env_$ts")
+    writeRawJson(evJson.limit(10), "20010101_000000") // stale partial payload
+    writeRawJson(evJson, "20010102_000000")           // latest complete payload
+
     // ---- CLEAN zone: latest-object pick (O-13, the reference's
     // list_objects+max(LastModified) done on the name-embedded ts),
     // then normalize/coerce/dropna, snapshot-overwrite (O-9) ----
-    val rawRoot = Paths.get(s"$work/raw-zone/sheets")
-    val listing = Files.list(rawRoot)
-    val latest = try listing.toArray.map(_.toString)
-      .filter(_.contains("activity_")).max // total order on embedded ts
-    finally listing.close()
+    val latest = latestObject(s"$work/raw-zone/sheets", "activity_")
     val cleaned = Cleaning.dropNullKeys(
       Cleaning.normalizeColumns(
         s.read.option("header", "true")
@@ -68,11 +85,19 @@ object Pipeline {
       Seq("l_shipdate"))
     Snapshot.overwriteSnapshot(cleaned, s"$work/clean-zone/sheets/catatan_aktivitas")
 
+    // clean hop for the JSON payload: latest-pick then schema-first read
+    // (never inferSchema on a raw zone) + explicit ts parse-back
+    val cleanEv = s.read
+      .schema("event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .json(latestObject(s"$work/raw-zone/api", "env_"))
+      .select($"event_id", to_timestamp($"ts", TsFmt).as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+
     // ---- CURATED zone: prescriptive score over cleaned activity +
-    // pass-through dims, then snapshot + audit CSV ----
+    // zone-round-tripped env readings, then snapshot + audit CSV ----
     val cleanLi = s.read.parquet(s"$work/clean-zone/sheets/catatan_aktivitas")
     val result = Scoring.score(cleanLi, Tables.orders(s, dir),
-      Tables.events(s, dir), Tables.part(s, dir))
+      cleanEv, Tables.part(s, dir))
     Snapshot.overwriteSnapshot(result, s"$work/curated-zone/prescriptive_hygiene")
     Snapshot.auditLogCsv(result, s"$work/curated-zone/logs/last_calculation")
 
@@ -88,11 +113,16 @@ object Pipeline {
     * zone round-trip must be value-exact. */
   def p1Pipeline(s: SparkSession, dir: String): DataFrame = {
     // reclaim previous invocations' zones (each run writes full CSV+parquet
-    // copies; repeated rounds would otherwise fill the tmp filesystem)
+    // copies; repeated rounds would otherwise fill the tmp filesystem).
+    // Only dirs older than 1h are swept so two concurrent invocations on
+    // one host can't delete each other's live work zones mid-run.
     val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
+    val cutoff = java.time.Instant.now().minusSeconds(3600)
     val old = Files.list(tmpRoot)
     try old.toArray.map(_.asInstanceOf[java.nio.file.Path])
       .filter(_.getFileName.toString.startsWith("graft_pipeline_"))
+      .filter(p => try Files.getLastModifiedTime(p).toInstant.isBefore(cutoff)
+                   catch { case _: java.io.IOException => false })
       .foreach { p =>
         try Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(Files.delete(_))
@@ -103,11 +133,39 @@ object Pipeline {
     run(s, dir, work)
   }
 
+  /** O-8 standalone: the JSON raw hop in isolation — write the env
+    * payload as two timestamped JSON objects, latest-pick, schema-first
+    * read-back, then an exact-cents aggregate proving the round-trip
+    * lost nothing (same check the oracle runs on the source table). */
+  def o8JsonRaw(s: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft_pipeline_o8_").toString
+    val ev = Tables.events(s, dir)
+    val evJson = ev.select($"event_id", date_format($"ts", TsFmt).as("ts"),
+      $"user_id", $"event_type", $"value", $"props")
+    evJson.limit(10).write.mode(SaveMode.Overwrite).json(s"$work/raw-zone/api/env_20010101_000000")
+    evJson.write.mode(SaveMode.Overwrite).json(s"$work/raw-zone/api/env_20010102_000000")
+    s.read
+      .schema("event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .json(latestObject(s"$work/raw-zone/api", "env_"))
+      .select(to_timestamp($"ts", TsFmt).as("ts"), $"event_type", $"value")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("sum_value_c"),
+        date_trunc("second", max($"ts")).as("max_ts"))
+      .orderBy($"event_type")
+  }
+
   val oracles: Map[String, String] = Map(
     "p1_pipeline_e2e" -> Scoring.oracleSql,
+    "o8_json_raw" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+                date_trunc('second', max(ts)) AS max_ts
+         FROM events GROUP BY 1 ORDER BY event_type""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_pipeline_e2e" -> p1Pipeline _,
+    "o8_json_raw" -> o8JsonRaw _,
   )
 }

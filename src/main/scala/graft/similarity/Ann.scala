@@ -122,12 +122,25 @@ object Ann {
       .orderBy($"query_id", $"rank")
   }
 
-  /** S-3 — embedding-cosine near-duplicate pairs, blocked by label. */
+  /** Sub-blocks per label for S-3: a pair (x, y) is matched on exactly
+    * one salted key (label, x%G, y%G), so a hot label's all-pairs work
+    * spreads over G² tasks of (|label|/G)² each instead of one
+    * O(|label|²) straggler. Total work is unchanged (result-identical —
+    * the oracle needs no mirror); the cost is ×G row replication. */
+  val SaltBuckets = 4
+
+  /** S-3 — embedding-cosine near-duplicate pairs, blocked by label and
+    * salted within label (hot-label guard — see [[SaltBuckets]]). */
   def s3CosineNearDup(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    val a = c.select($"label", $"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"))
-    val b = c.select($"label", $"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"))
-    a.join(b, "label")
+    val salts = sequence(lit(0), lit(SaltBuckets - 1))
+    val a = c.select($"label", $"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"),
+        ($"vec_id" % SaltBuckets).cast("int").as("ga"))
+      .withColumn("gb", explode(salts))
+    val b = c.select($"label", $"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"),
+        ($"vec_id" % SaltBuckets).cast("int").as("gb"))
+      .withColumn("ga", explode(salts))
+    a.join(b, Seq("label", "ga", "gb"))
       .filter($"vec_a" < $"vec_b")
       .select($"label", $"vec_a", $"vec_b", cosine($"va", $"vb", $"na", $"nb").as("cos"))
       .filter($"cos" >= 0.3)

@@ -50,6 +50,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "bucket-local pairing must not join:\n" + p.take(2000))
   }
 
+  test("LSH pairing caps pathological buckets (plan-visible slice + metric)") {
+    val p = plan(Dedup.d3LshPairs(spark, sf))
+    assert(p.contains("slice"), "bucket cap must appear in the plan:\n" + p.take(2000))
+    assert(p.contains("CollectMetrics") || p.contains("d3_bucket_cap"),
+      "drop-count metric must be observed:\n" + p.take(2000))
+  }
+
+  test("n-gram Jaccard pair generation is equi-join only (no nested loop)") {
+    val p = plan(Dedup.d4NgramJaccard(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pair source degraded to a nested loop (O(N/100 x N) at scale):\n" + p.take(2000))
+  }
+
+  test("cosine near-dup blocks by (label, salt) equi-join, never a nested loop") {
+    val p = plan(Ann.s3CosineNearDup(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("as-of join is one shuffle on the key + window (no nested loop)") {
     val p = plan(AsOfJoin.x1AsOfJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
