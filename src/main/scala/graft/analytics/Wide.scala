@@ -52,8 +52,11 @@ object Wide {
       .select($"p_partkey".as("key_a"), $"p_name".as("name_a"))
     val b = p.filter($"p_partkey" % 20 === 10)
       .select($"p_partkey".as("key_b"), $"p_name".as("name_b"))
-    a.crossJoin(b)
-      .filter($"key_b" === $"key_a" + 10)
+    // explicit equi-join on the derived key: Catalyst used to get the
+    // same plan from crossJoin+filter via its cross-to-inner rewrite,
+    // but the repo's contract (PlanSpec) is to never RELY on an
+    // implicit rewrite to avoid an O(n^2) operator.
+    a.join(b, $"key_b" === $"key_a" + 10)
       .select($"key_a", $"key_b",
         levenshtein($"name_a", $"name_b").as("dist"),
         length($"name_a").as("len_a"), length($"name_b").as("len_b"))

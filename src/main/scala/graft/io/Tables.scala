@@ -48,12 +48,20 @@ object Tables {
     * subqueries, view layering) can reference them by name — the same
     * names the DuckDB oracle uses. Memoized on the CURRENT dir per
     * session (not a seen-set): alternating dirs within one session
-    * re-registers, so the views always point at the requested dir. */
+    * re-registers, so the views always point at the requested dir.
+    * The memo is recorded only AFTER all views registered successfully,
+    * under a lock — a partial failure or a concurrent caller with a
+    * different dir can never leave the memo claiming views it didn't
+    * finish creating (round-2 advice). */
   private val registered =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
   def registerViews(spark: SparkSession, dir: String): Unit =
-    if (registered.put(spark, dir) != dir)
-      names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    registered.synchronized {
+      if (registered.get(spark) != dir) {
+        names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+        registered.put(spark, dir)
+      }
+    }
 
   /** Streaming reader for the events table — the single home of the
     * TIMESTAMP(NANOS) policy on the streaming path (schema reads ts as

@@ -112,10 +112,18 @@ object Pipeline {
     * workdir and return the curated result. Shares O-30's oracle — the
     * zone round-trip must be value-exact. */
   def p1Pipeline(s: SparkSession, dir: String): DataFrame = {
-    // reclaim previous invocations' zones (each run writes full CSV+parquet
-    // copies; repeated rounds would otherwise fill the tmp filesystem).
-    // Only dirs older than 1h are swept so two concurrent invocations on
-    // one host can't delete each other's live work zones mid-run.
+    sweepOldWorkDirs()
+    val work = Files.createTempDirectory("graft_pipeline_").toString
+    run(s, dir, work)
+  }
+
+  /** Reclaim previous invocations' zones (each run writes full CSV+JSON+
+    * parquet copies; repeated rounds would otherwise fill the tmp
+    * filesystem). Only dirs older than 1h are swept so two concurrent
+    * invocations on one host can't delete each other's live work zones
+    * mid-run. Runs at EVERY workdir-creating entry (p1 and o8 — round-2
+    * advice: o8 alone used to accumulate unboundedly). */
+  private def sweepOldWorkDirs(): Unit = {
     val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
     val cutoff = java.time.Instant.now().minusSeconds(3600)
     val old = Files.list(tmpRoot)
@@ -129,8 +137,6 @@ object Pipeline {
         catch { case _: java.io.IOException => () }
       }
     finally old.close()
-    val work = Files.createTempDirectory("graft_pipeline_").toString
-    run(s, dir, work)
   }
 
   /** O-8 standalone: the JSON raw hop in isolation — write the env
@@ -138,6 +144,7 @@ object Pipeline {
     * read-back, then an exact-cents aggregate proving the round-trip
     * lost nothing (same check the oracle runs on the source table). */
   def o8JsonRaw(s: SparkSession, dir: String): DataFrame = {
+    sweepOldWorkDirs()
     val work = Files.createTempDirectory("graft_pipeline_o8_").toString
     val ev = Tables.events(s, dir)
     val evJson = ev.select($"event_id", date_format($"ts", TsFmt).as("ts"),

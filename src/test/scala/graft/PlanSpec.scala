@@ -82,6 +82,18 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("t5 edit-distance pair source is an equi-join, never a nested loop") {
+    val p = plan(graft.analytics.Wide.t5Levenshtein(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "t5 pair source degraded to a nested loop:\n" + p.take(2000))
+  }
+
+  test("q9 guard-limit digest never globally sorts the fact table") {
+    val p = plan(Queries.q9LimitScan(spark, sf))
+    assert(!p.contains("Sort "), "guard-limit scan must not sort:\n" + p.take(2000))
+    assert(p.contains("Limit"), "guard limit must survive in the plan:\n" + p.take(2000))
+  }
+
   test("scans read only the needed columns (projection pushdown)") {
     val p = plan(Queries.q1Count(spark, sf))
     // count(*) should read no data columns at all

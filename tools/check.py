@@ -55,37 +55,53 @@ fails = 0
 names = sorted(oracle.keys())
 extra = sorted(set(os.path.basename(d) for d in glob.glob(f"{outdir}/*") if os.path.isdir(d))
                - set(names))
-for name in names:
+def run_one(name):
+    """True iff the query passes; any exception inside canon/compare is a
+    per-query FAIL, never a gate crash (round-2 advice: a mixed-type
+    object column can raise TypeError inside sort_values)."""
     pdir = f"{outdir}/{name}"
     if not os.path.isdir(pdir):
-        print(f"FAIL {name}: no spark output"); fails += 1; continue
+        print(f"FAIL {name}: no spark output"); return False
     try:
         got = canon(pd.read_parquet(pdir))
     except Exception as e:
-        print(f"FAIL {name}: cannot read spark output: {e}"); fails += 1; continue
+        print(f"FAIL {name}: cannot read/canon spark output: {str(e)[:160]}"); return False
     try:
         want = canon(con.sql(oracle[name]).df())
     except Exception as e:
-        print(f"FAIL {name}: oracle error: {str(e)[:160]}"); fails += 1; continue
+        print(f"FAIL {name}: oracle error: {str(e)[:160]}"); return False
     if list(got.columns) != list(want.columns):
-        print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); fails += 1; continue
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); return False
     if len(got) != len(want):
-        print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails += 1; continue
+        print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); return False
     dt_bad = [(c, str(got[c].dtype), str(want[c].dtype))
               for c in got.columns if got[c].dtype != want[c].dtype]
     if dt_bad:
-        print(f"FAIL {name}: dtypes differ (spark vs oracle): {dt_bad}"); fails += 1; continue
+        print(f"FAIL {name}: dtypes differ (spark vs oracle): {dt_bad}"); return False
     try:
         pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
         print(f"ok   {name} ({len(got)} rows)")
+        return True
     except AssertionError as e:
-        print(f"FAIL {name}: values differ: {str(e).splitlines()[-1][:200]}"); fails += 1
-        diff = (got != want) & ~(got.isna() & want.isna())
-        bad = diff.any(axis=1)
-        if bad.any():
-            i = bad.idxmax()
-            print("  got :", got.loc[i].to_dict())
-            print("  want:", want.loc[i].to_dict())
+        print(f"FAIL {name}: values differ: {str(e).splitlines()[-1][:200]}")
+        try:
+            diff = (got != want) & ~(got.isna() & want.isna())
+            bad = diff.any(axis=1)
+            if bad.any():
+                i = bad.idxmax()
+                print("  got :", got.loc[i].to_dict())
+                print("  want:", want.loc[i].to_dict())
+        except Exception:
+            pass
+        return False
+
+for name in names:
+    try:
+        ok = run_one(name)
+    except Exception as e:
+        print(f"FAIL {name}: comparator crashed: {str(e)[:160]}"); ok = False
+    if not ok:
+        fails += 1
 for name in extra:
     print(f"note {name}: spark output without oracle (rows-only check)")
 print(f"\n{len(names)-fails}/{len(names)} oracles pass; {len(extra)} rows-only")
