@@ -3,13 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line. A session warmup runs
-  * first so JVM/classloader startup is not billed to whichever query
-  * happens to run first. */
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  *
+  * Measurement protocol (round-2 verdict: single-shot timings inside one
+  * 82-query JVM run can't separate JIT/GC/run-order noise from real
+  * regressions): each entry runs once UNMEASURED (plan compilation,
+  * codegen, classloading), then `SPARK_GRAFT_BENCH_REPS` (default 3)
+  * timed runs; the reported time is the MEDIAN and a per-entry stddev
+  * ships alongside so a future "did it get faster" reads as signal.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,26 +26,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: touch the scheduler, parquet reader, and codegen paths
-    // once. Non-fatal: a bad sfDir must still produce the JSON line
-    // (with per-query -1 markers), not a silent crash before it.
+    // Session warmup: touch the scheduler, parquet reader, and codegen
+    // paths once. Non-fatal: a bad sfDir must still produce the JSON
+    // line (with per-query -1 markers), not a silent crash before it.
     spark.range(1000).selectExpr("sum(id)").collect()
     scala.util.Try(spark.read.parquet(s"$sfDir/region.parquet").count())
 
+    def fmt(d: Double): String = if (d < 0) "-1" else f"$d%.6f"
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
       }
       // failed queries report -1 so a breakage can never read as a speedup
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times: Seq[Double] =
+        try { once(); Seq.fill(reps)(once()) } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Nil
+        }
+      if (times.isEmpty) (name, -1.0, -1.0)
+      else {
+        val sorted = times.sorted
+        val median = sorted(sorted.size / 2)
+        val mean = times.sum / times.size
+        val std = math.sqrt(times.map(t => (t - mean) * (t - mean)).sum / times.size)
+        (name, median, std)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val sd = results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sd,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
