@@ -13,10 +13,19 @@ import graft.syntax._
   * `Trigger.AvailableNow` — same code path a live stream would use,
   * drained synchronously over the existing parquet.
   *
-  * The aggregation is a tumbling event-time window (hourly) in complete
-  * mode; with a live unbounded source the same plan runs in append mode
-  * with `withWatermark("ts", ...)` — noted rather than used because the
-  * batch-replay drain would drop the final window under a watermark.
+  * Two shapes of the same hourly aggregation:
+  *   - st1: complete mode into a memory sink — a drain-everything gate
+  *     harness (output covers every window incl. the unfinished tail).
+  *     Complete mode re-emits all state each trigger: fine for a bounded
+  *     replay, unbounded state on a live stream — NOT the production shape.
+  *   - st4: the production shape — `withWatermark("ts", "2 hours")` +
+  *     append mode + parquet file sink. State for a window is dropped as
+  *     soon as the watermark passes its end, so state is bounded by
+  *     (watermark delay / window size) windows per key. The final
+  *     still-open windows (within 2h of max event time) stay in state and
+  *     are NOT emitted — exactly what a live pipeline sees — so the
+  *     oracle aggregates only events in windows that closed under the
+  *     final watermark.
   */
 object Stream {
 
@@ -38,14 +47,55 @@ object Stream {
       .orderBy($"wstart", $"event_type")
   }
 
+  /** The unstarted st4 streaming plan — exposed so StreamingSpec can
+    * assert the event-time watermark is present in the analyzed plan. */
+  def st4Plan(s: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.eventsStream(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
+      .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value_c")
+
+  /** ST-4 — watermarked append-mode hourly aggregation into a file sink,
+    * drained with `Trigger.AvailableNow` (the production streaming shape;
+    * see object scaladoc). The final no-data micro-batch (on by default:
+    * `spark.sql.streaming.noDataMicroBatches.enabled`) advances the
+    * watermark past the drained data and flushes every closed window to
+    * the sink before the query terminates. */
+  def st4WatermarkAppend(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_st4_").toString
+    val q = st4Plan(s, dir).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(s"$work/out").orderBy($"wstart", $"event_type")
+  }
+
   val oracles: Map[String, String] = Map(
     "st1_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type,
                 count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
          FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    // st4: only windows CLOSED under the final watermark (= max ts - 2h)
+    // are emitted in append mode; Spark finalizes a window when
+    // watermark >= window.end (verified against the operator: eviction
+    // predicate is window.end <= watermark).
+    "st4_watermark_append" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+         SELECT date_trunc('hour', ts) AS wstart, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM events, wm
+         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+         GROUP BY 1, 2 ORDER BY wstart, event_type""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_hourly" -> st1StreamHourly _,
+    "st4_watermark_append" -> st4WatermarkAppend _,
   )
 }

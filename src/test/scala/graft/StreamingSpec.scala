@@ -17,6 +17,14 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("st4 stateful aggregation carries an event-time watermark (bounded state)") {
+    val analyzed = graft.streaming.Stream
+      .st4Plan(spark, "/root/testdata/sf0.001")
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("EventTimeWatermark"),
+      "st4 must bound its window state with a watermark:\n" + analyzed.take(2000))
+  }
+
   test("watermark drops too-late events and admits in-watermark late events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
