@@ -32,6 +32,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.io.JdbcSource.queries ++
     Queries.queries ++ OpQueries.queries ++ RestJson.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
       Binary.queries ++ Stream.queries ++ Stateful.queries ++ Pipeline.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
+    graft.io.JdbcSource.oracles ++
     Queries.oracles ++ OpQueries.oracles ++ RestJson.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++
       Binary.oracles ++ Stream.oracles ++ Stateful.oracles ++ Pipeline.oracles ++

@@ -80,7 +80,20 @@ object Binary {
                 CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 md5(text) AS content_md5
          FROM documents ORDER BY asset_id""",
-    // m2_decode_features: stub decode has no SQL twin -> rows-only check
+    // m2: the stub decode is deterministic integer algebra over (byte
+    // length, first byte) — fully SQL-expressible, so the driver hash-
+    // checks the whole mapPartitions path. First byte via the hex-nibble
+    // idiom; strpos('','') = 1 makes the empty-payload case land on 0,
+    // matching the Scala `else 0` branch.
+    "m2_decode_features" ->
+      """SELECT doc_id AS asset_id,
+                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
+                CAST(64 + (16 * (strpos('0123456789ABCDEF', substr(hex(encode(text)), 1, 1)) - 1)
+                              + strpos('0123456789ABCDEF', substr(hex(encode(text)), 2, 1)) - 1) % 64
+                     AS INT) AS height,
+                CAST(1 + octet_length(encode(text)) % 8 AS INT) AS n_frames
+         FROM documents ORDER BY asset_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -123,7 +123,7 @@ object Pipeline {
     * invocations on one host can't delete each other's live work zones
     * mid-run. Runs at EVERY workdir-creating entry (p1 and o8 — round-2
     * advice: o8 alone used to accumulate unboundedly). */
-  private def sweepOldWorkDirs(): Unit = {
+  private[graft] def sweepOldWorkDirs(): Unit = {
     val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
     val cutoff = java.time.Instant.now().minusSeconds(3600)
     val old = Files.list(tmpRoot)

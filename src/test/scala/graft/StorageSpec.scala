@@ -64,4 +64,24 @@ class StorageSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("O-2 JDBC: partitioned read-back splits into range partitions; empty guard skips") {
+    val work = Files.createTempDirectory("graft_pipeline_derbyspec_")
+    System.setProperty("derby.stream.error.file",
+      work.resolve("derby.log").toString)
+    val url = s"jdbc:derby:${work.resolve("db")};create=true"
+    graft.io.Tables.nation(spark, sf).write.format("jdbc")
+      .option("url", url).option("dbtable", "nation_rt")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    // partitioned read: 4 range slices on the key = 4 parallel cursors
+    val back = graft.io.JdbcSource.read(spark, url, "nation_rt", "", "",
+      partitionColumn = Some(("n_nationkey", 0L, 24L, 4)))
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == graft.io.Tables.nation(spark, sf).count())
+    assert(graft.io.JdbcSource.nonEmpty(back).isDefined)
+    // the reference's skip-if-empty guard fires on an empty source table
+    val empty = back.filter(col("n_nationkey") < 0)
+    assert(graft.io.JdbcSource.nonEmpty(empty).isEmpty)
+  }
 }
