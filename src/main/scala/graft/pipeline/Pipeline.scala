@@ -42,56 +42,75 @@ object Pipeline {
   }
 
   def run(s: SparkSession, dir: String, work: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    // ---- RAW + CLEAN: the two source hops are independent in the
+    // reference DAG (`dags/hygiene_dag.py:103-110` fans sheets and API
+    // ingests out in parallel and fans in before the prescriptive
+    // stage) — mirrored here as concurrent jobs on the shared session
+    // (Spark schedules jobs from different threads FIFO across the
+    // same executor pool; plans stay lazy, only I/O actions overlap).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
 
-    // ---- RAW zone: timestamped immutable snapshots (O-7), messy headers ----
-    // timestamps serialized explicitly (full control of the format on
-    // both sides of the CSV hop)
-    val messy = li.select(
-      $"l_orderkey".as("L OrderKey"), $"l_partkey".as(" L PartKey"),
-      $"l_quantity".as("L Quantity "), date_format($"l_shipdate", TsFmt).as("L ShipDate"))
-    def writeRaw(df: DataFrame, ts: String): Unit =
-      df.write.mode(SaveMode.Overwrite).option("header", "true")
-        .csv(s"$work/raw-zone/sheets/activity_$ts")
-    writeRaw(messy.limit(10), "20010101_000000") // stale partial snapshot
-    writeRaw(messy, "20010102_000000")           // latest complete snapshot
+    // sheets hop: timestamped immutable CSV snapshots (O-7) with messy
+    // headers, ts serialized explicitly (full control of the format on
+    // both sides of the CSV hop); then latest-object pick (O-13, the
+    // reference's list_objects+max(LastModified) done on the
+    // name-embedded ts), normalize/coerce/dropna, snapshot-overwrite (O-9).
+    val sheetsHop = scala.concurrent.Future {
+      val li = Tables.lineitem(s, dir)
+      val messy = li.select(
+        $"l_orderkey".as("L OrderKey"), $"l_partkey".as(" L PartKey"),
+        $"l_quantity".as("L Quantity "), date_format($"l_shipdate", TsFmt).as("L ShipDate"))
+      def writeRaw(df: DataFrame, ts: String): Unit =
+        df.write.mode(SaveMode.Overwrite).option("header", "true")
+          .csv(s"$work/raw-zone/sheets/activity_$ts")
+      writeRaw(messy.limit(10), "20010101_000000") // stale partial snapshot
+      writeRaw(messy, "20010102_000000")           // latest complete snapshot
 
-    // ---- RAW zone, API hop (O-8): env readings land as timestamped
-    // JSON objects (ref `ingestion/api_bmkg/bmkg_to_raw.py:49-57` puts
-    // the API payload at raw/api_bmkg/<name>_<ts>.json) — ts serialized
-    // explicitly so the hop is value-exact, same policy as the CSV hop.
-    val ev = Tables.events(s, dir)
-    val evJson = ev.select($"event_id", date_format($"ts", TsFmt).as("ts"),
-      $"user_id", $"event_type", $"value", $"props")
-    def writeRawJson(df: DataFrame, ts: String): Unit =
-      df.write.mode(SaveMode.Overwrite).json(s"$work/raw-zone/api/env_$ts")
-    writeRawJson(evJson.limit(10), "20010101_000000") // stale partial payload
-    writeRawJson(evJson, "20010102_000000")           // latest complete payload
+      val latest = latestObject(s"$work/raw-zone/sheets", "activity_")
+      val cleaned = Cleaning.dropNullKeys(
+        Cleaning.normalizeColumns(
+          s.read.option("header", "true")
+            .schema("`L OrderKey` STRING, ` L PartKey` STRING, `L Quantity ` STRING, `L ShipDate` STRING")
+            .csv(latest))
+          .select(
+            Cleaning.tryLong($"l_orderkey").as("l_orderkey"),
+            Cleaning.tryLong($"l_partkey").as("l_partkey"),
+            Cleaning.tryDouble($"l_quantity").as("l_quantity"),
+            to_timestamp($"l_shipdate", TsFmt).as("l_shipdate")),
+        Seq("l_shipdate"))
+      Snapshot.overwriteSnapshot(cleaned, s"$work/clean-zone/sheets/catatan_aktivitas")
+    }
 
-    // ---- CLEAN zone: latest-object pick (O-13, the reference's
-    // list_objects+max(LastModified) done on the name-embedded ts),
-    // then normalize/coerce/dropna, snapshot-overwrite (O-9) ----
-    val latest = latestObject(s"$work/raw-zone/sheets", "activity_")
-    val cleaned = Cleaning.dropNullKeys(
-      Cleaning.normalizeColumns(
-        s.read.option("header", "true")
-          .schema("`L OrderKey` STRING, ` L PartKey` STRING, `L Quantity ` STRING, `L ShipDate` STRING")
-          .csv(latest))
-        .select(
-          Cleaning.tryLong($"l_orderkey").as("l_orderkey"),
-          Cleaning.tryLong($"l_partkey").as("l_partkey"),
-          Cleaning.tryDouble($"l_quantity").as("l_quantity"),
-          to_timestamp($"l_shipdate", TsFmt).as("l_shipdate")),
-      Seq("l_shipdate"))
-    Snapshot.overwriteSnapshot(cleaned, s"$work/clean-zone/sheets/catatan_aktivitas")
-
-    // clean hop for the JSON payload: latest-pick then schema-first read
-    // (never inferSchema on a raw zone) + explicit ts parse-back
-    val cleanEv = s.read
-      .schema("event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .json(latestObject(s"$work/raw-zone/api", "env_"))
-      .select($"event_id", to_timestamp($"ts", TsFmt).as("ts"),
+    // API hop (O-8): env readings land as timestamped JSON objects (ref
+    // `ingestion/api_bmkg/bmkg_to_raw.py:49-57` puts the API payload at
+    // raw/api_bmkg/<name>_<ts>.json) — ts serialized explicitly so the
+    // hop is value-exact, same policy as the CSV hop. Clean side:
+    // latest-pick then schema-first read (never inferSchema on a raw
+    // zone) + explicit ts parse-back.
+    val apiHop = scala.concurrent.Future {
+      val ev = Tables.events(s, dir)
+      val evJson = ev.select($"event_id", date_format($"ts", TsFmt).as("ts"),
         $"user_id", $"event_type", $"value", $"props")
+      def writeRawJson(df: DataFrame, ts: String): Unit =
+        df.write.mode(SaveMode.Overwrite).json(s"$work/raw-zone/api/env_$ts")
+      writeRawJson(evJson.limit(10), "20010101_000000") // stale partial payload
+      writeRawJson(evJson, "20010102_000000")           // latest complete payload
+
+      s.read
+        .schema("event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .json(latestObject(s"$work/raw-zone/api", "env_"))
+        .select($"event_id", to_timestamp($"ts", TsFmt).as("ts"),
+          $"user_id", $"event_type", $"value", $"props")
+    }
+
+    // fan-in: both hops must land before the prescriptive stage
+    val cleanEv =
+      try {
+        scala.concurrent.Await.result(
+          sheetsHop.zip(apiHop), scala.concurrent.duration.Duration.Inf)._2
+      } finally pool.shutdown()
 
     // ---- CURATED zone: prescriptive score over cleaned activity +
     // zone-round-tripped env readings, then snapshot + audit CSV ----
