@@ -301,7 +301,44 @@ object Dedup {
     s"SELECT doc_id, $mins FROM ($shingleSql) GROUP BY doc_id"
   }
 
+  /** D-9 — benchmark decontamination: flag corpus documents sharing any
+    * token 5-gram with a held-out benchmark/eval set (here: every 50th
+    * doc stands in for the eval suite). The production shape for a
+    * 100 TB corpus: the benchmark shingle set is tiny (eval suites are
+    * KBs–MBs) → distinct once, BROADCAST to the corpus-side shingle
+    * stream, count matches per doc. No shuffle of the corpus beyond the
+    * per-doc distinct; PlanSpec asserts the broadcast. */
+  def d9Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.io.Tables.documents(s, dir)
+    def shingles(df: DataFrame) = df.select($"doc_id", explode(expr(
+      """CASE WHEN size(split(text, ' ')) >= 3
+           THEN transform(sequence(0, size(split(text, ' ')) - 3),
+             i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 3))))
+           ELSE array() END""")).as("sh"))
+    val bench = shingles(docs.filter($"doc_id" % 50 === 0))
+      .select($"sh").distinct()
+    val corpus = shingles(docs.filter($"doc_id" % 50 =!= 0))
+      .select($"doc_id", $"sh").distinct()
+    corpus.join(broadcast(bench), "sh")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "d9_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(a) >= 3
+               THEN [md5(a[i]||' '||a[i+1]||' '||a[i+2])
+                     for i in range(1, len(a) - 1)]
+               ELSE [] END) AS sh
+           FROM toks),
+         b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         c AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 50 <> 0)
+         SELECT c.doc_id AS doc_id, count(*) AS n_overlap
+         FROM c JOIN b ON c.sh = b.sh
+         GROUP BY 1 ORDER BY doc_id""",
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY keep_id""",
@@ -386,5 +423,6 @@ object Dedup {
     "d5_simhash" -> d5Simhash _,
     "d6_dup_clusters" -> d6DupClusters _,
     "d8_lsh_jaccard" -> d8LshJaccard _,
+    "d9_decontaminate" -> d9Decontaminate _,
   )
 }

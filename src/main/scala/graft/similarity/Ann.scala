@@ -182,7 +182,42 @@ object Ann {
       .orderBy($"query_id", $"rank")
   }
 
+  /** S-5 — int8 embedding quantization (the storage/bandwidth path for
+    * a 100 TB vector corpus: 4 bytes/dim fp32 → 1 byte/dim int8).
+    * Per-vector absmax scaling, q = floor(x/scale + 0.5) — floor over
+    * IEEE doubles is reproducible bit-for-bit across engines, unlike
+    * library-specific round-half modes. Pure projection (no shuffle);
+    * output is the audit view (scale + value-range + checksum per
+    * vector) a pipeline materializes next to the quantized blobs. */
+  def s5Quantize(s: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", $"embedding",
+        expr("array_max(transform(embedding, x -> abs(cast(x AS double))))").as("amax"))
+      .select($"vec_id", $"label", $"embedding",
+        (expr("nullif(amax, 0.0d)") / 127.0).as("scale"))
+      .select($"vec_id", $"label", $"scale",
+        expr("transform(embedding, x -> cast(floor(cast(x AS double) / scale + 0.5d) AS bigint))").as("q"))
+      .select($"vec_id", $"label", round($"scale", 6).as("scale_r"),
+        size($"q").as("dim"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("sum_q"),
+        expr("array_max(q)").as("max_q"), expr("array_min(q)").as("min_q"))
+      .orderBy($"vec_id")
+
   val oracles: Map[String, String] = Map(
+    "s5_quantize" ->
+      """WITH s AS (
+           SELECT vec_id, label, embedding,
+                  nullif(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0) / 127.0 AS scale
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, label, scale,
+                  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
+           FROM s)
+         SELECT vec_id, label, round(scale, 6) AS scale_r,
+                CAST(len(q) AS INT) AS dim,
+                CAST(list_aggregate(q, 'sum') AS BIGINT) AS sum_q,
+                CAST(list_max(q) AS BIGINT) AS max_q, CAST(list_min(q) AS BIGINT) AS min_q
+         FROM q ORDER BY vec_id""",
     "s1_ann_brute" ->
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           q AS (SELECT vec_id AS query_id, v FROM c WHERE vec_id % 100 = 0),
@@ -250,5 +285,6 @@ object Ann {
     "s2_ann_lsh" -> s2LshTopK _,
     "s3_cosine_neardup" -> s3CosineNearDup _,
     "s4_ann_ivf" -> s4IvfTopK _,
+    "s5_quantize" -> s5Quantize _,
   )
 }

@@ -102,6 +102,65 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic split assignment (T-7 core): bucket 0..255 from the
+    * first two hex digits of a seeded md5 over the key — the portable
+    * hash family — so the same document lands in the same split on any
+    * engine, any cluster size, any run. Narrow map; no shuffle. */
+  def splitAssign(docId: Column): Column = {
+    val bucket = conv(substring(md5(concat(lit("split:"), docId)), 1, 2), 16, 10)
+      .cast("int")
+    when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
+  }
+
+  /** T-7 — train/val/test split for a training corpus (~90/5/5):
+    * per-split document counts + char volume. The per-doc assignment is
+    * [[splitAssign]]; this entry is the auditable summary (the shape a
+    * pipeline materializes to verify split balance before training). */
+  def t7TrainSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars", splitAssign($"doc_id").as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"split")
+
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "\\+[0-9][0-9\\- ]{6,}[0-9]"
+
+  /** T-8 — PII scrubbing: regex redaction of emails and phone-like
+    * spans, with per-doc redaction counts and a digest of the scrubbed
+    * text. The synthetic corpus contains no PII, so a deterministic
+    * doc_id-derived contact line is appended BEFORE scrubbing (both
+    * engines inject identically) — the gate then proves the redaction
+    * actually fires, not just that the plumbing runs. Pure projection;
+    * the regexes are RE2-and-Java-compatible (no backrefs/lookaround). */
+  def t8PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat($"text", lit(" contact: user"), $"doc_id",
+      lit("@example.com or +62 811-"), $"doc_id")
+    val scrubbed = regexp_replace(
+      regexp_replace(injected, EmailPat, "<EMAIL>"), PhonePat, "<PHONE>")
+    Tables.documents(s, dir).select(
+        $"doc_id",
+        regexp_count(injected, lit(EmailPat)).cast("int").as("n_email"),
+        regexp_count(injected, lit(PhonePat)).cast("int").as("n_phone"),
+        md5(scrubbed).as("scrub_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** T-9 — intra-document repetition scoring (Gopher/C4-style quality
+    * rule): type-token ratio + top-token fraction. Two chained
+    * aggregations, both with map-side partial agg — no row explosion
+    * leaves the executor. */
+  def t9Repetition(s: SparkSession, dir: String): DataFrame =
+    tokens(s, dir)
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max($"c").as("top_c"))
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        round($"n_distinct" / $"n_tokens".cast("double"), 4).as("ttr"),
+        round($"top_c" / $"n_tokens".cast("double"), 4).as("top_tok_frac"))
+      .orderBy($"doc_id")
+
   private def profileSumSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("CAST(sum(CASE WHEN tok IN (", ",", ") THEN 1 ELSE 0 END) AS BIGINT)")
 
@@ -154,6 +213,45 @@ object TextOps {
                                   for i in range(1, len(arr)-1)])
                    ELSE md5(norm) END AS min_shingle_fp
           FROM w ORDER BY doc_id""",
+  ) ++ oraclesNew
+
+  // lazy: referenced from `oracles` above its declaration point
+  private lazy val oraclesNew: Map[String, String] = Map(
+    "t7_train_split" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars,
+                  (strpos('0123456789abcdef', substr(md5('split:' || doc_id), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5('split:' || doc_id), 2, 1)) - 1) AS bucket
+           FROM documents)
+         SELECT CASE WHEN bucket < 230 THEN 'train'
+                     WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split,
+                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM b GROUP BY 1 ORDER BY split""",
+    "t8_pii_scrub" ->
+      """WITH inj AS (
+           SELECT doc_id,
+                  text || ' contact: user' || doc_id || '@example.com or +62 811-' || doc_id AS t
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+                CAST(len(regexp_extract_all(t, '\+[0-9][0-9\- ]{6,}[0-9]')) AS INT) AS n_phone,
+                md5(regexp_replace(
+                      regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                      '\+[0-9][0-9\- ]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5
+         FROM inj ORDER BY doc_id""",
+    "t9_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         cnt AS (
+           SELECT doc_id, tok, count(*) AS c FROM tok WHERE tok <> '' GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_distinct, max(c) AS top_c
+           FROM cnt GROUP BY 1)
+         SELECT doc_id, n_tokens, n_distinct,
+                round(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS ttr,
+                round(top_c / CAST(n_tokens AS DOUBLE), 4) AS top_tok_frac
+         FROM agg ORDER BY doc_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -161,5 +259,8 @@ object TextOps {
     "t2_quality" -> t2Quality _,
     "t3_token_count" -> t3TokenCount _,
     "t4_fingerprint" -> t4Fingerprint _,
+    "t7_train_split" -> t7TrainSplit _,
+    "t8_pii_scrub" -> t8PiiScrub _,
+    "t9_repetition" -> t9Repetition _,
   )
 }

@@ -82,6 +82,13 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("d9 decontamination broadcasts the benchmark shingle set (never shuffles the corpus side)") {
+    val p = plan(Dedup.d9Decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "benchmark set must broadcast, not shuffle the corpus:\n" + p.take(2000))
+  }
+
   test("t5 edit-distance pair source is an equi-join, never a nested loop") {
     val p = plan(graft.analytics.Wide.t5Levenshtein(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
