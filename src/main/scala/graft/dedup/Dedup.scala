@@ -324,7 +324,49 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D-10 — corpus purge: the removal stage that consumes D-1 and D-9.
+    * Drops (a) exact-duplicate losers (keep min doc_id per content
+    * hash — one window shuffle on the hash), (b) the held-out benchmark
+    * docs themselves, (c) every D-9-contaminated doc (LEFT ANTI against
+    * the flagged set — broadcast: the contaminated list is a small
+    * fraction of the corpus by construction). Output is the per-source
+    * survival audit a pipeline materializes before training. */
+  def d10Purge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val contaminated = d9Decontaminate(s, dir).select($"doc_id")
+    docs
+      .withColumn("keep_id",
+        min($"doc_id").over(Window.partitionBy(md5($"text"))))
+      .filter($"doc_id" === $"keep_id")
+      .filter($"doc_id" % 50 =!= 0)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "d10_purge" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(a) >= 3
+               THEN [md5(a[i]||' '||a[i+1]||' '||a[i+2])
+                     for i in range(1, len(a) - 1)]
+               ELSE [] END) AS sh
+           FROM toks),
+         b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         contam AS (SELECT DISTINCT s.doc_id AS doc_id FROM sh s JOIN b ON s.sh = b.sh
+                    WHERE s.doc_id % 50 <> 0),
+         keep AS (SELECT doc_id, source, n_chars,
+                         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                  FROM documents),
+         surv AS (SELECT * FROM keep
+                  WHERE doc_id = keep_id AND doc_id % 50 <> 0
+                    AND doc_id NOT IN (SELECT doc_id FROM contam))
+         SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM surv GROUP BY 1 ORDER BY source""",
     "d9_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
          sh AS (
@@ -424,5 +466,6 @@ object Dedup {
     "d6_dup_clusters" -> d6DupClusters _,
     "d8_lsh_jaccard" -> d8LshJaccard _,
     "d9_decontaminate" -> d9Decontaminate _,
+    "d10_purge" -> d10Purge _,
   )
 }

@@ -75,7 +75,44 @@ object Stream {
     s.read.parquet(s"$work/out").orderBy($"wstart", $"event_type")
   }
 
+  /** ST-5 — the SLIDING-window production shape (st2's 2h/1h windows,
+    * but watermarked + append + file sink instead of complete-mode into
+    * memory): each event lands in 2 windows; state holds at most
+    * (delay + duration) / slide open windows per key and drops them as
+    * the watermark passes. Same drain protocol as st4. */
+  def st5SlidingWatermark(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_st5_").toString
+    val plan = graft.io.Tables.eventsStream(s, dir)
+      .select($"ts", $"event_type", $"value")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "2 hours", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
+      .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value_c")
+    val q = plan.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(s"$work/out").orderBy($"wstart", $"event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    // st5: sliding 2h/1h — every event belongs to the two windows
+    // starting at trunc_hour(ts)-1h and trunc_hour(ts); append emits
+    // only windows closed under the final watermark.
+    "st5_sliding_watermark" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+         e AS (SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                              date_trunc('hour', ts)]) AS wstart,
+                      event_type, value
+               FROM events)
+         SELECT wstart, event_type, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM e, wm
+         WHERE wstart + INTERVAL 2 HOUR <= w
+         GROUP BY 1, 2 ORDER BY wstart, event_type""",
     "st1_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type,
                 count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
@@ -97,5 +134,6 @@ object Stream {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_hourly" -> st1StreamHourly _,
     "st4_watermark_append" -> st4WatermarkAppend _,
+    "st5_sliding_watermark" -> st5SlidingWatermark _,
   )
 }
