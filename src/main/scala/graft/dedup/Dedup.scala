@@ -324,6 +324,31 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D-11 — SimHash near-dup pairs (hamming ≤ 3 over D-5's 16-bit
+    * fingerprints) via nibble banding: pigeonhole guarantees ≤3 flipped
+    * bits leave at least one of the 4 nibbles intact, so an equi-join on
+    * (band, nibble) generates a COMPLETE candidate set — the standard
+    * simhash dedup shape — and bit_count(xor) verifies exactly. At
+    * production scale the fingerprint is 64-bit with 16-bit bands
+    * (buckets ~N/65536); the toy 16-bit hash here keeps the oracle
+    * brute-forceable while the Spark plan is the real banded one. */
+  def d11SimhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val h = d5Simhash(s, dir).select($"doc_id", $"simhash")
+    val banded = h.select($"doc_id", $"simhash", explode(expr(
+      "transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(simhash, b * 4) % 16 AS INT) AS nib))")).as("x"))
+      .select($"doc_id", $"simhash", $"x.band".as("band"), $"x.nib".as("nib"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .select($"doc_a", $"doc_b",
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** D-10 — corpus purge: the removal stage that consumes D-1 and D-9.
     * Drops (a) exact-duplicate losers (keep min doc_id per content
     * hash — one window shuffle on the hash), (b) the held-out benchmark
@@ -443,19 +468,32 @@ object Dedup {
           WHERE round(coalesce(i.n_inter, 0) /
                 (sa.n + sb.n - coalesce(i.n_inter, 0)), 4) >= 0.5
           ORDER BY doc_a, doc_b""",
-    "d5_simhash" -> {
-      val votes = (0 until 16).map { j =>
-        s"sum(CASE WHEN strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS v$j"
-      }.mkString(", ")
-      val bits = (0 until 16).map(j => s"CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-      s"""WITH tok AS (
-            SELECT DISTINCT doc_id, md5(tok) AS h FROM (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-            WHERE tok <> ''),
-          v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
-          SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
-    },
+    "d5_simhash" -> simhashSql,
+    // d11: oracle may brute-force the O(n²) hamming comparison — it only
+    // runs at gate SF; the Spark side must arrive at the SAME pair set
+    // through banded candidates (pigeonhole: ≤3 flipped bits over 4
+    // nibbles leaves ≥1 nibble intact, so candidate gen is complete).
+    "d11_simhash_neardup" ->
+      s"""WITH h AS ($simhashSql)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM h a JOIN h b ON b.doc_id > a.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY doc_a, doc_b""",
   )
+
+  private lazy val simhashSql: String = {
+    val votes = (0 until 16).map { j =>
+      s"sum(CASE WHEN strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(", ")
+    val bits = (0 until 16).map(j => s"CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+          SELECT DISTINCT doc_id, md5(tok) AS h FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE tok <> ''),
+        v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1Exact _,
@@ -467,5 +505,6 @@ object Dedup {
     "d8_lsh_jaccard" -> d8LshJaccard _,
     "d9_decontaminate" -> d9Decontaminate _,
     "d10_purge" -> d10Purge _,
+    "d11_simhash_neardup" -> d11SimhashNeardup _,
   )
 }

@@ -98,6 +98,34 @@ object Stream {
     s.read.parquet(s"$work/out").orderBy($"wstart", $"event_type")
   }
 
+  /** ST-6 — at-least-once ingest dedup: the source is unioned with
+    * itself (every event delivered exactly twice — the redelivery a
+    * real at-least-once bus produces), then
+    * `dropDuplicatesWithinWatermark(event_id)` collapses redeliveries
+    * with bounded state (ids older than the watermark are dropped from
+    * the dedup store), and a watermarked windowed aggregation runs
+    * downstream — two chained stateful operators in one append-mode
+    * query. The result must equal st4's single-delivery aggregation. */
+  def st6StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_st6_").toString
+    def src = graft.io.Tables.eventsStream(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    val plan = src.union(src)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
+      .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value_c")
+    val q = plan.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(s"$work/out").orderBy($"wstart", $"event_type")
+  }
+
   val oracles: Map[String, String] = Map(
     // st5: sliding 2h/1h — every event belongs to the two windows
     // starting at trunc_hour(ts)-1h and trunc_hour(ts); append emits
@@ -112,6 +140,20 @@ object Stream {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
          FROM e, wm
          WHERE wstart + INTERVAL 2 HOUR <= w
+         GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    // st6: double delivery + dedup == single delivery; dedup keys are
+    // unique at gate SF (verified), min() keeps the oracle total even
+    // if a dirtier SF introduces true key dups.
+    "st6_stream_dedup" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+         d AS (SELECT event_id, min(ts) AS ts, min(event_type) AS event_type,
+                      min(value) AS value
+               FROM events GROUP BY event_id)
+         SELECT date_trunc('hour', ts) AS wstart, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM d, wm
+         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
          GROUP BY 1, 2 ORDER BY wstart, event_type""",
     "st1_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type,
@@ -135,5 +177,6 @@ object Stream {
     "st1_stream_hourly" -> st1StreamHourly _,
     "st4_watermark_append" -> st4WatermarkAppend _,
     "st5_sliding_watermark" -> st5SlidingWatermark _,
+    "st6_stream_dedup" -> st6StreamDedup _,
   )
 }
