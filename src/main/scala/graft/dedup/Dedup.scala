@@ -331,9 +331,14 @@ object Dedup {
     * simhash dedup shape — and bit_count(xor) verifies exactly. At
     * production scale the fingerprint is 64-bit with 16-bit bands
     * (buckets ~N/65536); the toy 16-bit hash here keeps the oracle
-    * brute-forceable while the Spark plan is the real banded one. */
+    * brute-forceable while the Spark plan is the real banded one.
+    * Gate entry runs on a deterministic 1-in-5 sample (d4 precedent):
+    * the tiny-vocab synthetic corpus makes ~59% of ALL pairs hamming-
+    * close, so the unsampled output is O(N²) rows by data degeneracy,
+    * not by plan shape. */
   def d11SimhashNeardup(s: SparkSession, dir: String): DataFrame = {
     val h = d5Simhash(s, dir).select($"doc_id", $"simhash")
+      .filter($"doc_id" % 5 === 0)
     val banded = h.select($"doc_id", $"simhash", explode(expr(
       "transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(simhash, b * 4) % 16 AS INT) AS nib))")).as("x"))
       .select($"doc_id", $"simhash", $"x.band".as("band"), $"x.nib".as("nib"))
@@ -474,7 +479,8 @@ object Dedup {
     // through banded candidates (pigeonhole: ≤3 flipped bits over 4
     // nibbles leaves ≥1 nibble intact, so candidate gen is complete).
     "d11_simhash_neardup" ->
-      s"""WITH h AS ($simhashSql)
+      s"""WITH h0 AS ($simhashSql),
+          h AS (SELECT * FROM h0 WHERE doc_id % 5 = 0)
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
           FROM h a JOIN h b ON b.doc_id > a.doc_id
