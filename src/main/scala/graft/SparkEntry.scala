@@ -36,7 +36,8 @@ object SparkEntry {
     Queries.queries ++ OpQueries.queries ++ RestJson.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
       Binary.queries ++ Stream.queries ++ Stateful.queries ++ Pipeline.queries ++
-      AsOfJoin.queries ++ Sketches.queries ++ Advanced.queries ++
+      AsOfJoin.queries ++ Sketches.queries ++ graft.plans.RangeJoin.queries ++
+      Advanced.queries ++
       Maintenance.queries ++ Wide.queries ++ Cohort.queries ++ Map(
       "o30_prescriptive" -> ((s: SparkSession, dir: String) => Scoring.hygieneScore(s, dir)),
     )
@@ -48,7 +49,8 @@ object SparkEntry {
     Queries.oracles ++ OpQueries.oracles ++ RestJson.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++
       Binary.oracles ++ Stream.oracles ++ Stateful.oracles ++ Pipeline.oracles ++
-      AsOfJoin.oracles ++ Sketches.oracles ++ Advanced.oracles ++
+      AsOfJoin.oracles ++ Sketches.oracles ++ graft.plans.RangeJoin.oracles ++
+      Advanced.oracles ++
       Maintenance.oracles ++ Wide.oracles ++ Cohort.oracles ++ Map(
       "o30_prescriptive" -> Scoring.oracleSql,
     )

@@ -63,6 +63,27 @@ object Wide {
       .orderBy($"key_a")
   }
 
+  /** Q-28 — exact rank-based percentiles (p50/p90/p99 of order value,
+    * in cents, per priority class): value at row ceil(p·n) of the
+    * ascending order — deterministic on ties (equal cents share the
+    * picked value) and portable, unlike interpolated/approximate
+    * percentile functions (q23 keeps those as the engine-specific
+    * variant). One window shuffle per class + one group-by. */
+  def q28ExactPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(
+      $"o_orderpriority".as("prio"),
+      round($"o_totalprice" * 100).cast("bigint").as("cents"))
+    val ranked = o
+      .withColumn("rn", row_number().over(Window.partitionBy($"prio").orderBy($"cents")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"prio")))
+    def pick(p: Double) = max(when($"rn" === ceil(lit(p) * $"n"), $"cents"))
+    ranked.groupBy($"prio")
+      .agg(max($"n").as("n"), pick(0.5).as("p50_c"),
+        pick(0.9).as("p90_c"), pick(0.99).as("p99_c"))
+      .orderBy($"prio")
+  }
+
   /** Q-26 — time-series resample with gap filling: an hourly spine
     * from min(ts) to max(ts) left-joined against the hourly counts, so
     * silent gaps become explicit zero rows (what every downstream
@@ -116,6 +137,19 @@ object Wide {
                 md5(list_aggregate(list_transform(list_sort(q_raw), x -> CAST(x AS VARCHAR)),
                                    'string_agg', ',')) AS digest
          FROM arr ORDER BY l_orderkey""",
+    "q28_exact_percentiles" ->
+      """WITH r AS (
+           SELECT o_orderpriority AS prio,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders)
+         SELECT prio, CAST(max(n) AS BIGINT) AS n,
+                CAST(max(CASE WHEN rn = ceil(0.5 * n) THEN cents END) AS BIGINT) AS p50_c,
+                CAST(max(CASE WHEN rn = ceil(0.9 * n) THEN cents END) AS BIGINT) AS p90_c,
+                CAST(max(CASE WHEN rn = ceil(0.99 * n) THEN cents END) AS BIGINT) AS p99_c
+         FROM r GROUP BY prio ORDER BY prio""",
     "t5_levenshtein" ->
       """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
                 levenshtein(a.p_name, b.p_name) AS dist,
@@ -129,6 +163,7 @@ object Wide {
     "q24_pivot" -> q24Pivot _,
     "q25_array_hof" -> q25ArrayHof _,
     "q26_gap_fill" -> q26GapFill _,
+    "q28_exact_percentiles" -> q28ExactPercentiles _,
     "t5_levenshtein" -> t5Levenshtein _,
   )
 }

@@ -89,6 +89,12 @@ class PlanSpec extends AnyFunSuite {
       "benchmark set must broadcast, not shuffle the corpus:\n" + p.take(2000))
   }
 
+  test("x4 range join is a bucket equi-join, never a nested loop") {
+    val p = plan(graft.plans.RangeJoin.x4RangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degraded to a nested loop (O(events x intervals) at scale):\n" + p.take(2000))
+  }
+
   test("t5 edit-distance pair source is an equi-join, never a nested loop") {
     val p = plan(graft.analytics.Wide.t5Levenshtein(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

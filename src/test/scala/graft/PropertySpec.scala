@@ -67,4 +67,47 @@ class PropertySpec extends AnyFunSuite {
       assert(math.min(full / 15, 10.0) >= math.min(partial / 15, 10.0) - 1e-9)
     }
   }
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("d11 nibble banding finds EXACTLY the brute-force hamming pairs (pigeonhole completeness)") {
+    import spark.implicits._
+    val banded = graft.dedup.Dedup.d11SimhashNeardup(spark, sf)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    // brute force over the same sample, no banding
+    val h = graft.dedup.Dedup.d5Simhash(spark, sf)
+      .filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "simhash").as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- h; (b, hb) <- h if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} diff=${(banded diff brute).take(3)} ${(brute diff banded).take(3)}")
+  }
+
+  test("s5 quantization error is bounded by scale/2 for every element") {
+    import spark.implicits._
+    val bad = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("array_max(transform(embedding, x -> abs(cast(x AS double))))").as("amax"))
+      .select(col("vec_id"), (expr("nullif(amax, 0.0d)") / 127.0).as("scale"))
+      .join(graft.io.Tables.embeddings(spark, sf), "vec_id")
+      .select(expr(
+        """size(filter(embedding, x ->
+             abs(cast(x AS double) - floor(cast(x AS double) / scale + 0.5d) * scale)
+               > scale / 2 + 1e-12)) AS n_bad"""))
+      .agg(sum(col("n_bad"))).as[Long].head()
+    assert(bad == 0, s"$bad elements exceed the half-step quantization error bound")
+  }
+
+  test("t7 split assignment is total, deterministic, and ~90/5/5") {
+    import spark.implicits._
+    val counts = graft.text.TextOps.t7TrainSplit(spark, sf)
+      .select("split", "n_docs").as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(total == graft.io.Tables.documents(spark, sf).count())
+    assert(counts("train") > total * 8 / 10, s"train share off: $counts")
+  }
 }
