@@ -106,7 +106,11 @@ object Advanced {
       expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
 
   /** ST-2 — sliding event-time windows (2h length, 1h slide) via
-    * Structured Streaming; each event lands in exactly two windows. */
+    * Structured Streaming; each event lands in exactly two windows.
+    * Complete-mode memory sink = the drain-everything GATE HARNESS shape
+    * (covers all windows incl. the open tail); the production shape of
+    * the same aggregation — watermark + append + file sink with bounded
+    * state — is [[graft.streaming.Stream.st5SlidingWatermark]]. */
   def st2StreamSliding(s: SparkSession, dir: String): DataFrame = {
     val name = "st2_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = Tables.eventsStream(s, dir)
