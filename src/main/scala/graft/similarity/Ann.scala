@@ -37,10 +37,17 @@ object Ann {
   val NumPlanes = 8
   val TopK = 5
 
-  /** dot(a, b) as a sequential fold — mirrors the oracle's list_sum
-    * comprehension term-for-term so doubles accumulate identically. */
+  /** dot(a, b), sequential in index order — mirrors the oracle's
+    * list_sum comprehension term-for-term so doubles accumulate
+    * identically. Since r3 this is the native codegen'd
+    * [[graft.functions.DotF64]] (the HOF fold
+    * `aggregate(zip_with(...))` it replaces is CodegenFallback —
+    * it dropped the |Q|·N·dim hot loop out of whole-stage codegen);
+    * the accumulation order, and therefore every output bit, is
+    * unchanged. Callers must have [[graft.functions.NativeFunctions]]
+    * registered on the session ([[corpus]] does). */
   private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    call_function("dot_f64", x, y)
 
   /** cos(a, b) with per-vector norms precomputed upstream: dividing by
     * the product of the two cached sqrt norms is bit-identical to
@@ -72,8 +79,7 @@ object Ann {
     * v·plane_b >= 0. */
   private def bucketOf(v: Column): Column =
     (0 until NumPlanes).map { b =>
-      val proj = aggregate(zip_with(v, planeLit(planes(b)), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, planeLit(planes(b)))
       when(proj >= 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
 
@@ -84,6 +90,7 @@ object Ann {
     }.mkString(" + ")
 
   private def corpus(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
     val v = col("embedding").cast("array<double>")
     Tables.embeddings(s, dir)
       .select($"vec_id", $"label", v.as("v"), sqrt(dot(v, v)).as("nrm"))

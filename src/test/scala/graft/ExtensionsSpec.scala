@@ -135,4 +135,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.length == 500)
     out.foreach(r => assert(langs.contains(r.getAs[String]("pred_lang"))))
   }
+
+  test("native dot_f64 is bit-identical to the HOF fold it replaces, in both eval paths") {
+    graft.functions.NativeFunctions.register(spark)
+    val v = col("embedding").cast("array<double>")
+    val base = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), v.as("a"))
+      .withColumn("b", expr("transform(a, x -> x * 1.5d + 0.25d)"))
+    def diff(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(call_function("dot_f64", col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (p, q) => p * q),
+          lit(0.0), (acc, x) => acc + x).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact: no tolerance
+      .count()
+    assert(diff(base) == 0, "codegen path diverged from HOF fold")
+    val noCodegen = base.hint("COALESCE", 1) // force a fresh plan
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(diff(noCodegen) == 0, "interpreted path diverged from HOF fold")
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
