@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotF64
+import graft.plans.Sketches
+
+/** Library integration point: register graft's native Catalyst
+  * functions through the standard extensions mechanism —
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * — so every session (incl. SQL-only users and thrift/connect fronts)
+  * resolves them without per-call registry code. The in-repo operators
+  * also self-register defensively ([[graft.functions.NativeFunctions]],
+  * Sketches' registerBottomK) so the library works when the user did
+  * not configure extensions; both paths install identical expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+      (exprs: Seq[Expression]) => DotF64(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bottom_k_sketch"),
+      new ExpressionInfo(Sketches.getClass.getName, "bottom_k_sketch"),
+      (exprs: Seq[Expression]) => Sketches.bottomK(exprs.head)))
+  }
+}

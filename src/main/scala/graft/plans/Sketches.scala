@@ -88,9 +88,13 @@ object Sketches {
 
   val K = 64
 
+  /** Expression builder shared by the per-session registry below and
+    * [[graft.GraftExtensions]] (spark.sql.extensions packaging). */
+  def bottomK(e: Expression): Expression = BottomKSketch(e, K)
+
   private def registerBottomK(s: SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bottom_k_sketch", exprs => BottomKSketch(exprs.head, K), "scala_udf")
+      "bottom_k_sketch", exprs => bottomK(exprs.head), "scala_udf")
 
   /** X-2 — KMV distinct estimate of l_partkey (vs the exact count).
     * The kth-smallest hash's leading 13 hex digits (52 bits — exact in

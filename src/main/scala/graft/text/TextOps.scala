@@ -161,6 +161,31 @@ object TextOps {
         round($"top_c" / $"n_tokens".cast("double"), 4).as("top_tok_frac"))
       .orderBy($"doc_id")
 
+  /** Token budget per packed training sequence (T-10). */
+  val SeqBudget = 2048L
+
+  /** T-10 — training sequence packing: assign documents to fixed
+    * token-budget sequences by contiguous cumulative-sum binning within
+    * each source shard (seq = floor(running_tokens / budget)). The
+    * partition-parallel formulation of packing: greedy first-fit is
+    * inherently sequential, but contiguous binning needs only one
+    * window cumsum per shard — deterministic, scalable (shards pack
+    * independently), and within one doc of first-fit's utilization when
+    * docs ≪ budget. Output is the per-doc placement (seq id + token
+    * offset) a dataloader consumes. */
+  def t10SeqPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir).select($"doc_id", $"source",
+      ceil(length($"text") / 4.0).cast("bigint").as("n_tok")) // T-3's BPE estimate
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    toks
+      .withColumn("cum", sum($"n_tok").over(w))
+      .select($"doc_id", $"source", $"n_tok",
+        floor(($"cum" - $"n_tok") / SeqBudget).cast("bigint").as("seq_id"),
+        (($"cum" - $"n_tok") % SeqBudget).as("tok_offset"))
+      .orderBy($"doc_id")
+  }
+
   private def profileSumSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("CAST(sum(CASE WHEN tok IN (", ",", ") THEN 1 ELSE 0 END) AS BIGINT)")
 
@@ -252,6 +277,20 @@ object TextOps {
                 round(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS ttr,
                 round(top_c / CAST(n_tokens AS DOUBLE), 4) AS top_tok_frac
          FROM agg ORDER BY doc_id""",
+    "t10_seq_pack" ->
+      s"""WITH t AS (
+            SELECT doc_id, source,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok
+            FROM documents),
+          c AS (
+            SELECT doc_id, source, n_tok,
+                   sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t)
+          SELECT doc_id, source, n_tok,
+                 CAST(floor((cum - n_tok) / $SeqBudget) AS BIGINT) AS seq_id,
+                 CAST((cum - n_tok) % $SeqBudget AS BIGINT) AS tok_offset
+          FROM c ORDER BY doc_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -262,5 +301,6 @@ object TextOps {
     "t7_train_split" -> t7TrainSplit _,
     "t8_pii_scrub" -> t8PiiScrub _,
     "t9_repetition" -> t9Repetition _,
+    "t10_seq_pack" -> t10SeqPack _,
   )
 }

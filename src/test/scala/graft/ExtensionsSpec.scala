@@ -156,6 +156,18 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions installs the native functions via the spark.sql.extensions contract") {
+    // the loader instantiates the class reflectively and applies it to a
+    // SparkSessionExtensions; exercise exactly that contract
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    // and the same builders resolve through a live session's registry
+    graft.functions.NativeFunctions.register(spark)
+    val r = spark.sql("SELECT dot_f64(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
