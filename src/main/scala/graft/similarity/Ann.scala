@@ -210,7 +210,65 @@ object Ann {
         expr("array_max(q)").as("max_q"), expr("array_min(q)").as("min_q"))
       .orderBy($"vec_id")
 
+  /** S-6 — ANN quality evaluation: recall@k of the LSH index (S-2)
+    * against brute-force ground truth (S-1), per query. The evaluation
+    * harness every ANN deployment runs before trusting an index; at
+    * scale ground truth comes from a query SAMPLE (here the query set
+    * already is one) so cost stays |sample|·N while the index serves
+    * the full load. */
+  def s6AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = s1BruteTopK(s, dir).select($"query_id", $"neighbor_id")
+    val lsh = s2LshTopK(s, dir)
+      .select($"query_id", $"neighbor_id", lit(1).as("hit"))
+    brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0))).as("n_hit"))
+      .select($"query_id", $"k".cast("int").as("k"),
+        $"n_hit".cast("int").as("n_hit"),
+        round($"n_hit" / $"k", 4).as("recall_at_k"))
+      .orderBy($"query_id")
+  }
+
+  private lazy val oracleS1: String =
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v FROM c WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.query_id AS query_id, a.vec_id AS neighbor_id,
+                 ${cosineSql.replace("b.v", "q.v").replace("a.v", "a.v")} AS cos
+          FROM c a CROSS JOIN q WHERE a.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
+
+  private lazy val oracleS2: String =
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          ${bucketSql("embedding::DOUBLE[]")} AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v, bucket FROM c WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.query_id AS query_id, q.bucket AS bucket, a.vec_id AS neighbor_id,
+                 ${cosineSql.replace("b.v", "q.v")} AS cos
+          FROM c a JOIN q ON a.bucket = q.bucket WHERE a.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, bucket, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, bucket, rank, neighbor_id, round(cos, 4) AS cosine
+        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
+
   val oracles: Map[String, String] = Map(
+    "s6_ann_recall" ->
+      s"""WITH brute AS ($oracleS1),
+          lsh AS ($oracleS2)
+          SELECT b.query_id AS query_id, CAST(count(*) AS INT) AS k,
+                 CAST(count(l.neighbor_id) AS INT) AS n_hit,
+                 round(count(l.neighbor_id) / CAST(count(*) AS DOUBLE), 4) AS recall_at_k
+          FROM brute b LEFT JOIN lsh l
+            ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+          GROUP BY 1 ORDER BY query_id""",
     "s5_quantize" ->
       """WITH s AS (
            SELECT vec_id, label, embedding,
@@ -225,34 +283,8 @@ object Ann {
                 CAST(list_aggregate(q, 'sum') AS BIGINT) AS sum_q,
                 CAST(list_max(q) AS BIGINT) AS max_q, CAST(list_min(q) AS BIGINT) AS min_q
          FROM q ORDER BY vec_id""",
-    "s1_ann_brute" ->
-      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          q AS (SELECT vec_id AS query_id, v FROM c WHERE vec_id % 100 = 0),
-          scored AS (
-            SELECT q.query_id AS query_id, a.vec_id AS neighbor_id,
-                   ${cosineSql.replace("b.v", "q.v").replace("a.v", "a.v")} AS cos
-            FROM c a CROSS JOIN q WHERE a.vec_id <> q.query_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, cos,
-                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-            FROM scored)
-          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
-          FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""",
-    "s2_ann_lsh" ->
-      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                            ${bucketSql("embedding::DOUBLE[]")} AS bucket
-                     FROM embeddings),
-          q AS (SELECT vec_id AS query_id, v, bucket FROM c WHERE vec_id % 100 = 0),
-          scored AS (
-            SELECT q.query_id AS query_id, q.bucket AS bucket, a.vec_id AS neighbor_id,
-                   ${cosineSql.replace("b.v", "q.v")} AS cos
-            FROM c a JOIN q ON a.bucket = q.bucket WHERE a.vec_id <> q.query_id),
-          ranked AS (
-            SELECT query_id, bucket, neighbor_id, cos,
-                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-            FROM scored)
-          SELECT query_id, bucket, rank, neighbor_id, round(cos, 4) AS cosine
-          FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""",
+    "s1_ann_brute" -> oracleS1,
+    "s2_ann_lsh" -> oracleS2,
     "s4_ann_ivf" ->
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           cent AS (SELECT vec_id AS cell_id, v AS cv FROM c
@@ -293,5 +325,6 @@ object Ann {
     "s3_cosine_neardup" -> s3CosineNearDup _,
     "s4_ann_ivf" -> s4IvfTopK _,
     "s5_quantize" -> s5Quantize _,
+    "s6_ann_recall" -> s6AnnRecall _,
   )
 }
