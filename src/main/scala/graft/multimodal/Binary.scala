@@ -65,6 +65,32 @@ object Binary {
       }(enc).toDF().orderBy($"asset_id")
   }
 
+  /** Frame geometry for M-3: payload is treated as fixed 32-byte
+    * "frames"; every 4th frame is sampled. */
+  val FrameBytes = 32
+  val SampleStride = 4
+
+  /** M-3 — frame sampling over the binary column (the video/audio
+    * "take every k-th frame" stage): slice the payload into fixed-size
+    * frames with Spark's binary substring, sample every k-th, and emit
+    * a digest + length per sampled frame. Pure generate+projection —
+    * payload bytes never leave the executor and never hit the driver.
+    * Digest is md5 over the frame's HEX (hex of a byte-aligned slice ==
+    * slice of the hex string, which is what the oracle — lacking blob
+    * substring — computes). */
+  def m3FrameSample(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir)
+      .select($"asset_id", $"payload", $"meta.n_bytes".as("n_bytes"))
+      .select($"asset_id", $"payload", $"n_bytes",
+        explode(sequence(lit(0),
+          greatest(ceil($"n_bytes" / lit(FrameBytes.toDouble)).cast("int") - 1, lit(0)),
+          lit(SampleStride))).as("frame_idx"))
+      .select($"asset_id", $"frame_idx",
+        md5(hex(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)")))
+          .as("frame_md5"),
+        least(lit(FrameBytes), $"n_bytes" - $"frame_idx" * FrameBytes).as("frame_bytes"))
+      .orderBy($"asset_id", $"frame_idx")
+
   /** M-1 — binary metadata projection (oracle-checkable part: byte
     * length and content hash are portable; the fake decode output is
     * checked by [[m2DecodeFeatures]]'s spec instead). */
@@ -94,10 +120,26 @@ object Binary {
                      AS INT) AS height,
                 CAST(1 + octet_length(encode(text)) % 8 AS INT) AS n_frames
          FROM documents ORDER BY asset_id""",
+    "m3_frame_sample" ->
+      s"""WITH a AS (
+            SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes
+            FROM documents),
+          idx AS (
+            SELECT asset_id, hx, n_bytes,
+                   unnest(range(0, greatest(CAST(ceil(n_bytes / $FrameBytes.0) AS INT), 1),
+                                $SampleStride)) AS frame_idx
+            FROM a)
+          SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+                 md5(substr(hx, CAST(frame_idx * ${FrameBytes * 2} + 1 AS BIGINT),
+                            ${FrameBytes * 2})) AS frame_md5,
+                 CAST(least($FrameBytes, n_bytes - frame_idx * $FrameBytes) AS INT) AS frame_bytes
+          FROM idx ORDER BY asset_id, frame_idx""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_decode_features" -> m2DecodeFeatures _,
+    "m3_frame_sample" -> m3FrameSample _,
   )
 }
