@@ -84,6 +84,19 @@ object Wide {
       .orderBy($"prio")
   }
 
+  /** Q-29 — ROLLUP subtotals (status × priority-class → per-status →
+    * grand total), with the grouping bitmask disambiguating subtotal
+    * rows. One pass: Spark expands grouping sets map-side and
+    * partial-aggregates each — no extra scans per level. */
+  def q29Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("pc", substring($"o_orderpriority", 1, 1))
+      .rollup($"o_orderstatus", $"pc")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100).cast("bigint")).as("sum_cents"),
+        grouping_id().as("lvl"))
+      .orderBy($"lvl", $"o_orderstatus", $"pc")
+
   /** Q-26 — time-series resample with gap filling: an hourly spine
     * from min(ts) to max(ts) left-joined against the hourly counts, so
     * silent gaps become explicit zero rows (what every downstream
@@ -137,6 +150,14 @@ object Wide {
                 md5(list_aggregate(list_transform(list_sort(q_raw), x -> CAST(x AS VARCHAR)),
                                    'string_agg', ',')) AS digest
          FROM arr ORDER BY l_orderkey""",
+    "q29_rollup" ->
+      """SELECT o_orderstatus, substr(o_orderpriority, 1, 1) AS pc,
+                count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(GROUPING(o_orderstatus, substr(o_orderpriority, 1, 1)) AS BIGINT) AS lvl
+         FROM orders
+         GROUP BY ROLLUP(o_orderstatus, substr(o_orderpriority, 1, 1))
+         ORDER BY lvl, o_orderstatus, pc""",
     "q28_exact_percentiles" ->
       """WITH r AS (
            SELECT o_orderpriority AS prio,
@@ -164,6 +185,7 @@ object Wide {
     "q25_array_hof" -> q25ArrayHof _,
     "q26_gap_fill" -> q26GapFill _,
     "q28_exact_percentiles" -> q28ExactPercentiles _,
+    "q29_rollup" -> q29Rollup _,
     "t5_levenshtein" -> t5Levenshtein _,
   )
 }
