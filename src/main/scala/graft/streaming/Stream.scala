@@ -126,7 +126,57 @@ object Stream {
     s.read.parquet(s"$work/out").orderBy($"wstart", $"event_type")
   }
 
+  /** ST-7 — `foreachBatch` idempotent-upsert sink: the production
+    * serving pattern (Delta MERGE per micro-batch, emulated on parquet
+    * via [[graft.maintenance.Maintenance.mergeUpsert]]). Update mode
+    * emits each changed window; the sink upserts it by key into the
+    * serving table with a write-aside + atomic swap (compact's
+    * crash-safe order), so a replayed batch CONVERGES to the same
+    * state instead of duplicating — exactly-once end state over an
+    * at-least-once trigger. Oracle = the full hourly aggregation
+    * (update mode re-emits every window that ever changed; state
+    * itself stays watermark-bounded). */
+  def st7ForeachBatchUpsert(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_st7_").toString
+    val target = s"$work/serving"
+    val q = graft.io.Tables.eventsStream(s, dir)
+      .select($"ts", $"event_type", $"value")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
+      .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value_c")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$work/chk")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keyed = batch.withColumn("k", concat_ws("|", $"wstart", $"event_type"))
+        val tPath = java.nio.file.Paths.get(target)
+        val next =
+          if (java.nio.file.Files.exists(tPath)) {
+            val cur = s.read.parquet(target)
+              .withColumn("k", concat_ws("|", $"wstart", $"event_type"))
+            graft.maintenance.Maintenance.mergeUpsert(cur, keyed, "k")
+          } else keyed
+        val staging = java.nio.file.Paths.get(s"$work/staging_$batchId")
+        next.drop("k").write.mode("overwrite").parquet(staging.toString)
+        // write-aside then swap: never overwrite the dir being read
+        val old = java.nio.file.Paths.get(s"$work/old_$batchId")
+        if (java.nio.file.Files.exists(tPath)) java.nio.file.Files.move(tPath, old)
+        java.nio.file.Files.move(staging, tPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(target).orderBy($"wstart", $"event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    // st7: update-mode emission covers every window; the upsert sink
+    // converges to exactly the batch aggregation.
+    "st7_foreachbatch_upsert" -> (
+      """SELECT date_trunc('hour', ts) AS wstart, event_type,
+                count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM events GROUP BY 1, 2 ORDER BY wstart, event_type"""),
     // st5: sliding 2h/1h — every event belongs to the two windows
     // starting at trunc_hour(ts)-1h and trunc_hour(ts); append emits
     // only windows closed under the final watermark.
@@ -178,5 +228,6 @@ object Stream {
     "st4_watermark_append" -> st4WatermarkAppend _,
     "st5_sliding_watermark" -> st5SlidingWatermark _,
     "st6_stream_dedup" -> st6StreamDedup _,
+    "st7_foreachbatch_upsert" -> st7ForeachBatchUpsert _,
   )
 }
