@@ -140,14 +140,16 @@ object Pipeline {
     * parquet copies; repeated rounds would otherwise fill the tmp
     * filesystem). Only dirs older than 1h are swept so two concurrent
     * invocations on one host can't delete each other's live work zones
-    * mid-run. Runs at EVERY workdir-creating entry (p1 and o8 — round-2
-    * advice: o8 alone used to accumulate unboundedly). */
+    * mid-run. Runs at EVERY workdir-creating entry (p1, o8, o2, the
+    * streaming sinks — round-2 advice: o8 alone used to accumulate
+    * unboundedly). Covers every graft_* temp prefix (pipeline zones,
+    * Derby DBs, streaming sink/checkpoint dirs, spec scratch). */
   private[graft] def sweepOldWorkDirs(): Unit = {
     val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
     val cutoff = java.time.Instant.now().minusSeconds(3600)
     val old = Files.list(tmpRoot)
     try old.toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.getFileName.toString.startsWith("graft_pipeline_"))
+      .filter(_.getFileName.toString.startsWith("graft_"))
       .filter(p => try Files.getLastModifiedTime(p).toInstant.isBefore(cutoff)
                    catch { case _: java.io.IOException => false })
       .foreach { p =>

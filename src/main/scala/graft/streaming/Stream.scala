@@ -65,6 +65,7 @@ object Stream {
     * watermark past the drained data and flushes every closed window to
     * the sink before the query terminates. */
   def st4WatermarkAppend(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
     val work = java.nio.file.Files.createTempDirectory("graft_st4_").toString
     val q = st4Plan(s, dir).writeStream
       .outputMode("append").format("parquet")
@@ -81,6 +82,7 @@ object Stream {
     * (delay + duration) / slide open windows per key and drops them as
     * the watermark passes. Same drain protocol as st4. */
   def st5SlidingWatermark(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
     val work = java.nio.file.Files.createTempDirectory("graft_st5_").toString
     val plan = graft.io.Tables.eventsStream(s, dir)
       .select($"ts", $"event_type", $"value")
@@ -107,6 +109,7 @@ object Stream {
     * downstream — two chained stateful operators in one append-mode
     * query. The result must equal st4's single-delivery aggregation. */
   def st6StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
     val work = java.nio.file.Files.createTempDirectory("graft_st6_").toString
     def src = graft.io.Tables.eventsStream(s, dir)
       .select($"event_id", $"ts", $"event_type", $"value")
@@ -137,6 +140,7 @@ object Stream {
     * (update mode re-emits every window that ever changed; state
     * itself stays watermark-bounded). */
   def st7ForeachBatchUpsert(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
     val work = java.nio.file.Files.createTempDirectory("graft_st7_").toString
     val target = s"$work/serving"
     val q = graft.io.Tables.eventsStream(s, dir)
