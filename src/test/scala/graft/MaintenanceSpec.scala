@@ -28,6 +28,18 @@ class MaintenanceSpec extends AnyFunSuite {
       .collect().head.getLong(0) == sumBefore)
   }
 
+  test("mergeUpsert is idempotent: replaying the same batch converges (st7 contract)") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val batch = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    val once = graft.maintenance.Maintenance.mergeUpsert(target, batch, "k")
+    val twice = graft.maintenance.Maintenance.mergeUpsert(once, batch, "k")
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(canon(once) == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    assert(canon(twice) == canon(once), "replay must not duplicate or drift")
+  }
+
   test("snapshot retention keeps only the newest K timestamped objects") {
     val root = Files.createTempDirectory("graft_retain_").toString
     Seq("20010101_000000", "20010102_000000", "20010103_000000").foreach { t =>
