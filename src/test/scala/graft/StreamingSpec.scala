@@ -25,6 +25,35 @@ class StreamingSpec extends AnyFunSuite {
       "st4 must bound its window state with a watermark:\n" + analyzed.take(2000))
   }
 
+  test("dropDuplicatesWithinWatermark dedups across batches; expired keys may re-emit (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = input.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ddw_out").start()
+    try {
+      // batch 1: id=1 arrives -> emitted; watermark = 10:00 - 10m = 09:50
+      input.addData((1L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("ddw_out").count() == 1)
+      // batch 2: id=1 redelivered within the watermark -> suppressed;
+      // id=2 advances watermark to 10:20
+      input.addData((1L, ts("2024-01-01 10:01:00")), (2L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      assert(spark.table("ddw_out").count() == 2, "in-watermark redelivery must be suppressed")
+      // batch 3: id=1 again, far beyond the dedup horizon — its state
+      // expired, so it re-emits: the documented bounded-state tradeoff
+      // (dedup guarantees hold WITHIN the watermark, not forever)
+      input.addData((1L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("ddw_out").count() == 3,
+        "expired key must re-emit - state is bounded by the watermark horizon")
+    } finally q.stop()
+  }
+
   test("watermark drops too-late events and admits in-watermark late events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
