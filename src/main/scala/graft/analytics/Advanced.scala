@@ -47,6 +47,33 @@ object Advanced {
     * by (shipdate, orderkey, linenumber), so the running fp sums
     * accumulate in the same sequence in both engines (rounded anyway:
     * DuckDB's segment-tree window sums may associate differently). */
+  /** Q-30 — time-RANGE window frame: per event type, the trailing-1h
+    * moving aggregate at each event's timestamp (`RANGE BETWEEN
+    * INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`). The frame is defined
+    * by the TIME AXIS, not row offsets, so rows with equal timestamps
+    * share one frame — deterministic under any partition order; sums
+    * are exact integer cents. The complementary shape to Q-21's
+    * rows-frame running sum. Output is a per-hour digest (count + cents
+    * + sum of per-row moving counts) rather than 10k per-row values. */
+  def q30MovingRange(s: SparkSession, dir: String): DataFrame = {
+    // order by MICROSECONDS in both engines (Spark ts is ns-truncated
+    // to us; the oracle casts DuckDB's ns timestamp down to us) so the
+    // two frames contain identical row sets at every boundary
+    val w = Window.partitionBy($"event_type")
+      .orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"event_type", $"ts",
+        round($"value" * 100).cast("bigint").as("cents"))
+      .select($"event_type", $"ts",
+        sum($"cents").over(w).as("mov_cents"),
+        count(lit(1)).over(w).as("mov_n"))
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum($"mov_cents").as("sum_mov_cents"),
+        sum($"mov_n").as("sum_mov_n"))
+      .orderBy($"event_type", $"bucket")
+  }
+
   def q21RunningWindow(s: SparkSession, dir: String): DataFrame = {
     // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
     // sort key ends with rev_c4: remaining ties are between identical
@@ -142,6 +169,22 @@ object Advanced {
          SELECT 'without_orders', count(*) FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          ORDER BY grp""",
+    "q30_moving_range" ->
+      """WITH e AS (
+           SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         m AS (
+           SELECT event_type, ts,
+                  sum(cents) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS mov_cents,
+                  count(*) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS mov_n
+           FROM e)
+         SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n,
+                CAST(sum(mov_cents) AS BIGINT) AS sum_mov_cents,
+                CAST(sum(mov_n) AS BIGINT) AS sum_mov_n
+         FROM m GROUP BY 1, 2 ORDER BY event_type, bucket""",
     "q21_running_window" ->
       """WITH c AS (
            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
@@ -188,6 +231,7 @@ object Advanced {
     "q19_rollup" -> q19Rollup _,
     "q20_semi_anti" -> q20SemiAnti _,
     "q21_running_window" -> q21RunningWindow _,
+    "q30_moving_range" -> q30MovingRange _,
     "q22_sessionize" -> q22Sessionize _,
     "q23_approx_sketches" -> q23ApproxSketches _, // rows-only (no oracle)
     "st2_stream_sliding" -> st2StreamSliding _,
