@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Advanced, Cohort, Queries, Wide}
+import graft.analytics.{Advanced, Cohort, Queries, SetOps, Wide}
 import graft.dedup.Dedup
 import graft.maintenance.Maintenance
 import graft.multimodal.Binary
@@ -37,7 +37,7 @@ object SparkEntry {
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
       Binary.queries ++ Stream.queries ++ Stateful.queries ++ Pipeline.queries ++
       AsOfJoin.queries ++ Sketches.queries ++ graft.plans.RangeJoin.queries ++
-      Advanced.queries ++
+      Advanced.queries ++ SetOps.queries ++
       Maintenance.queries ++ Wide.queries ++ Cohort.queries ++ Map(
       "o30_prescriptive" -> ((s: SparkSession, dir: String) => Scoring.hygieneScore(s, dir)),
     )
@@ -50,7 +50,7 @@ object SparkEntry {
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++
       Binary.oracles ++ Stream.oracles ++ Stateful.oracles ++ Pipeline.oracles ++
       AsOfJoin.oracles ++ Sketches.oracles ++ graft.plans.RangeJoin.oracles ++
-      Advanced.oracles ++
+      Advanced.oracles ++ SetOps.oracles ++
       Maintenance.oracles ++ Wide.oracles ++ Cohort.oracles ++ Map(
       "o30_prescriptive" -> Scoring.oracleSql,
     )

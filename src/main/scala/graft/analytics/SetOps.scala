@@ -1,0 +1,143 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.syntax._
+import graft.io.Tables
+
+/** Set operators, CUBE, NTILE and correlated subqueries — the analytic
+  * surface SURVEY.md §2.11 flagged as absent from the reference
+  * (`INTERSECT/EXCEPT`, cube, quartile buckets, correlated scalar/EXISTS
+  * subqueries). Each is the idiomatic Catalyst form: set ops plan as
+  * semi/anti joins over distinct inputs, CUBE expands grouping sets
+  * map-side in one pass, NTILE is one window shuffle, and the
+  * correlated subqueries are written as SQL so Catalyst's
+  * decorrelation (rewrite to outer-join + aggregate) does the work —
+  * no per-row re-execution at any scale.
+  */
+object SetOps {
+
+  /** Q-31 — INTERSECT / EXCEPT retention split: customers who order in
+    * even years vs odd years → retained-in-both / even-only / odd-only
+    * cohort sizes. Both set ops are DISTINCT-semantics (SQL standard),
+    * planned by Catalyst as hash-distinct + left-semi / left-anti —
+    * each branch is one shuffle on the compared key, never a sort. */
+  def q31SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select($"o_custkey".as("ck"), (year($"o_orderdate") % 2 === 0).as("even"))
+    val a = o.filter($"even").select($"ck")
+    val b = o.filter(!$"even").select($"ck")
+    a.intersect(b).withColumn("tag", lit("both"))
+      .union(a.except(b).withColumn("tag", lit("even_only")))
+      .union(b.except(a).withColumn("tag", lit("odd_only")))
+      .groupBy($"tag").agg(count(lit(1)).as("n_cust"))
+      .orderBy($"tag")
+  }
+
+  /** Q-32 — CUBE over (status, order year): all four grouping sets —
+    * cell, per-status, per-year, grand total — in ONE pass (map-side
+    * grouping-set expansion, partial agg per set; the shuffle carries
+    * group cardinality × 4, not row count). `grouping_id` bitmask
+    * disambiguates levels, exactly as q29's ROLLUP. */
+  def q32Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("yr", year($"o_orderdate"))
+      .cube($"o_orderstatus", $"yr")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100).cast("bigint")).as("sum_cents"),
+        grouping_id().as("lvl"))
+      .orderBy($"lvl", $"o_orderstatus", $"yr")
+
+  /** Q-33 — NTILE quartiles of order value within priority class, then
+    * per-quartile stats (the "spend-band" report). The window orders by
+    * (cents, orderkey) so ties are pinned and the bucketing is
+    * bit-deterministic in any engine with standard NTILE (equal
+    * buckets, earlier buckets take the remainder). One window shuffle
+    * on the class key + one partial agg. */
+  def q33Ntile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      $"o_orderkey",
+      $"o_orderpriority".as("prio"),
+      round($"o_totalprice" * 100).cast("bigint").as("cents"))
+    val w = Window.partitionBy($"prio").orderBy($"cents", $"o_orderkey")
+    o.withColumn("q", ntile(4).over(w))
+      .groupBy($"prio", $"q")
+      .agg(count(lit(1)).as("n"), min($"cents").as("lo_c"),
+        max($"cents").as("hi_c"), sum($"cents").as("sum_c"))
+      .orderBy($"prio", $"q")
+  }
+
+  /** Q-34 — correlated subqueries (scalar COUNT + EXISTS), written as
+    * SQL on the registered views so Catalyst's decorrelation rewrites
+    * them: the scalar count becomes ONE outer-join against a
+    * pre-aggregated orders side (including the zero-orders "COUNT bug"
+    * case — customers with no orders must read 0, not NULL), EXISTS
+    * becomes a left-semi join. Nothing re-executes per row. */
+  def q34CorrSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT c.c_custkey,
+                CAST(round(c.c_acctbal * 100) AS BIGINT) AS acct_c,
+                (SELECT count(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS n_orders,
+                CAST(EXISTS(SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority LIKE '1%') AS INT) AS has_urgent
+         FROM customer c
+         ORDER BY c.c_custkey""")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q31_setops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders
+                    WHERE year(o_orderdate) % 2 = 0),
+              b AS (SELECT DISTINCT o_custkey AS ck FROM orders
+                    WHERE year(o_orderdate) % 2 = 1),
+              u AS (
+                SELECT 'both' AS tag, ck FROM (SELECT ck FROM a INTERSECT SELECT ck FROM b)
+                UNION ALL
+                SELECT 'even_only', ck FROM (SELECT ck FROM a EXCEPT SELECT ck FROM b)
+                UNION ALL
+                SELECT 'odd_only', ck FROM (SELECT ck FROM b EXCEPT SELECT ck FROM a))
+         SELECT tag, count(*) AS n_cust FROM u GROUP BY tag ORDER BY tag""",
+    "q32_cube" ->
+      """SELECT o_orderstatus, year(o_orderdate) AS yr, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(GROUPING(o_orderstatus, year(o_orderdate)) AS BIGINT) AS lvl
+         FROM orders
+         GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+         ORDER BY lvl, o_orderstatus, yr""",
+    "q33_ntile" ->
+      """WITH r AS (
+           SELECT o_orderpriority AS prio,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  ntile(4) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                                          o_orderkey) AS q
+           FROM orders)
+         SELECT prio, q, count(*) AS n,
+                CAST(min(cents) AS BIGINT) AS lo_c,
+                CAST(max(cents) AS BIGINT) AS hi_c,
+                CAST(sum(cents) AS BIGINT) AS sum_c
+         FROM r GROUP BY prio, q ORDER BY prio, q""",
+    "q34_corr_subquery" ->
+      """SELECT c.c_custkey,
+                CAST(round(c.c_acctbal * 100) AS BIGINT) AS acct_c,
+                (SELECT count(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS n_orders,
+                CAST(EXISTS(SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority LIKE '1%') AS INT) AS has_urgent
+         FROM customer c
+         ORDER BY c.c_custkey""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_setops" -> q31SetOps _,
+    "q32_cube" -> q32Cube _,
+    "q33_ntile" -> q33Ntile _,
+    "q34_corr_subquery" -> q34CorrSubquery _,
+  )
+}
