@@ -376,7 +376,71 @@ object Dedup {
       .orderBy($"source")
   }
 
+  /** D-12 — MinHash estimator calibration: on the deterministic pair
+    * sample (d4's anchors — every-100th doc vs the next 3), put the
+    * signature-agreement estimate next to exact shingle Jaccard. The
+    * output is ALL-INTEGER — (matching slots of 16, |∩|, |∪|) — so the
+    * gate is bit-exact; the estimate n_match/16 and truth |∩|/|∪| are
+    * ratios of these. E[n_match/16] = J, so estimator drift (bad hash
+    * family, slicing bug) shows up as |16·n_inter − n_match·n_union|
+    * mass. This is the dedup stack's index-quality gate, playing the
+    * role s6's recall@k plays for the ANN index. Cost: the signature
+    * table (cached) + a pair-restricted shingle join — never all-pairs. */
+  def d12MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val anchors = sizes.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("doc_a"), $"n".as("na"))
+    val pairs = (1 to 3).map { k =>
+        sizes.select(($"doc_id" - k).as("doc_a"), $"doc_id".as("doc_b"), $"n".as("nb"))
+      }.reduce(_ unionAll _)
+      .join(anchors, "doc_a")
+    val sigs = signatures(s, dir)
+    def side(tag: String) = sigs.select(
+      ($"doc_id".as(s"doc_$tag") +: (0 until NumHashes).map(i => col(s"m$i").as(s"$tag$i"))): _*)
+    val nMatch = (0 until NumHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val inter = sh.filter($"doc_id" % 100 === 0).select($"doc_id".as("doc_a"), $"shingle")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
+      .filter($"doc_b" > $"doc_a" && $"doc_b" <= $"doc_a" + 3)
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter0"))
+    pairs
+      .join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select($"doc_a", $"doc_b", nMatch.as("n_match"),
+        coalesce($"n_inter0", lit(0L)).as("n_inter"),
+        ($"na" + $"nb" - coalesce($"n_inter0", lit(0L))).as("n_union"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val oracles: Map[String, String] = Map(
+    "d12_minhash_calibration" -> {
+      val matches = (0 until NumHashes)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH mh AS ($minhashSql), sh AS ($shingleSql),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          pairs AS (
+            SELECT x.doc_id AS doc_a, x.n AS na, y.doc_id AS doc_b, y.n AS nb
+            FROM sizes x JOIN sizes y
+              ON y.doc_id > x.doc_id AND y.doc_id <= x.doc_id + 3
+            WHERE x.doc_id % 100 = 0),
+          inter AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter0
+            FROM sh x JOIN sh y ON x.shingle = y.shingle
+              AND y.doc_id > x.doc_id AND y.doc_id <= x.doc_id + 3
+            WHERE x.doc_id % 100 = 0
+            GROUP BY 1, 2)
+          SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+                 CAST($matches AS INT) AS n_match,
+                 CAST(coalesce(i.n_inter0, 0) AS BIGINT) AS n_inter,
+                 CAST(p.na + p.nb - coalesce(i.n_inter0, 0) AS BIGINT) AS n_union
+          FROM pairs p
+          JOIN mh a ON a.doc_id = p.doc_a
+          JOIN mh b ON b.doc_id = p.doc_b
+          LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+          ORDER BY doc_a, doc_b"""
+    },
     "d10_purge" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
          sh AS (
@@ -512,5 +576,6 @@ object Dedup {
     "d9_decontaminate" -> d9Decontaminate _,
     "d10_purge" -> d10Purge _,
     "d11_simhash_neardup" -> d11SimhashNeardup _,
+    "d12_minhash_calibration" -> d12MinhashCalibration _,
   )
 }

@@ -46,7 +46,57 @@ object RangeJoin {
       .orderBy($"iv_user")
   }
 
+  /** X-5 — interval × interval OVERLAP join, bucketized (x4 joins
+    * points to intervals; this joins two interval tables — the other
+    * range-join Spark plans as a nested loop).
+    *
+    * Both interval tables are data-derived and deterministic: A = every
+    * 25th customer's first-2-years order window, B = every 7th
+    * customer's last-2-years window. Time is bucketed at the maximum
+    * interval length (2 years), so every interval covers ≤ 2 buckets;
+    * candidates come from an EQUI-join on the bucket. Overlapping
+    * intervals can share TWO buckets, so instead of a distinct pass the
+    * pair is emitted only in the FIRST shared bucket
+    * (`greatest(start-bucket A, start-bucket B)` — contiguous bucket
+    * ranges that overlap always contain it) — dedup-free, no extra
+    * shuffle. Overlap length is integer days (midnight-aligned input),
+    * keeping the gate bit-exact. */
+  def x5IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val B = 2L * 366L * 86400L // bucket = max interval length, seconds
+    val o = Tables.orders(s, dir)
+    val a = o.filter($"o_custkey" % 25 === 0).groupBy($"o_custkey").agg(min($"o_orderdate").as("t0"))
+      .select($"o_custkey".as("cust_a"), $"t0",
+        ($"t0" + expr("INTERVAL 2 YEARS")).as("t1"))
+    val b = o.filter($"o_custkey" % 7 === 0).groupBy($"o_custkey").agg(max($"o_orderdate").as("u1"))
+      .select($"o_custkey".as("cust_b"), ($"u1" - expr("INTERVAL 2 YEARS")).as("u0"), $"u1")
+    def buckets(t0: org.apache.spark.sql.Column, t1: org.apache.spark.sql.Column) =
+      sequence(floor(unix_timestamp(t0) / B), floor(unix_timestamp(t1) / B))
+    val aB = a.select($"cust_a", $"t0", $"t1", explode(buckets($"t0", $"t1")).as("bk"))
+    val bB = b.select($"cust_b", $"u0", $"u1", explode(buckets($"u0", $"u1")).as("bk"))
+    aB.join(bB, "bk")
+      .filter($"t0" < $"u1" && $"u0" < $"t1")
+      .filter($"bk" === greatest(floor(unix_timestamp($"t0") / B),
+        floor(unix_timestamp($"u0") / B)))
+      .select($"cust_a", $"cust_b",
+        datediff(least($"t1", $"u1"), greatest($"t0", $"u0")).as("overlap_days"))
+      .orderBy($"cust_a", $"cust_b")
+  }
+
   val oracles: Map[String, String] = Map(
+    "x5_interval_overlap" ->
+      """WITH a AS (
+           SELECT o_custkey AS cust_a, min(o_orderdate) AS t0,
+                  min(o_orderdate) + INTERVAL 2 YEAR AS t1
+           FROM orders WHERE o_custkey % 25 = 0 GROUP BY 1),
+         b AS (
+           SELECT o_custkey AS cust_b, max(o_orderdate) - INTERVAL 2 YEAR AS u0,
+                  max(o_orderdate) AS u1
+           FROM orders WHERE o_custkey % 7 = 0 GROUP BY 1)
+         SELECT a.cust_a AS cust_a, b.cust_b AS cust_b,
+                CAST(date_diff('day', greatest(a.t0, b.u0), least(a.t1, b.u1)) AS INT)
+                  AS overlap_days
+         FROM a JOIN b ON a.t0 < b.u1 AND b.u0 < a.t1
+         ORDER BY cust_a, cust_b""",
     "x4_range_join" ->
       """WITH iv AS (
            SELECT user_id AS iv_user, min(ts) AS t0,
@@ -59,5 +109,6 @@ object RangeJoin {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x4_range_join" -> x4RangeJoin _,
+    "x5_interval_overlap" -> x5IntervalOverlap _,
   )
 }

@@ -174,7 +174,47 @@ object Stream {
     s.read.parquet(target).orderBy($"wstart", $"event_type")
   }
 
+  /** ST-8 — stream-static join: the streaming event feed enriched
+    * against a STATIC dimension (customer → market segment) before the
+    * watermarked windowed aggregation. The static side is broadcast —
+    * re-read per micro-batch, never shuffled, and it adds NO state to
+    * the streaming query (only the downstream agg is stateful). This is
+    * the production "enrich then aggregate" topology: at 100 TB/day the
+    * dim is still MBs, so the join stays a map-side hash probe on every
+    * executor. Same append-mode + file-sink drain protocol as st4. */
+  def st8StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_st8_").toString
+    val dim = graft.io.Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment")
+    val plan = graft.io.Tables.eventsStream(s, dir)
+      .select($"ts", $"user_id", $"value")
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), $"user_id" === $"c_custkey")
+      .groupBy(window($"ts", "1 hour").as("w"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
+      .select($"w.start".as("wstart"), $"c_mktsegment", $"n", $"sum_value_c")
+    val q = plan.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(s"$work/out").orderBy($"wstart", $"c_mktsegment")
+  }
+
   val oracles: Map[String, String] = Map(
+    // st8: inner join to the customer dim then the same closed-window
+    // filter as st4 (append emits when window.end <= final watermark).
+    "st8_stream_static_join" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+         SELECT date_trunc('hour', e.ts) AS wstart, c.c_mktsegment,
+                count(*) AS n,
+                CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey, wm
+         WHERE date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= wm.w
+         GROUP BY 1, 2 ORDER BY wstart, c_mktsegment""",
     // st7: update-mode emission covers every window; the upsert sink
     // converges to exactly the batch aggregation.
     "st7_foreachbatch_upsert" -> (
@@ -233,5 +273,6 @@ object Stream {
     "st5_sliding_watermark" -> st5SlidingWatermark _,
     "st6_stream_dedup" -> st6StreamDedup _,
     "st7_foreachbatch_upsert" -> st7ForeachBatchUpsert _,
+    "st8_stream_static_join" -> st8StreamStaticJoin _,
   )
 }

@@ -112,4 +112,32 @@ class PlanSpec extends AnyFunSuite {
     // count(*) should read no data columns at all
     assert(p.contains("ReadSchema: struct<>"), p.take(2000))
   }
+
+  test("x5 interval-overlap join is a bucket equi-join, never a nested loop") {
+    val p = plan(graft.plans.RangeJoin.x5IntervalOverlap(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval-interval join degraded to a nested loop (O(|A| x |B|) at scale):\n" + p.take(2000))
+  }
+
+  test("q32 CUBE is one scan with map-side grouping-set expansion") {
+    val p = plan(graft.analytics.SetOps.q32Cube(spark, sf))
+    assert(p.contains("Expand"), "CUBE must expand grouping sets, not rescan:\n" + p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      "CUBE must read the fact table once:\n" + p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "grouping sets must still partial-aggregate:\n" + p.take(2000))
+  }
+
+  test("q34 correlated subqueries decorrelate to joins (no per-row re-execution)") {
+    val p = plan(graft.analytics.SetOps.q34CorrSubquery(spark, sf))
+    assert(!p.contains("ScalarSubquery"),
+      "correlated scalar subquery survived decorrelation:\n" + p.take(2000))
+    assert(p.contains("Join"), "decorrelation should produce joins:\n" + p.take(2000))
+  }
+
+  test("d12 calibration pair source is equi-join only (no nested loop)") {
+    val p = plan(Dedup.d12MinhashCalibration(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "calibration pair generation degraded to a nested loop:\n" + p.take(2000))
+  }
 }
