@@ -229,6 +229,78 @@ object Ann {
       .orderBy($"query_id")
   }
 
+  /** PQ geometry: 4 subspaces × 16 dims; codebook per subspace = the
+    * sub-vectors of the same [[Cells]] deterministic corpus vectors S-4
+    * uses (at production scale a trained per-subspace k-means — the
+    * assignment/storage structure is identical). */
+  val SubSpaces = 4
+  val SubDim: Int = Dim / SubSpaces
+
+  /** S-7 — product quantization: each vector's 4 sub-vectors are
+    * assigned to their nearest (squared-L2) codebook centroid, packing
+    * 64 × 4 B floats into one 12-bit code — the storage/recall ladder's
+    * next rung below int8 (s5): 256 B → ~2 B/vector. The corpus is
+    * unpivoted to one row per (vector, subspace) and joined to the
+    * BROADCAST 32-row sub-codebook — one narrow pass, one window over
+    * (vec, m); no shuffle of vector payloads. Output carries the
+    * per-subspace codes, the packed code, and the reconstruction error
+    * (summed in fixed subspace order; distances are computed with the
+    * same sequential fold as the oracle, so every bit matches). */
+  def s7PqCode(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val cent = c.filter($"vec_id" % 61 === 0).orderBy($"vec_id").limit(Cells)
+      .select((row_number().over(Window.orderBy($"vec_id")) - 1).as("cell_idx"), $"v".as("cv"))
+    val ms = explode(sequence(lit(0), lit(SubSpaces - 1))).as("m")
+    val sub = c.select($"vec_id", $"label", ms, $"v")
+      .select($"vec_id", $"label", $"m", expr(s"slice(v, m * $SubDim + 1, $SubDim)").as("sv"))
+    val csub = cent.select($"cell_idx", ms, $"cv")
+      .select($"cell_idx", $"m", expr(s"slice(cv, m * $SubDim + 1, $SubDim)").as("csv"))
+    val d2 = expr("aggregate(zip_with(sv, csv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)")
+    val assigned = sub.join(broadcast(csub), "m")
+      .select($"vec_id", $"label", $"m", $"cell_idx", d2.as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"cell_idx")))
+      .filter($"rk" === 1)
+    def perM(i: Int, v: Column) = max(when($"m" === i, v))
+    val aggs = (0 until SubSpaces).map(i => perM(i, $"cell_idx").cast("int").as(s"c$i")) ++
+      (0 until SubSpaces).map(i => perM(i, $"d2").as(s"e$i"))
+    assigned.groupBy($"vec_id", $"label").agg(aggs.head, aggs.tail: _*)
+      .select(($"vec_id" +: $"label" +:
+        (0 until SubSpaces).map(i => col(s"c$i"))) :+
+        (0 until SubSpaces).map(i => col(s"c$i").cast("long") * (1L << (3 * i))).reduce(_ + _).as("code") :+
+        round((0 until SubSpaces).map(i => col(s"e$i")).reduce(_ + _), 4).as("err"): _*)
+      .orderBy($"vec_id")
+  }
+
+  private lazy val oracleS7: String = {
+    val perM = (0 until SubSpaces).map(i =>
+      s"max(CASE WHEN m = $i THEN cell_idx END) AS c$i, max(CASE WHEN m = $i THEN d2 END) AS e$i")
+      .mkString(", ")
+    val code = (0 until SubSpaces).map(i => s"c$i * ${1L << (3 * i)}").mkString(" + ")
+    val err = (0 until SubSpaces).map(i => s"e$i").mkString(" + ")
+    val cInts = (0 until SubSpaces).map(i => s"CAST(c$i AS INT) AS c$i").mkString(", ")
+    s"""WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        cent0 AS (SELECT vec_id, v FROM c WHERE vec_id % 61 = 0 ORDER BY vec_id LIMIT $Cells),
+        cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, v AS cv FROM cent0),
+        ms AS (SELECT unnest(range(0, $SubSpaces)) AS m),
+        sub AS (SELECT vec_id, label, m,
+                       list_slice(v, m * $SubDim + 1, (m + 1) * $SubDim) AS sv
+                FROM c CROSS JOIN ms),
+        csub AS (SELECT cell_idx, m,
+                        list_slice(cv, m * $SubDim + 1, (m + 1) * $SubDim) AS csv
+                 FROM cent CROSS JOIN ms),
+        d AS (SELECT s.vec_id AS vec_id, s.label AS label, s.m AS m, cs.cell_idx AS cell_idx,
+                     list_sum([(s.sv[i] - cs.csv[i]) * (s.sv[i] - cs.csv[i])
+                               for i in range(1, ${SubDim + 1})]) AS d2
+              FROM sub s JOIN csub cs ON s.m = cs.m),
+        a AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell_idx) AS rk
+              FROM d),
+        p AS (SELECT vec_id, label, $perM FROM a WHERE rk = 1 GROUP BY 1, 2)
+        SELECT vec_id, label, $cInts,
+               CAST($code AS BIGINT) AS code, round($err, 4) AS err
+        FROM p ORDER BY vec_id"""
+  }
+
   private lazy val oracleS1: String =
     s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v FROM c WHERE vec_id % 100 = 0),
@@ -260,6 +332,7 @@ object Ann {
         FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    "s7_pq_code" -> oracleS7,
     "s6_ann_recall" ->
       s"""WITH brute AS ($oracleS1),
           lsh AS ($oracleS2)
@@ -326,5 +399,6 @@ object Ann {
     "s4_ann_ivf" -> s4IvfTopK _,
     "s5_quantize" -> s5Quantize _,
     "s6_ann_recall" -> s6AnnRecall _,
+    "s7_pq_code" -> s7PqCode _,
   )
 }

@@ -204,7 +204,56 @@ object Stream {
     s.read.parquet(s"$work/out").orderBy($"wstart", $"c_mktsegment")
   }
 
+  /** ST-9 — stream-STREAM join: per-user attribution pairing each
+    * `view` with the `purchase`s that follow it within 1 hour — two
+    * live feeds joined on (user, time range). Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * each side's buffered state is evicted once the other side's
+    * watermark passes the reachable range — bounded state, the ONLY
+    * safe stream-stream join shape at scale (an unconstrained join
+    * buffers both streams forever). Inner join emits matches as they
+    * arrive (the watermark gates eviction, not emission), so the
+    * drained output equals the batch join; the gate aggregates pairs
+    * per user. */
+  def st9StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_st9_").toString
+    def side(tpe: String, tag: String) =
+      graft.io.Tables.eventsStream(s, dir)
+        .filter($"event_type" === tpe)
+        .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
+          $"event_id".as(s"${tag}_id"))
+        .withWatermark(s"${tag}_ts", "2 hours")
+    val pairs = side("view", "v").join(side("purchase", "p"),
+      $"v_user" === $"p_user" &&
+        $"p_ts" >= $"v_ts" && $"p_ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"))
+    val q = pairs.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(s"$work/out")
+      .groupBy($"v_user".as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"v_id").as("n_views_converted"),
+        countDistinct($"p_id").as("n_purchases_attributed"))
+      .orderBy($"user_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    // st9: inner stream-stream join emits every match during the drain
+    // (watermarks bound state, not the inner-join result) -> oracle is
+    // the plain batch interval join.
+    "st9_stream_stream_join" ->
+      """SELECT v.user_id AS user_id, count(*) AS n_pairs,
+                count(DISTINCT v.event_id) AS n_views_converted,
+                count(DISTINCT p.event_id) AS n_purchases_attributed
+         FROM events v JOIN events p
+           ON p.user_id = v.user_id AND v.event_type = 'view'
+          AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+         GROUP BY 1 ORDER BY user_id""",
     // st8: inner join to the customer dim then the same closed-window
     // filter as st4 (append emits when window.end <= final watermark).
     "st8_stream_static_join" ->
@@ -274,5 +323,6 @@ object Stream {
     "st6_stream_dedup" -> st6StreamDedup _,
     "st7_foreachbatch_upsert" -> st7ForeachBatchUpsert _,
     "st8_stream_static_join" -> st8StreamStaticJoin _,
+    "st9_stream_stream_join" -> st9StreamStreamJoin _,
   )
 }

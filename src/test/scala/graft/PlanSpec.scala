@@ -135,6 +135,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), "decorrelation should produce joins:\n" + p.take(2000))
   }
 
+  test("s7 PQ assignment joins the broadcast codebook, never shuffles vectors") {
+    val p = plan(Ann.s7PqCode(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "codebook join degraded to a vector-payload shuffle:\n" + p.take(2000))
+  }
+
   test("d12 calibration pair source is equi-join only (no nested loop)") {
     val p = plan(Dedup.d12MinhashCalibration(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
