@@ -101,6 +101,34 @@ class PropertySpec extends AnyFunSuite {
     assert(bad == 0, s"$bad elements exceed the half-step quantization error bound")
   }
 
+  test("x5 bucketized overlap join finds EXACTLY the brute-force overlapping pairs") {
+    import spark.implicits._
+    val bucketized = graft.plans.RangeJoin.x5IntervalOverlap(spark, sf)
+      .select("cust_a", "cust_b", "overlap_days").as[(Long, Long, Int)].collect().toSet
+    // brute force: both interval tables on the driver, nested loop
+    val o = graft.io.Tables.orders(spark, sf)
+    val a = o.filter(col("o_custkey") % 25 === 0).groupBy("o_custkey")
+      .agg(min("o_orderdate").as("t0"))
+      .select(col("o_custkey"), col("t0"), (col("t0") + expr("INTERVAL 2 YEARS")).as("t1"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect()
+    val b = o.filter(col("o_custkey") % 7 === 0).groupBy("o_custkey")
+      .agg(max("o_orderdate").as("u1"))
+      .select(col("o_custkey"), (col("u1") - expr("INTERVAL 2 YEARS")).as("u0"), col("u1"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect()
+    def days(x: java.sql.Timestamp, y: java.sql.Timestamp): Int =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        x.toLocalDateTime.toLocalDate, y.toLocalDateTime.toLocalDate).toInt
+    val brute = (for {
+      (ca, t0, t1) <- a; (cb, u0, u1) <- b
+      if t0.before(u1) && u0.before(t1)
+      start = if (t0.getTime >= u0.getTime) t0 else u0
+      end = if (t1.getTime <= u1.getTime) t1 else u1
+    } yield (ca, cb, days(start, end))).toSet
+    assert(bucketized == brute,
+      s"bucketized=${bucketized.size} brute=${brute.size} " +
+        s"diff=${(bucketized diff brute).take(3)} ${(brute diff bucketized).take(3)}")
+  }
+
   test("t7 split assignment is total, deterministic, and ~90/5/5") {
     import spark.implicits._
     val counts = graft.text.TextOps.t7TrainSplit(spark, sf)
