@@ -89,7 +89,46 @@ object SetOps {
          ORDER BY c.c_custkey""")
   }
 
+  /** Q-35 — window-function suite over one partitioning (priority
+    * class, ordered by order value): LEAD / NTH_VALUE on the
+    * tie-pinned (cents, orderkey) order; PERCENT_RANK / CUME_DIST /
+    * DENSE_RANK on the value order alone (they depend only on rank
+    * counts, so ties need no pinning). Both specs share the partition
+    * key — ONE shuffle, two sort passes differing only in tie-break.
+    * Output sampled to every 50th order; windows still span the full
+    * partition. */
+  def q35WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      $"o_orderkey", $"o_orderpriority".as("prio"),
+      round($"o_totalprice" * 100).cast("bigint").as("cents"))
+    val byRow = Window.partitionBy($"prio").orderBy($"cents", $"o_orderkey")
+    val byVal = Window.partitionBy($"prio").orderBy($"cents")
+    o.select($"o_orderkey", $"prio", $"cents",
+        lead($"cents", 1).over(byRow).as("next_c"),
+        nth_value($"cents", 3).over(byRow).as("third_c"),
+        round(percent_rank().over(byVal), 6).as("pct_rank"),
+        round(cume_dist().over(byVal), 6).as("cume_d"),
+        dense_rank().over(byVal).as("drank"))
+      .filter($"o_orderkey" % 50 === 0)
+      .orderBy($"o_orderkey")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q35_window_suite" ->
+      """WITH w AS (
+           SELECT o_orderkey, o_orderpriority AS prio,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  lead(CAST(round(o_totalprice * 100) AS BIGINT), 1) OVER br AS next_c,
+                  nth_value(CAST(round(o_totalprice * 100) AS BIGINT), 3) OVER br AS third_c,
+                  round(percent_rank() OVER bv, 6) AS pct_rank,
+                  round(cume_dist() OVER bv, 6) AS cume_d,
+                  CAST(dense_rank() OVER bv AS BIGINT) AS drank
+           FROM orders
+           WINDOW br AS (PARTITION BY o_orderpriority
+                         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey),
+                  bv AS (PARTITION BY o_orderpriority
+                         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)))
+         SELECT * FROM w WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""",
     "q31_setops" ->
       """WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders
                     WHERE year(o_orderdate) % 2 = 0),
@@ -139,5 +178,6 @@ object SetOps {
     "q32_cube" -> q32Cube _,
     "q33_ntile" -> q33Ntile _,
     "q34_corr_subquery" -> q34CorrSubquery _,
+    "q35_window_suite" -> q35WindowSuite _,
   )
 }

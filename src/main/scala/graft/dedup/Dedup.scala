@@ -414,7 +414,53 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** D-13 — INCREMENTAL dedup: the production path SCALING.md commits
+    * to at 100 TB — new documents are checked against the persisted
+    * signature index by joining their band signatures to the corpus's,
+    * never recomputing (or all-pairs scanning) the corpus. Here the
+    * "new batch" is doc_id % 10 == 9 and the remaining 90% plays the
+    * indexed corpus; both sides project off the SAME cached signature
+    * table, so the corpus text is not re-shingled. Output: each new
+    * doc's candidate corpus matches with the band-collision count (the
+    * d8 exact-Jaccard verify runs downstream on exactly these pairs).
+    * One equi-join on (band, sig), proportional to the NEW batch; the
+    * result is the per-new-doc admission verdict — zero-candidate docs
+    * (the common case) stay in the output via the left join, so the
+    * gate checks the whole batch, not just collisions. */
+  def d13IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val all = banded(s, dir)
+    val newB = all.filter($"doc_id" % 10 === 9)
+      .select($"doc_id".as("new_doc"), $"band", $"sig")
+    val corpusB = all.filter($"doc_id" % 10 =!= 9)
+      .select($"doc_id".as("corpus_doc"), $"band", $"sig")
+    val cand = newB.join(corpusB, Seq("band", "sig"))
+      .groupBy($"new_doc")
+      .agg(countDistinct($"corpus_doc").as("nd"), count(lit(1)).as("nc"))
+    Tables.documents(s, dir).filter($"doc_id" % 10 === 9)
+      .select($"doc_id".as("new_doc"))
+      .join(cand, Seq("new_doc"), "left")
+      .select($"new_doc",
+        coalesce($"nd", lit(0L)).as("n_dup_candidates"),
+        coalesce($"nc", lit(0L)).as("n_band_collisions"),
+        ($"nd".isNotNull).cast("int").as("needs_verify"))
+      .orderBy($"new_doc")
+  }
+
   val oracles: Map[String, String] = Map(
+    "d13_incremental_dedup" ->
+      s"""WITH $lshPairsCtes,
+          cand AS (
+            SELECT n.doc_id AS new_doc,
+                   count(DISTINCT c.doc_id) AS nd, count(*) AS nc
+            FROM bands n JOIN bands c ON n.band = c.band AND n.sig = c.sig
+            WHERE n.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+            GROUP BY 1)
+          SELECT d.doc_id AS new_doc,
+                 CAST(coalesce(cand.nd, 0) AS BIGINT) AS n_dup_candidates,
+                 CAST(coalesce(cand.nc, 0) AS BIGINT) AS n_band_collisions,
+                 CAST(cand.nd IS NOT NULL AS INT) AS needs_verify
+          FROM documents d LEFT JOIN cand ON d.doc_id = cand.new_doc
+          WHERE d.doc_id % 10 = 9 ORDER BY new_doc""",
     "d12_minhash_calibration" -> {
       val matches = (0 until NumHashes)
         .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
@@ -577,5 +623,6 @@ object Dedup {
     "d10_purge" -> d10Purge _,
     "d11_simhash_neardup" -> d11SimhashNeardup _,
     "d12_minhash_calibration" -> d12MinhashCalibration _,
+    "d13_incremental_dedup" -> d13IncrementalDedup _,
   )
 }

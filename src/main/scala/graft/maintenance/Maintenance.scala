@@ -110,7 +110,54 @@ object Maintenance {
       .orderBy($"o_orderstatus")
   }
 
+  /** MT-3 — join-key skew audit: per candidate shuffle key, the top-5
+    * heavy hitters with their row share in ppm. This is the profiling
+    * pass that decides WHERE the salting / AQE-skew-join treatment (x3)
+    * is needed — at 100 TB you run it on a sample before committing a
+    * partitioning. Per key: one partial-agg groupBy + a top-5 window
+    * over the (already tiny) group counts; keys are stringified so the
+    * audit unions across tables. Shares use integer ppm (div) so the
+    * gate is bit-exact. */
+  def mt3SkewAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def audit(table: String, key: String) = {
+      val g = Tables.table(s, dir, table)
+        .groupBy(col(key).cast("string").as("key_value"))
+        .agg(count(lit(1)).as("n"))
+      val total = g.agg(sum($"n").as("n_total"))
+      // top-5 via orderBy+limit -> TakeOrderedAndProject (per-partition
+      // heap + tiny merge), NOT a single-partition global window sort;
+      // the 5 survivors are then ranked with a trivial window.
+      g.crossJoin(total).orderBy($"n".desc, $"key_value").limit(5)
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"n".desc, $"key_value")))
+        .select(lit(s"$table.$key").as("join_key"), $"rk", $"key_value",
+          $"n", expr("(n * 1000000) div n_total").as("share_ppm"))
+    }
+    audit("lineitem", "l_orderkey")
+      .unionAll(audit("orders", "o_custkey"))
+      .unionAll(audit("events", "user_id"))
+      .orderBy($"join_key", $"rk")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mt3_skew_audit" -> {
+      def one(table: String, key: String) =
+        s"""SELECT '$table.$key' AS join_key, rk, key_value, n,
+                   CAST((n * 1000000) // n_total AS BIGINT) AS share_ppm
+            FROM (
+              SELECT CAST($key AS VARCHAR) AS key_value, count(*) AS n,
+                     sum(count(*)) OVER () AS n_total,
+                     row_number() OVER (ORDER BY count(*) DESC,
+                                        CAST($key AS VARCHAR)) AS rk
+              FROM $table GROUP BY 1)
+            WHERE rk <= 5"""
+      s"""SELECT join_key, CAST(rk AS BIGINT) AS rk, key_value, n, share_ppm FROM (
+            ${one("lineitem", "l_orderkey")}
+            UNION ALL ${one("orders", "o_custkey")}
+            UNION ALL ${one("events", "user_id")})
+          ORDER BY join_key, rk"""
+    },
     "mt1_table_stats" ->
       """SELECT 'customer' AS table_name, count(*) AS n_rows, count(DISTINCT c_custkey) AS n_keys FROM customer
          UNION ALL SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents
@@ -140,5 +187,6 @@ object Maintenance {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mt1_table_stats" -> mt1TableStats _,
     "mt2_merge_upsert" -> mt2MergeUpsert _,
+    "mt3_skew_audit" -> mt3SkewAudit _,
   )
 }

@@ -189,7 +189,44 @@ object TextOps {
   private def profileSumSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("CAST(sum(CASE WHEN tok IN (", ",", ") THEN 1 ELSE 0 END) AS BIGINT)")
 
+  /** T-11 — stratified (per-source) downsampling: each source keeps a
+    * hash-derived fraction of its documents — the mixture-rebalancing
+    * op every training pipeline runs before packing. Both the per-doc
+    * uniform draw and the per-source rate come from the portable
+    * two-hex-digit md5 bucket ([[splitAssign]]'s family), so membership
+    * is reproducible on any engine and any cluster size, and the
+    * decision is a narrow map (keep iff u(doc) < rate(source)). Output
+    * is the audit summary: per source, the rate, totals, and realized
+    * keep share in ppm (integer division — bit-exact). */
+  def t11StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    def bucket(seed: String, k: Column) =
+      conv(substring(md5(concat(lit(seed), k)), 1, 2), 16, 10).cast("int")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        bucket("samp:", $"doc_id").as("u"),
+        (lit(16) + bucket("rate:", $"source") % 64).as("rb"))
+      .groupBy($"source")
+      .agg(max($"rb").as("rate_b"), count(lit(1)).as("n_total"),
+        sum(when($"u" < $"rb", 1L).otherwise(0L)).as("n_kept"))
+      .select($"source", $"rate_b", $"n_total", $"n_kept",
+        expr("(n_kept * 1000000) div n_total").as("kept_ppm"))
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "t11_stratified_sample" ->
+      """WITH hx AS (
+           SELECT doc_id, source,
+                  (strpos('0123456789abcdef', substr(md5('samp:' || doc_id), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5('samp:' || doc_id), 2, 1)) - 1) AS u,
+                  16 + ((strpos('0123456789abcdef', substr(md5('rate:' || source), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(md5('rate:' || source), 2, 1)) - 1)) % 64 AS rb
+           FROM documents)
+         SELECT source, CAST(max(rb) AS INT) AS rate_b,
+                count(*) AS n_total,
+                CAST(sum(CASE WHEN u < rb THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST((sum(CASE WHEN u < rb THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS kept_ppm
+         FROM hx GROUP BY 1 ORDER BY source""",
     "t1_langid" -> {
       val scores = LangProfiles.map { case (l, ws) => s"${profileSumSql(ws)} AS s_$l" }.mkString(", ")
       val maxExpr = LangProfiles.map { case (l, _) => s"s_$l" }.mkString("greatest(", ",", ")")
@@ -302,5 +339,6 @@ object TextOps {
     "t8_pii_scrub" -> t8PiiScrub _,
     "t9_repetition" -> t9Repetition _,
     "t10_seq_pack" -> t10SeqPack _,
+    "t11_stratified_sample" -> t11StratifiedSample _,
   )
 }
