@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotF64
+import graft.functions.{DotF64, DotProductRewrite}
 import graft.plans.Sketches
 
 /** Library integration point: register graft's native Catalyst
@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bottom_k_sketch"),
       new ExpressionInfo(Sketches.getClass.getName, "bottom_k_sketch"),
       (exprs: Seq[Expression]) => Sketches.bottomK(exprs.head)))
+    // users keep the portable HOF spelling of a dot product; the
+    // optimizer swaps in the codegen'd DotF64 (same bits, tight loop)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

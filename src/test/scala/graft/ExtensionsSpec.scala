@@ -156,6 +156,37 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("DotProductRewrite swaps the HOF dot-product fold for the codegen'd dot_f64") {
+    val hof = "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    def df = graft.io.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS v")
+      .selectExpr("vec_id", s"$hof AS nrm2")
+    // baseline: no rule -> the fold stays a HOF, results are the reference
+    val base = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.functions.DotProductRewrite
+    try {
+      val rewritten = df
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("dot_f64"), "rule did not fire:\n" + plan.take(2000))
+      val got = rewritten.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == base, "rewritten results diverged from the HOF fold")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("DotProductRewrite leaves non-dot-product folds alone") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.functions.DotProductRewrite
+    try {
+      // sum (not multiply) inside zip_with: must NOT rewrite
+      val df = graft.io.Tables.embeddings(spark, sf)
+        .selectExpr("vec_id", "cast(embedding AS array<double>) AS v")
+        .selectExpr("aggregate(zip_with(v, v, (x, y) -> x + y), 0D, (acc, z) -> acc + z) AS s")
+      assert(!df.queryExecution.executedPlan.toString.contains("dot_f64"))
+      df.collect()
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("GraftExtensions installs the native functions via the spark.sql.extensions contract") {
     // the loader instantiates the class reflectively and applies it to a
     // SparkSessionExtensions; exercise exactly that contract
