@@ -113,7 +113,35 @@ object SetOps {
       .orderBy($"o_orderkey")
   }
 
+  /** Q-36 — bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) on the
+    * same even/odd-year order multisets as q31: INTERSECT ALL keeps
+    * min(multiplicity) copies per customer — "orders in the smaller
+    * year-class", EXCEPT ALL the surplus. Catalyst plans both as ONE
+    * count-aggregate per side + a generate of the min/difference —
+    * multiplicities shuffle, not rows. Output aggregates to per-tag
+    * row/customer counts. */
+  def q36BagSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select($"o_custkey".as("ck"), (year($"o_orderdate") % 2 === 0).as("even"))
+    val a = o.filter($"even").select($"ck")
+    val b = o.filter(!$"even").select($"ck")
+    a.intersectAll(b).withColumn("tag", lit("inter_all"))
+      .union(a.exceptAll(b).withColumn("tag", lit("except_all")))
+      .groupBy($"tag")
+      .agg(count(lit(1)).as("n_rows"), countDistinct($"ck").as("n_custs"))
+      .orderBy($"tag")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q36_bag_setops" ->
+      """WITH a AS (SELECT o_custkey AS ck FROM orders WHERE year(o_orderdate) % 2 = 0),
+              b AS (SELECT o_custkey AS ck FROM orders WHERE year(o_orderdate) % 2 = 1),
+              u AS (
+                SELECT 'inter_all' AS tag, ck FROM (SELECT ck FROM a INTERSECT ALL SELECT ck FROM b)
+                UNION ALL
+                SELECT 'except_all', ck FROM (SELECT ck FROM a EXCEPT ALL SELECT ck FROM b))
+         SELECT tag, count(*) AS n_rows, count(DISTINCT ck) AS n_custs
+         FROM u GROUP BY tag ORDER BY tag""",
     "q35_window_suite" ->
       """WITH w AS (
            SELECT o_orderkey, o_orderpriority AS prio,
@@ -179,5 +207,6 @@ object SetOps {
     "q33_ntile" -> q33Ntile _,
     "q34_corr_subquery" -> q34CorrSubquery _,
     "q35_window_suite" -> q35WindowSuite _,
+    "q36_bag_setops" -> q36BagSetOps _,
   )
 }

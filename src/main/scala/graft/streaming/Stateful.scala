@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 
@@ -76,12 +76,79 @@ object Stateful {
     s.table(name).orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Running per-user totals carried in a [[ValueState]] between
+    * micro-batches (ST-10 state). */
+  case class Totals(n: Long, sumC: Long)
+  case class UserTotal(user_id: Long, n_events: Long, sum_value_c: Long)
+
+  /** ST-10's processor: the Spark 4 `transformWithState` arbitrary-state
+    * API (the successor to flatMapGroupsWithState used by st3) — typed
+    * state handles, explicit TTL config, timer support, RocksDB-backed.
+    * Emits the updated running total for each key touched in a batch. */
+  class RunningTotals extends StatefulProcessor[Long, Ev, UserTotal] {
+    @transient private var totals: ValueState[Totals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[Totals](
+        "totals", org.apache.spark.sql.Encoders.product[Totals], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Ev], tv: TimerValues): Iterator[UserTotal] = {
+      val prev = if (totals.exists()) totals.get() else Totals(0L, 0L)
+      var n = prev.n
+      var sc = prev.sumC
+      rows.foreach { e => n += 1; sc += math.round(e.value * 100) }
+      totals.update(Totals(n, sc))
+      Iterator.single(UserTotal(key, n, sc))
+    }
+  }
+
+  /** ST-10 — `transformWithState` (Spark 4's arbitrary stateful
+    * processing v2): running per-user event count + cents total. The
+    * operator requires the RocksDB state store provider (set for this
+    * query, restored after) — which is also the provider a production
+    * deployment runs, state spilling to disk instead of executor heap.
+    * Update-mode emissions land in a memory sink; the per-user COUNT is
+    * strictly increasing across emissions, so the final state is
+    * `max_by(count)` per user — invariant to how AvailableNow splits
+    * the replay into batches. Oracle = the batch per-user aggregation. */
+  def st10TransformWithState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = "st10_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = graft.io.Tables.eventsStream(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Update())
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          expr("max_by(sum_value_c, n_events)").as("sum_value_c"))
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Same output contract as q22 — shares its oracle. */
   val oracles: Map[String, String] = Map(
     "st3_stateful_sessions" -> graft.analytics.Advanced.oracles("q22_sessionize"),
+    "st10_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM events GROUP BY 1 ORDER BY user_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st3_stateful_sessions" -> st3StatefulSessions _,
+    "st10_transform_with_state" -> st10TransformWithState _,
   )
 }
