@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -137,7 +137,70 @@ object Sketches {
       .agg(sum($"q").as("sum_qty_c"), sum($"c").as("n"), sum($"r").as("revenue_c4"))
       .orderBy($"l_returnflag")
 
+  /** Count-min geometry: 4 independent hash rows × 256 counters. */
+  val CmDepth = 4
+  val CmWidth = 256
+
+  /** X-6 — count-min sketch frequency estimation over o_custkey, with
+    * the estimate checked against truth for a deterministic probe set.
+    * The sketch is 4×256 integer counters built by ONE groupBy over
+    * the (row, bucket) explode — counters are mergeable partial
+    * aggregates, which is the whole point at scale: a 100 TB stream
+    * folds into 1 KB of state per executor and merges associatively
+    * (same algebra as the streaming/AQE partial-agg machinery). Hashes
+    * are the portable seeded-md5 family, so the sketch content — not
+    * just its error bound — is bit-reproducible, and the DuckDB oracle
+    * rebuilds it exactly. Probes read min over the 4 rows (the CM
+    * upper bound; est >= truth always, equality when no collision). */
+  def x6CountMin(s: SparkSession, dir: String): DataFrame = {
+    def bucket(d: Int, key: Column): Column =
+      conv(substring(md5(concat(lit(s"cm$d:"), key.cast("string"))), 1, 4), 16, 10)
+        .cast("int") % CmWidth
+    val o = Tables.orders(s, dir)
+    val rows = explode(array((0 until CmDepth).map(d =>
+      struct(lit(d).as("d"), bucket(d, $"o_custkey").as("b"))): _*)).as("rb")
+    val counters = o.select(rows)
+      .select($"rb.d".as("d"), $"rb.b".as("b"))
+      .groupBy($"d", $"b").agg(count(lit(1)).as("c"))
+    val probes = o.filter($"o_custkey" % 100 === 0)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_true"))
+    val probed = (0 until CmDepth).map { d =>
+      probes.select($"o_custkey", $"n_true", lit(d).as("d"),
+        bucket(d, $"o_custkey").as("b"))
+    }.reduce(_ unionAll _)
+      .join(counters, Seq("d", "b"))
+      .groupBy($"o_custkey", $"n_true").agg(min($"c").as("n_est"))
+    probed.select($"o_custkey", $"n_true", $"n_est",
+        ($"n_est" - $"n_true").as("overcount"))
+      .orderBy($"o_custkey")
+  }
+
   val oracles: Map[String, String] = Map(
+    "x6_countmin" -> {
+      def bucketSql(d: Int, key: String) =
+        s"""(((strpos('0123456789abcdef', substr(md5('cm$d:' || CAST($key AS VARCHAR)), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5('cm$d:' || CAST($key AS VARCHAR)), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5('cm$d:' || CAST($key AS VARCHAR)), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5('cm$d:' || CAST($key AS VARCHAR)), 4, 1)) - 1)) % $CmWidth)"""
+      val counterUnion = (0 until CmDepth)
+        .map(d => s"SELECT $d AS d, ${bucketSql(d, "o_custkey")} AS b FROM orders")
+        .mkString(" UNION ALL ")
+      val probeUnion = (0 until CmDepth)
+        .map(d => s"SELECT o_custkey, n_true, $d AS d, ${bucketSql(d, "o_custkey")} AS b FROM probes")
+        .mkString(" UNION ALL ")
+      s"""WITH counters AS (
+            SELECT d, b, count(*) AS c FROM ($counterUnion) GROUP BY 1, 2),
+          probes AS (
+            SELECT o_custkey, count(*) AS n_true FROM orders
+            WHERE o_custkey % 100 = 0 GROUP BY 1),
+          pr AS ($probeUnion),
+          est AS (
+            SELECT pr.o_custkey AS o_custkey, pr.n_true AS n_true, min(c.c) AS n_est
+            FROM pr JOIN counters c ON pr.d = c.d AND pr.b = c.b
+            GROUP BY 1, 2)
+          SELECT o_custkey, n_true, n_est, n_est - n_true AS overcount
+          FROM est ORDER BY o_custkey"""
+    },
     "x2_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
           topk AS (SELECT h FROM h ORDER BY h LIMIT $K),
@@ -162,5 +225,6 @@ object Sketches {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x2_kmv_distinct" -> x2KmvDistinct _,
     "x3_salted_agg" -> x3SaltedAgg _,
+    "x6_countmin" -> x6CountMin _,
   )
 }

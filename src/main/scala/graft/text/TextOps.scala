@@ -213,7 +213,52 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** T-12 — hashing-trick feature vectors: each token is hashed into a
+    * fixed 16-bucket space (two-hex-digit md5 % 16 — the portable
+    * family) and per-doc bucket counts form the feature vector; the
+    * fixed dimensionality is what lets a 100 TB corpus stream into a
+    * model without a vocabulary pass. Narrow explode + ONE
+    * groupBy(doc): counts pivot to 16 integer columns map-side (no
+    * per-bucket shuffles), plus nnz / l1 / an order-pinned digest.
+    * Everything integer or md5 — bit-exact gate. */
+  def t12HashFeatures(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .withColumn("b",
+        conv(substring(md5(concat(lit("feat:"), $"tok")), 1, 2), 16, 10).cast("int") % 16)
+    val bucketCounts = (0 until 16).map(i =>
+      sum(when($"b" === i, 1L).otherwise(0L)).as(s"f$i"))
+    tok.groupBy($"doc_id").agg(bucketCounts.head, bucketCounts.tail: _*)
+      .select(($"doc_id" +:
+        (0 until 16).map(i => col(s"f$i"))) :+
+        (0 until 16).map(i => (col(s"f$i") > 0).cast("int")).reduce(_ + _).as("nnz") :+
+        (0 until 16).map(i => col(s"f$i")).reduce(_ + _).as("l1") :+
+        md5(concat_ws(",", (0 until 16).map(i => col(s"f$i")): _*)).as("vec_md5"): _*)
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "t12_hash_features" -> {
+      val bucket =
+        """((strpos('0123456789abcdef', substr(md5('feat:' || tok), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5('feat:' || tok), 2, 1)) - 1)) % 16"""
+      val counts = (0 until 16)
+        .map(i => s"CAST(sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS BIGINT) AS f$i")
+        .mkString(", ")
+      val nnz = (0 until 16).map(i => s"CASE WHEN f$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      val l1 = (0 until 16).map(i => s"f$i").mkString(" + ")
+      val cat = (0 until 16).map(i => s"CAST(f$i AS VARCHAR)").mkString(" || ',' || ")
+      s"""WITH tok AS (
+            SELECT doc_id, $bucket AS b FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+            WHERE tok <> ''),
+          v AS (SELECT doc_id, $counts FROM tok GROUP BY doc_id)
+          SELECT doc_id, ${(0 until 16).map(i => s"f$i").mkString(", ")},
+                 CAST($nnz AS INT) AS nnz, CAST($l1 AS BIGINT) AS l1,
+                 md5($cat) AS vec_md5
+          FROM v ORDER BY doc_id"""
+    },
     "t11_stratified_sample" ->
       """WITH hx AS (
            SELECT doc_id, source,
@@ -340,5 +385,6 @@ object TextOps {
     "t9_repetition" -> t9Repetition _,
     "t10_seq_pack" -> t10SeqPack _,
     "t11_stratified_sample" -> t11StratifiedSample _,
+    "t12_hash_features" -> t12HashFeatures _,
   )
 }

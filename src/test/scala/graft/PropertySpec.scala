@@ -129,6 +129,13 @@ class PropertySpec extends AnyFunSuite {
         s"diff=${(bucketized diff brute).take(3)} ${(brute diff bucketized).take(3)}")
   }
 
+  test("x6 count-min estimate dominates truth (CM upper-bound invariant)") {
+    import spark.implicits._
+    val bad = graft.plans.Sketches.x6CountMin(spark, sf)
+      .filter(col("overcount") < 0).count()
+    assert(bad == 0, s"$bad probes had est < truth — CM invariant broken")
+  }
+
   test("t7 split assignment is total, deterministic, and ~90/5/5") {
     import spark.implicits._
     val counts = graft.text.TextOps.t7TrainSplit(spark, sf)
