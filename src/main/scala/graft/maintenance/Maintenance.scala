@@ -140,7 +140,42 @@ object Maintenance {
       .orderBy($"join_key", $"rk")
   }
 
+  /** MT-4 — referential-integrity audit: orphan counts along the
+    * star-schema FK edges (the data-quality gate a lakehouse runs after
+    * every ingest — silent orphans skew every downstream join). Each
+    * edge is one LEFT ANTI join counted: anti joins BROADCAST the
+    * parent's key set when it is dim-sized, and the child side never
+    * shuffles for the dim edges; child counts ride the same scan. */
+  def mt4FkAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(childT: String, childK: String, parentT: String, parentK: String) = {
+      val child = Tables.table(s, dir, childT).select(col(childK).as("ck"))
+      val parent = Tables.table(s, dir, parentT).select(col(parentK).as("pk")).distinct()
+      val orphans = child.join(parent, $"ck" === $"pk", "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      child.agg(count(lit(1)).as("n_child")).crossJoin(orphans)
+        .select(lit(s"$childT.$childK -> $parentT.$parentK").as("fk_edge"),
+          $"n_child", $"n_orphan")
+    }
+    edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+      .unionAll(edge("orders", "o_custkey", "customer", "c_custkey"))
+      .unionAll(edge("customer", "c_nationkey", "nation", "n_nationkey"))
+      .unionAll(edge("events", "user_id", "customer", "c_custkey"))
+      .orderBy($"fk_edge")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mt4_fk_audit" -> {
+      def one(ct: String, ck: String, pt: String, pk: String) =
+        s"""SELECT '$ct.$ck -> $pt.$pk' AS fk_edge,
+                   (SELECT count(*) FROM $ct) AS n_child,
+                   (SELECT count(*) FROM $ct WHERE $ck IS NULL OR $ck NOT IN
+                      (SELECT $pk FROM $pt WHERE $pk IS NOT NULL)) AS n_orphan"""
+      s"""${one("lineitem", "l_orderkey", "orders", "o_orderkey")}
+          UNION ALL ${one("orders", "o_custkey", "customer", "c_custkey")}
+          UNION ALL ${one("customer", "c_nationkey", "nation", "n_nationkey")}
+          UNION ALL ${one("events", "user_id", "customer", "c_custkey")}
+          ORDER BY fk_edge"""
+    },
     "mt3_skew_audit" -> {
       def one(table: String, key: String) =
         s"""SELECT '$table.$key' AS join_key, rk, key_value, n,
@@ -188,5 +223,6 @@ object Maintenance {
     "mt1_table_stats" -> mt1TableStats _,
     "mt2_merge_upsert" -> mt2MergeUpsert _,
     "mt3_skew_audit" -> mt3SkewAudit _,
+    "mt4_fk_audit" -> mt4FkAudit _,
   )
 }

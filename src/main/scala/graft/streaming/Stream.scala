@@ -215,19 +215,25 @@ object Stream {
     * arrive (the watermark gates eviction, not emission), so the
     * drained output equals the batch join; the gate aggregates pairs
     * per user. */
-  def st9StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    graft.pipeline.Pipeline.sweepOldWorkDirs()
-    val work = java.nio.file.Files.createTempDirectory("graft_st9_").toString
+  /** The unstarted st9 join plan — exposed so StreamingSpec can assert
+    * BOTH sides carry event-time watermarks (the state-boundedness
+    * precondition for a stream-stream join). */
+  def st9Plan(s: SparkSession, dir: String): DataFrame = {
     def side(tpe: String, tag: String) =
       graft.io.Tables.eventsStream(s, dir)
         .filter($"event_type" === tpe)
         .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
           $"event_id".as(s"${tag}_id"))
         .withWatermark(s"${tag}_ts", "2 hours")
-    val pairs = side("view", "v").join(side("purchase", "p"),
+    side("view", "v").join(side("purchase", "p"),
       $"v_user" === $"p_user" &&
         $"p_ts" >= $"v_ts" && $"p_ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"))
-    val q = pairs.writeStream
+  }
+
+  def st9StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_st9_").toString
+    val q = st9Plan(s, dir).writeStream
       .outputMode("append").format("parquet")
       .option("path", s"$work/out")
       .option("checkpointLocation", s"$work/chk")

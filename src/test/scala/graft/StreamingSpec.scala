@@ -25,6 +25,16 @@ class StreamingSpec extends AnyFunSuite {
       "st4 must bound its window state with a watermark:\n" + analyzed.take(2000))
   }
 
+  test("st9 stream-stream join watermarks BOTH sides (bounded buffer precondition)") {
+    val analyzed = graft.streaming.Stream
+      .st9Plan(spark, "/root/testdata/sf0.001")
+      .queryExecution.analyzed.toString
+    val n = "EventTimeWatermark".r.findAllIn(analyzed).size
+    assert(n == 2, s"expected a watermark on each join side, found $n:\n" +
+      analyzed.take(2000))
+    assert(analyzed.contains("Join"), analyzed.take(2000))
+  }
+
   test("dropDuplicatesWithinWatermark dedups across batches; expired keys may re-emit (bounded state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
