@@ -147,4 +147,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "calibration pair generation degraded to a nested loop:\n" + p.take(2000))
   }
+
+  test("NO batch entry plans an unguarded cartesian / nested-loop join (full sweep)") {
+    // Entries whose plans legitimately contain a BroadcastNestedLoopJoin:
+    // every one is a 1-row scalar (or bounds/total row) broadcast across
+    // the plan — the documented never-collect pattern, O(n) by design.
+    val scalarBroadcast = Set(
+      "o21_window_filter", "o29_minmax", "o30_prescriptive", "o5_pushdown_scan",
+      "q7_scalar_subquery", "q14_today", "q15_query_on_query", "q26_gap_fill",
+      "mt3_skew_audit", "x2_kmv_distinct", "st4_watermark_append",
+      "s6_ann_recall", "p1_pipeline_e2e",
+      // bounded-small-side products by design (not scalars, still O(n)):
+      "mt4_fk_audit",  // 1-row child-count x 1-row orphan-count per edge
+      "s1_ann_brute",  // the documented brute-force BASELINE: query side broadcast
+      "s4_ann_ivf")    // corpus x |codebook|=8 centroid assignment
+    // Streaming drains / external-side-effect mains are exercised by their
+    // own specs and the gate; their DataFrames are post-sink reads.
+    def skip(n: String) =
+      n.startsWith("st") || Set("p1_pipeline_e2e", "o8_json_raw",
+        "o2_jdbc_roundtrip", "o1_csv_source").contains(n)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      val cartesian = p.contains("CartesianProduct")
+      val bnl = p.contains("BroadcastNestedLoopJoin") && !scalarBroadcast(name)
+      if (cartesian || bnl) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"entries with unguarded product joins: ${offenders.mkString(", ")}")
+  }
 }
