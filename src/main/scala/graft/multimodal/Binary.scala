@@ -91,6 +91,30 @@ object Binary {
         least(lit(FrameBytes), $"n_bytes" - $"frame_idx" * FrameBytes).as("frame_bytes"))
       .orderBy($"asset_id", $"frame_idx")
 
+  /** Resize stride for M-4: keep every 2nd byte. */
+  val ResizeStride = 2
+
+  /** M-4 — resize stub over the binary column (completing the decode /
+    * feature-extract / RESIZE / frame-sample multimodal quartet): a
+    * real build calls an image scaler here; the stub is the
+    * nearest-neighbor analogue — keep every [[ResizeStride]]-th byte.
+    * Computed on the hex view (byte k == hex chars 2k+1..2k+2, the m3
+    * idiom) so the whole stage is a pure codegen projection and the
+    * oracle can rebuild the resized payload digest exactly. Payload
+    * bytes never leave the executor; output is the audit row (in/out
+    * sizes + digest of the resized bytes) a pipeline materializes next
+    * to the resized blobs. */
+  def m4ResizeStub(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir)
+      .select($"asset_id", hex($"payload").as("hx"), $"meta.n_bytes".as("n_bytes"))
+      .select($"asset_id", $"n_bytes",
+        ceil($"n_bytes" / lit(ResizeStride.toDouble)).cast("int").as("out_bytes"),
+        md5(expr(
+          s"""concat_ws('', transform(
+                sequence(0, greatest(cast(ceil(n_bytes / $ResizeStride.0d) AS int) - 1, 0)),
+                i -> substring(hx, i * ${2 * ResizeStride} + 1, 2)))""")).as("out_md5"))
+      .orderBy($"asset_id")
+
   /** M-1 — binary metadata projection (oracle-checkable part: byte
     * length and content hash are portable; the fake decode output is
     * checked by [[m2DecodeFeatures]]'s spec instead). */
@@ -101,6 +125,18 @@ object Binary {
       .orderBy($"asset_id")
 
   val oracles: Map[String, String] = Map(
+    "m4_resize_stub" ->
+      s"""WITH a AS (
+            SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes
+            FROM documents)
+          SELECT asset_id, n_bytes,
+                 CAST(ceil(n_bytes / $ResizeStride.0) AS INT) AS out_bytes,
+                 md5(list_aggregate(
+                   [substr(hx, i * ${2 * ResizeStride} + 1, 2)
+                    for i in range(0, greatest(CAST(ceil(n_bytes / $ResizeStride.0) AS INT), 1))],
+                   'string_agg', '')) AS out_md5
+          FROM a ORDER BY asset_id""",
     "m1_binary_meta" ->
       """SELECT doc_id AS asset_id, source AS origin,
                 CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -141,5 +177,6 @@ object Binary {
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_decode_features" -> m2DecodeFeatures _,
     "m3_frame_sample" -> m3FrameSample _,
+    "m4_resize_stub" -> m4ResizeStub _,
   )
 }
