@@ -23,7 +23,13 @@ object SetOps {
     * even years vs odd years → retained-in-both / even-only / odd-only
     * cohort sizes. Both set ops are DISTINCT-semantics (SQL standard),
     * planned by Catalyst as hash-distinct + left-semi / left-anti —
-    * each branch is one shuffle on the compared key, never a sort. */
+    * each branch is one shuffle on the compared key, never a sort.
+    *
+    * Scale note: this entry exists to exercise the INTERSECT/EXCEPT
+    * operators; a pipeline that only needs the cohort SIZES would run
+    * the one-pass twin instead (groupBy(ck).agg(max(even), max(odd)) →
+    * derive tag → count: one fact scan, two shuffles, vs one scan and
+    * one distinct-shuffle per branch here). */
   def q31SetOps(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .select($"o_custkey".as("ck"), (year($"o_orderdate") % 2 === 0).as("even"))

@@ -361,7 +361,11 @@ object Dedup {
     * the flagged set — broadcast: the contaminated list is a small
     * fraction of the corpus by construction). Output is the per-source
     * survival audit a pipeline materializes before training. */
-  def d10Purge(s: SparkSession, dir: String): DataFrame = {
+  /** The purge SURVIVOR set (D-10's doc-level core, reused by the p2
+    * end-to-end training pipeline): exact-dup losers dropped (keep the
+    * min doc_id per content hash), benchmark docs dropped, contaminated
+    * docs anti-joined away. Lazy — composes into callers' plans. */
+  def purgeSurvivors(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
     val contaminated = d9Decontaminate(s, dir).select($"doc_id")
@@ -371,10 +375,13 @@ object Dedup {
       .filter($"doc_id" === $"keep_id")
       .filter($"doc_id" % 50 =!= 0)
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+  }
+
+  def d10Purge(s: SparkSession, dir: String): DataFrame =
+    purgeSurvivors(s, dir)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
       .orderBy($"source")
-  }
 
   /** D-12 — MinHash estimator calibration: on the deterministic pair
     * sample (d4's anchors — every-100th doc vs the next 3), put the

@@ -183,7 +183,61 @@ object Pipeline {
       .orderBy($"event_type")
   }
 
+  /** P-2 — the end-to-end TRAINING-CORPUS pipeline, composed from the
+    * operator library as ONE lazy plan:
+    *
+    *   documents → purge (exact-dup losers + benchmark + contaminated
+    *   docs out, [[graft.dedup.Dedup.purgeSurvivors]]) → stratified
+    *   per-source downsample (t11's keep predicate) → train/val/test
+    *   split (t7's assignment) → per-(source, split) audit.
+    *
+    * The point is composition: the stages are plan FRAGMENTS, not
+    * materialization barriers — Catalyst prunes columns and pushes the
+    * cheap hash predicates across stage boundaries, and the whole
+    * lineage runs as one job. The audit carries an id checksum so the
+    * gate pins the exact surviving document SET, not just counts. */
+  def p2TrainingCorpus(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.purgeSurvivors(s, dir)
+      .filter(graft.text.TextOps.sampleKeep($"doc_id", $"source"))
+      .withColumn("split", graft.text.TextOps.splitAssign($"doc_id"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        sum($"doc_id").as("id_checksum"))
+      .orderBy($"source", $"split")
+
   val oracles: Map[String, String] = Map(
+    "p2_training_corpus" -> {
+      def b(seed: String, k: String) =
+        s"""((strpos('0123456789abcdef', substr(md5('$seed' || $k), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5('$seed' || $k), 2, 1)) - 1))"""
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+          sh AS (
+            SELECT doc_id, unnest(
+              CASE WHEN len(a) >= 3
+                THEN [md5(a[i]||' '||a[i+1]||' '||a[i+2])
+                      for i in range(1, len(a) - 1)]
+                ELSE [] END) AS sh
+            FROM toks),
+          bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+          contam AS (SELECT DISTINCT s.doc_id AS doc_id FROM sh s JOIN bench ON s.sh = bench.sh
+                     WHERE s.doc_id % 50 <> 0),
+          keep AS (SELECT doc_id, source, n_chars,
+                          min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                   FROM documents),
+          surv AS (SELECT doc_id, source, n_chars FROM keep
+                   WHERE doc_id = keep_id AND doc_id % 50 <> 0
+                     AND doc_id NOT IN (SELECT doc_id FROM contam)),
+          samp AS (SELECT * FROM surv
+                   WHERE ${b("samp:", "doc_id")} < 16 + ${b("rate:", "source")} % 64),
+          sp AS (SELECT *, CASE WHEN ${b("split:", "doc_id")} < 230 THEN 'train'
+                                WHEN ${b("split:", "doc_id")} < 243 THEN 'val'
+                                ELSE 'test' END AS split
+                 FROM samp)
+          SELECT source, split, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
+          FROM sp GROUP BY 1, 2 ORDER BY source, split"""
+    },
     "p1_pipeline_e2e" -> Scoring.oracleSql,
     "o8_json_raw" ->
       """SELECT event_type, count(*) AS n,
@@ -194,6 +248,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_pipeline_e2e" -> p1Pipeline _,
+    "p2_training_corpus" -> p2TrainingCorpus _,
     "o8_json_raw" -> o8JsonRaw _,
   )
 }

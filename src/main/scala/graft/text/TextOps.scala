@@ -198,9 +198,18 @@ object TextOps {
     * decision is a narrow map (keep iff u(doc) < rate(source)). Output
     * is the audit summary: per source, the rate, totals, and realized
     * keep share in ppm (integer division — bit-exact). */
+  /** Two-hex-digit md5 bucket 0..255 over a seeded key — the portable
+    * uniform draw (t11's core, reused by the p2 training pipeline). */
+  def hashBucket(seed: String, k: Column): Column =
+    conv(substring(md5(concat(lit(seed), k)), 1, 2), 16, 10).cast("int")
+
+  /** t11's keep predicate: per-doc uniform draw under the per-source
+    * hash-derived rate (16..79 of 256). */
+  def sampleKeep(docId: Column, source: Column): Column =
+    hashBucket("samp:", docId) < lit(16) + hashBucket("rate:", source) % 64
+
   def t11StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    def bucket(seed: String, k: Column) =
-      conv(substring(md5(concat(lit(seed), k)), 1, 2), 16, 10).cast("int")
+    def bucket(seed: String, k: Column) = hashBucket(seed, k)
     Tables.documents(s, dir)
       .select($"doc_id", $"source",
         bucket("samp:", $"doc_id").as("u"),
