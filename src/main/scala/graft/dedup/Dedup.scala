@@ -453,7 +453,92 @@ object Dedup {
       .orderBy($"new_doc")
   }
 
+  /** D-14 — multi-signal dedup VERDICT: every LSH candidate pair
+    * scored by all three independent near-dup signals — exact n-gram
+    * Jaccard (text overlap), SimHash hamming distance (token-profile
+    * drift), embedding cosine (semantic similarity; LEFT join — not
+    * every doc has a vector, a missing signal reads NULL and simply
+    * does not vote). `n_signals` counts thresholds passed
+    * (J ≥ 0.5, hamming ≤ 3, cos ≥ 0.95) — the ensemble decision a
+    * production dedup makes before dropping a document, since any
+    * single signal has failure modes (Jaccard misses paraphrase,
+    * cosine misses verbatim-with-noise, simhash saturates on tiny
+    * docs). All joins are candidate-restricted; no new all-pairs work
+    * anywhere. */
+  def d14DedupVerdict(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    val pairs = d3LshPairs(s, dir)
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
+    val sim = d5Simhash(s, dir)
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(call_function("dot_f64", $"v", $"v")))
+    val jac = coalesce($"n_inter", lit(0L)) /
+      ($"na" + $"nb" - coalesce($"n_inter", lit(0L)))
+    val ham = expr("cast(bit_count(sha ^ shb) AS int)")
+    val cos = call_function("dot_f64", $"va", $"vb") / ($"nrma" * $"nrmb")
+    pairs
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sim.select($"doc_id".as("doc_a"), $"simhash".as("sha")), "doc_a")
+      .join(sim.select($"doc_id".as("doc_b"), $"simhash".as("shb")), "doc_b")
+      .join(emb.select($"vec_id".as("doc_a"), $"v".as("va"), $"nrm".as("nrma")),
+        Seq("doc_a"), "left")
+      .join(emb.select($"vec_id".as("doc_b"), $"v".as("vb"), $"nrm".as("nrmb")),
+        Seq("doc_b"), "left")
+      .select($"doc_a", $"doc_b",
+        round(jac, 4).as("jaccard"), ham.as("hamming"), round(cos, 4).as("cosine"),
+        (when(jac >= 0.5, 1).otherwise(0) +
+          when(ham <= 3, 1).otherwise(0) +
+          when(cos >= 0.95, 1).otherwise(0)).as("n_signals"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val oracles: Map[String, String] = Map(
+    "d14_dedup_verdict" -> {
+      def dotSql(x: String, y: String) =
+        s"list_sum([$x[i] * $y[i] for i in range(1, len($x) + 1)])"
+      s"""WITH $lshPairsCtes,
+          sh AS ($shingleSql),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, count(*) AS n_inter
+            FROM lsh_pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2),
+          sim AS ($simhashSql),
+          emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          j AS (
+            SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+                   coalesce(i.n_inter, 0) /
+                     CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jac,
+                   bit_count(xor(ha.simhash, hb.simhash)) AS ham,
+                   CASE WHEN ea.v IS NULL OR eb.v IS NULL THEN NULL
+                        ELSE ${dotSql("ea.v", "eb.v")} /
+                             (sqrt(${dotSql("ea.v", "ea.v")}) * sqrt(${dotSql("eb.v", "eb.v")}))
+                   END AS cos
+            FROM lsh_pairs p
+            JOIN sizes sa ON sa.doc_id = p.doc_a
+            JOIN sizes sb ON sb.doc_id = p.doc_b
+            LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+            JOIN sim ha ON ha.doc_id = p.doc_a
+            JOIN sim hb ON hb.doc_id = p.doc_b
+            LEFT JOIN emb ea ON ea.vec_id = p.doc_a
+            LEFT JOIN emb eb ON eb.vec_id = p.doc_b)
+          SELECT doc_a, doc_b, round(jac, 4) AS jaccard,
+                 CAST(ham AS INT) AS hamming, round(cos, 4) AS cosine,
+                 CAST(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END
+                    + CASE WHEN ham <= 3 THEN 1 ELSE 0 END
+                    + CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END AS INT) AS n_signals
+          FROM j ORDER BY doc_a, doc_b"""
+    },
     "d13_incremental_dedup" ->
       s"""WITH $lshPairsCtes,
           cand AS (
@@ -631,5 +716,6 @@ object Dedup {
     "d11_simhash_neardup" -> d11SimhashNeardup _,
     "d12_minhash_calibration" -> d12MinhashCalibration _,
     "d13_incremental_dedup" -> d13IncrementalDedup _,
+    "d14_dedup_verdict" -> d14DedupVerdict _,
   )
 }
