@@ -247,7 +247,65 @@ object Stream {
       .orderBy($"user_id")
   }
 
+  /** ST-11 — stream-stream LEFT OUTER join (st9's sides and range):
+    * unmatched `view`s must NOT be emitted when first seen — a match
+    * could still arrive — so Spark holds them in state and emits the
+    * null-extended row only once the watermark proves the match window
+    * ([v_ts, v_ts+1h]) can no longer receive rows. Matched pairs emit
+    * immediately (same as the inner join). The gate's oracle therefore
+    * has TWO row classes: all matches, plus unmatched views whose
+    * window closed under the final watermark (max ts − 2 h); unmatched
+    * views still inside the watermark stay in state and do not appear —
+    * exactly what a live pipeline sees. */
+  def st11StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_st11_").toString
+    def side(tpe: String, tag: String) =
+      graft.io.Tables.eventsStream(s, dir)
+        .filter($"event_type" === tpe)
+        .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
+          $"event_id".as(s"${tag}_id"))
+        .withWatermark(s"${tag}_ts", "2 hours")
+    val joined = side("view", "v").join(side("purchase", "p"),
+      $"v_user" === $"p_user" &&
+        $"p_ts" >= $"v_ts" && $"p_ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    val q = joined.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(s"$work/out")
+      .groupBy($"v_user".as("user_id"))
+      .agg(sum(when($"p_id".isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when($"p_id".isNull, 1L).otherwise(0L)).as("n_unmatched_closed"))
+      .orderBy($"user_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    // st11: matches always emit; a null-extended view emits only once
+    // the final watermark (max ts - 2h) passes the end of its match
+    // window (v_ts + 1h).
+    "st11_stream_outer_join" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+         v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT v.user_id AS user_id, v.ts AS v_ts, p.event_id AS p_id
+               FROM v LEFT JOIN p
+                 ON p.user_id = v.user_id
+                AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+         SELECT user_id,
+                CAST(sum(CASE WHEN p_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN p_id IS NULL
+                               AND v_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_closed
+         FROM j GROUP BY 1
+         HAVING sum(CASE WHEN p_id IS NOT NULL THEN 1 ELSE 0 END) > 0
+             OR sum(CASE WHEN p_id IS NULL
+                          AND v_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+                         THEN 1 ELSE 0 END) > 0
+         ORDER BY user_id""",
     // st9: inner stream-stream join emits every match during the drain
     // (watermarks bound state, not the inner-join result) -> oracle is
     // the plain batch interval join.
@@ -330,5 +388,6 @@ object Stream {
     "st7_foreachbatch_upsert" -> st7ForeachBatchUpsert _,
     "st8_stream_static_join" -> st8StreamStaticJoin _,
     "st9_stream_stream_join" -> st9StreamStreamJoin _,
+    "st11_stream_outer_join" -> st11StreamOuterJoin _,
   )
 }
