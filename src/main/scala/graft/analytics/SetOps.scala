@@ -138,7 +138,31 @@ object SetOps {
       .orderBy($"tag")
   }
 
+  /** Q-38 — UNPIVOT (melt): the q24 status × priority-class count
+    * matrix back to long form via `stack` — the generator-based
+    * wide→long transform (reporting tables arrive wide; joins and
+    * aggregations want long). Zero-count cells are dropped (the melt
+    * convention q24's pivot fill created them under). Narrow generate
+    * over the (tiny) pivoted frame; all counts integer. */
+  def q38Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(s, dir)
+      .withColumn("pc", substring($"o_orderpriority", 1, 1))
+      .groupBy($"o_orderstatus").pivot("pc", Seq("1", "2", "3", "4", "5"))
+      .agg(count(lit(1)))
+    val stacked = wide.select($"o_orderstatus", expr(
+      "stack(5, '1', `1`, '2', `2`, '3', `3`, '4', `4`, '5', `5`) AS (pc, n)"))
+    stacked.filter($"n".isNotNull && $"n" > 0)
+      .select($"o_orderstatus", $"pc", $"n")
+      .orderBy($"o_orderstatus", $"pc")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q38_unpivot" ->
+      """SELECT o_orderstatus, substr(o_orderpriority, 1, 1) AS pc, count(*) AS n
+         FROM orders
+         GROUP BY 1, 2
+         HAVING count(*) > 0
+         ORDER BY o_orderstatus, pc""",
     "q36_bag_setops" ->
       """WITH a AS (SELECT o_custkey AS ck FROM orders WHERE year(o_orderdate) % 2 = 0),
               b AS (SELECT o_custkey AS ck FROM orders WHERE year(o_orderdate) % 2 = 1),
@@ -214,5 +238,6 @@ object SetOps {
     "q34_corr_subquery" -> q34CorrSubquery _,
     "q35_window_suite" -> q35WindowSuite _,
     "q36_bag_setops" -> q36BagSetOps _,
+    "q38_unpivot" -> q38Unpivot _,
   )
 }

@@ -277,7 +277,7 @@ object Dedup {
 
   /** Shared CTE chain ending in `lsh_pairs(doc_a, doc_b)` (used by the
     * D-3 oracle and as the edge set of the D-6 clustering oracle). */
-  private lazy val lshPairsCtes: String = {
+  private[graft] lazy val lshPairsCtes: String = {
     val rows = NumHashes / Bands
     val bandSelects = (0 until Bands).map { b =>
       val cat = (0 until rows).map(r => s"m${b * rows + r}").mkString("||")

@@ -205,7 +205,65 @@ object Pipeline {
         sum($"doc_id").as("id_checksum"))
       .orderBy($"source", $"split")
 
+  /** P-3 — the incremental-ingest STEADY-STATE loop, end-to-end: the
+    * "new batch" (doc_id % 10 == 9) is admitted into the serving corpus
+    * snapshot through the production gauntlet —
+    *
+    *   intra-batch exact dedup (keep min doc_id per content hash) →
+    *   near-dup check against the EXISTING corpus index (d13's band
+    *   join — cost ∝ batch, corpus never re-shingled; any collision
+    *   rejects) → MERGE-upsert into the snapshot (mt2's anti-join +
+    *   union, st7's crash-safe write-aside shape) → per-source audit
+    *   of the post-merge corpus with an id checksum.
+    *
+    * This is the loop a 100 TB corpus runs every arrival interval; at
+    * scale only the snapshot write is proportional to the corpus, and
+    * a table format (SURVEY §7.2a) turns that into a metadata commit. */
+  def p3IncrementalIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sweepOldWorkDirs()
+    val work = Files.createTempDirectory("graft_p3_").toString
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter($"doc_id" % 10 =!= 9)
+    val colliding = graft.dedup.Dedup.d13IncrementalDedup(s, dir)
+      .filter($"needs_verify" === 1).select($"new_doc".as("doc_id"))
+    val admitted = docs.filter($"doc_id" % 10 === 9)
+      .withColumn("keep_id", min($"doc_id").over(Window.partitionBy(md5($"text"))))
+      .filter($"doc_id" === $"keep_id").drop("keep_id")
+      .join(broadcast(colliding), Seq("doc_id"), "left_anti")
+    corpus.write.mode("overwrite").parquet(s"$work/corpus")
+    val cur = s.read.parquet(s"$work/corpus")
+    graft.maintenance.Maintenance.mergeUpsert(cur, admitted, "doc_id")
+      .write.mode("overwrite").parquet(s"$work/next")
+    s.read.parquet(s"$work/next")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        sum($"doc_id").as("id_checksum"))
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p3_incremental_ingest" ->
+      s"""WITH ${graft.dedup.Dedup.lshPairsCtes},
+          coll AS (
+            SELECT DISTINCT n.doc_id AS doc_id
+            FROM bands n JOIN bands c ON n.band = c.band AND n.sig = c.sig
+            WHERE n.doc_id % 10 = 9 AND c.doc_id % 10 <> 9),
+          batch AS (
+            SELECT doc_id, source, n_chars,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+            FROM documents WHERE doc_id % 10 = 9),
+          admitted AS (
+            SELECT doc_id, source, n_chars FROM batch
+            WHERE doc_id = keep_id
+              AND doc_id NOT IN (SELECT doc_id FROM coll)),
+          final AS (
+            SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 <> 9
+            UNION ALL SELECT doc_id, source, n_chars FROM admitted)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
+          FROM final GROUP BY 1 ORDER BY source""",
     "p2_training_corpus" -> {
       def b(seed: String, k: String) =
         s"""((strpos('0123456789abcdef', substr(md5('$seed' || $k), 1, 1)) - 1) * 16
@@ -249,6 +307,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_pipeline_e2e" -> p1Pipeline _,
     "p2_training_corpus" -> p2TrainingCorpus _,
+    "p3_incremental_ingest" -> p3IncrementalIngest _,
     "o8_json_raw" -> o8JsonRaw _,
   )
 }
