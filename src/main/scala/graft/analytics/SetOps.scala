@@ -156,7 +156,36 @@ object SetOps {
       .orderBy($"o_orderstatus", $"pc")
   }
 
+  /** Q-39 — OUTER generator semantics: per-customer sorted order-key
+    * arrays exploded with `posexplode_outer`, which RETAINS parents
+    * whose array is empty as a single (null pos, null val) row — the
+    * left-join-shaped generate that plain explode silently drops
+    * (losing order-less customers from any downstream report). Sample:
+    * every 10th customer. One groupBy to build the arrays; the
+    * generate itself is narrow. */
+  def q39GeneratorOuter(s: SparkSession, dir: String): DataFrame = {
+    val custs = Tables.customer(s, dir)
+      .filter($"c_custkey" % 10 === 0).select($"c_custkey")
+    val arrs = Tables.orders(s, dir)
+      .groupBy($"o_custkey").agg(sort_array(collect_list($"o_orderkey")).as("oks"))
+    custs.join(arrs, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", coalesce($"oks", array()).as("oks"))
+      .select($"c_custkey", posexplode_outer($"oks").as(Seq("pos", "okey")))
+      .orderBy($"c_custkey", $"pos")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q39_generator_outer" ->
+      """SELECT c.c_custkey,
+                CASE WHEN o.o_orderkey IS NULL THEN NULL
+                     ELSE CAST(o.rn - 1 AS INT) END AS pos,
+                o.o_orderkey AS okey
+         FROM customer c LEFT JOIN (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+           FROM orders) o ON o.o_custkey = c.c_custkey
+         WHERE c.c_custkey % 10 = 0
+         ORDER BY c_custkey, pos""",
     "q38_unpivot" ->
       """SELECT o_orderstatus, substr(o_orderpriority, 1, 1) AS pc, count(*) AS n
          FROM orders
@@ -239,5 +268,6 @@ object SetOps {
     "q35_window_suite" -> q35WindowSuite _,
     "q36_bag_setops" -> q36BagSetOps _,
     "q38_unpivot" -> q38Unpivot _,
+    "q39_generator_outer" -> q39GeneratorOuter _,
   )
 }
