@@ -175,7 +175,29 @@ object Sketches {
       .orderBy($"o_custkey")
   }
 
+  /** X-7 — the typed-`Aggregator` entry (see
+    * [[graft.functions.CentsStats]]): per-status one-pass
+    * (n, sum, min, max) over order cents through `functions.udaf` —
+    * the public custom-aggregate rung of the UDx ladder (x2 carries
+    * the catalyst-level rung). Plans as partial/final HashAggregate
+    * like any built-in. */
+  def x7TypedAggregator(s: SparkSession, dir: String): DataFrame = {
+    val stats = udaf(graft.functions.CentsStats)
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(stats(round($"o_totalprice" * 100).cast("bigint")).as("st"))
+      .select($"o_orderstatus", $"st.n".as("n"), $"st.sum".as("sum_c"),
+        $"st.min".as("min_c"), $"st.max".as("max_c"))
+      .orderBy($"o_orderstatus")
+  }
+
   val oracles: Map[String, String] = Map(
+    "x7_typed_aggregator" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+                CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_c,
+                CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_c
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
     "x6_countmin" -> {
       def bucketSql(d: Int, key: String) =
         s"""(((strpos('0123456789abcdef', substr(md5('cm$d:' || CAST($key AS VARCHAR)), 1, 1)) - 1) * 4096
@@ -226,5 +248,6 @@ object Sketches {
     "x2_kmv_distinct" -> x2KmvDistinct _,
     "x3_salted_agg" -> x3SaltedAgg _,
     "x6_countmin" -> x6CountMin _,
+    "x7_typed_aggregator" -> x7TypedAggregator _,
   )
 }

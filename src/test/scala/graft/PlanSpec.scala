@@ -148,6 +148,12 @@ class PlanSpec extends AnyFunSuite {
       "calibration pair generation degraded to a nested loop:\n" + p.take(2000))
   }
 
+  test("x7 typed Aggregator partial-aggregates map-side like a built-in") {
+    val p = plan(graft.plans.Sketches.x7TypedAggregator(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "typed udaf should plan paired partial/final aggregates:\n" + p.take(2000))
+  }
+
   test("NO batch entry plans an unguarded cartesian / nested-loop join (full sweep)") {
     // Entries whose plans legitimately contain a BroadcastNestedLoopJoin:
     // every one is a 1-row scalar (or bounds/total row) broadcast across
