@@ -174,7 +174,43 @@ object SetOps {
       .orderBy($"c_custkey", $"pos")
   }
 
+  /** Q-40 — the BUILT-IN `session_window` (30-min gap) — Spark-first
+    * counterpoint to the hand-rolled sessionization (q22 composes
+    * window functions, st3 carries custom state): one
+    * `groupBy(session_window(ts, gap), user)` and Catalyst's dedicated
+    * session-merge aggregation does the rest. Boundary semantics differ
+    * from q22 by design: a gap of EXACTLY 30 min starts a new session
+    * here (windows are half-open [ts, ts+gap)), which the oracle
+    * mirrors with a `diff >= gap` cumulative session id. */
+  def q40SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events", $"sum_value_c")
+      .orderBy($"user_id", $"session_start")
+
   val oracles: Map[String, String] = Map(
+    "q40_session_window" ->
+      """WITH e AS (
+           SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL 30 MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, cents,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM e)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events,
+                CAST(sum(cents) AS BIGINT) AS sum_value_c
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "q39_generator_outer" ->
       """SELECT c.c_custkey,
                 CASE WHEN o.o_orderkey IS NULL THEN NULL
@@ -269,5 +305,6 @@ object SetOps {
     "q36_bag_setops" -> q36BagSetOps _,
     "q38_unpivot" -> q38Unpivot _,
     "q39_generator_outer" -> q39GeneratorOuter _,
+    "q40_session_window" -> q40SessionWindow _,
   )
 }

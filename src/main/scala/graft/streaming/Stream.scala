@@ -283,7 +283,58 @@ object Stream {
       .orderBy($"user_id")
   }
 
+  /** ST-12 — STREAMING `session_window` (30-min gap) with watermark +
+    * append + file sink: Spark's dedicated session-merge state (late
+    * events extend/merge sessions while inside the watermark) — the
+    * built-in that replaces st3's hand-rolled flatMapGroupsWithState
+    * when plain gap sessions are all that's needed. A session emits
+    * once the watermark passes its end (last event + gap); trailing
+    * open sessions stay in state, exactly like st4's open windows. */
+  def st12SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_st12_").toString
+    val plan = graft.io.Tables.eventsStream(s, dir)
+      .select($"user_id", $"ts", $"value")
+      .withWatermark("ts", "2 hours")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events", $"sum_value_c")
+    val q = plan.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(s"$work/out").orderBy($"user_id", $"session_start")
+  }
+
   val oracles: Map[String, String] = Map(
+    // st12: q40's batch sessions, restricted to sessions CLOSED under
+    // the final watermark (session end = last event + gap).
+    "st12_session_window" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+         e AS (
+           SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL 30 MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, cents,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM e),
+         g AS (
+           SELECT user_id, min(ts) AS session_start,
+                  max(ts) + INTERVAL 30 MINUTE AS session_end,
+                  count(*) AS n_events,
+                  CAST(sum(cents) AS BIGINT) AS sum_value_c
+           FROM s GROUP BY user_id, sid)
+         SELECT g.* FROM g, wm WHERE g.session_end <= wm.w
+         ORDER BY user_id, session_start""",
     // st11: matches always emit; a null-extended view emits only once
     // the final watermark (max ts - 2h) passes the end of its match
     // window (v_ts + 1h).
@@ -389,5 +440,6 @@ object Stream {
     "st8_stream_static_join" -> st8StreamStaticJoin _,
     "st9_stream_stream_join" -> st9StreamStreamJoin _,
     "st11_stream_outer_join" -> st11StreamOuterJoin _,
+    "st12_session_window" -> st12SessionWindow _,
   )
 }
