@@ -178,10 +178,11 @@ object SetOps {
     * counterpoint to the hand-rolled sessionization (q22 composes
     * window functions, st3 carries custom state): one
     * `groupBy(session_window(ts, gap), user)` and Catalyst's dedicated
-    * session-merge aggregation does the rest. Boundary semantics differ
-    * from q22 by design: a gap of EXACTLY 30 min starts a new session
-    * here (windows are half-open [ts, ts+gap)), which the oracle
-    * mirrors with a `diff >= gap` cumulative session id. */
+    * session-merge aggregation does the rest. Boundary semantics match
+    * q22/st3's hand-rolled form: events exactly one gap apart MERGE
+    * (the window is inclusive at its end; a new session needs
+    * diff > gap) — pinned by a unit test on synthetic boundary events
+    * and mirrored in the oracle's `diff > gap` session id. */
   def q40SessionWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
@@ -196,7 +197,7 @@ object SetOps {
       """WITH e AS (
            SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            >= INTERVAL 30 MINUTE
+                            > INTERVAL 30 MINUTE
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                        THEN 1 ELSE 0 END AS new_s
            FROM events),

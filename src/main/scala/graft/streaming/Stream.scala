@@ -318,7 +318,7 @@ object Stream {
          e AS (
            SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            >= INTERVAL 30 MINUTE
+                            > INTERVAL 30 MINUTE
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                        THEN 1 ELSE 0 END AS new_s
            FROM events),

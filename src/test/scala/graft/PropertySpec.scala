@@ -129,6 +129,23 @@ class PropertySpec extends AnyFunSuite {
         s"diff=${(bucketized diff brute).take(3)} ${(brute diff bucketized).take(3)}")
   }
 
+  test("session_window boundary: exactly one gap apart MERGES; one tick more splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, session_window}
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    // user 1: events 1801s apart -> two sessions (split needs diff > gap);
+    // user 2: events exactly 1800s apart -> ONE session (inclusive end)
+    val df = Seq((1L, at(0)), (1L, at(1801)), (2L, at(0)), (2L, at(1800)))
+      .toDF("user_id", "ts")
+    val sessions = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(col("*")).as("n"))
+      .groupBy(col("user_id")).agg(count(col("*")).as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    assert(sessions == Map(1L -> 2L, 2L -> 1L),
+      s"boundary semantics drifted: $sessions (q40/st12 oracles assume diff>gap splits)")
+  }
+
   test("x6 count-min estimate dominates truth (CM upper-bound invariant)") {
     import spark.implicits._
     val bad = graft.plans.Sketches.x6CountMin(spark, sf)
