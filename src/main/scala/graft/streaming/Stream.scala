@@ -29,6 +29,23 @@ import graft.syntax._
   */
 object Stream {
 
+  /** Drain an append-mode streaming plan into a fresh parquet file sink
+    * with `Trigger.AvailableNow` and read the result back — the shared
+    * protocol of every production-shape entry (st4/5/6/8/9/11/12). The
+    * final no-data micro-batch advances the watermark past the drained
+    * data, flushing everything state can release before termination. */
+  private def drainAppend(s: SparkSession, plan: DataFrame, prefix: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory(prefix).toString
+    val q = plan.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(s"$work/out")
+  }
+
   def st1StreamHourly(s: SparkSession, dir: String): DataFrame = {
     val name = "st1_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val stream = graft.io.Tables.eventsStream(s, dir)
@@ -64,17 +81,8 @@ object Stream {
     * `spark.sql.streaming.noDataMicroBatches.enabled`) advances the
     * watermark past the drained data and flushes every closed window to
     * the sink before the query terminates. */
-  def st4WatermarkAppend(s: SparkSession, dir: String): DataFrame = {
-    graft.pipeline.Pipeline.sweepOldWorkDirs()
-    val work = java.nio.file.Files.createTempDirectory("graft_st4_").toString
-    val q = st4Plan(s, dir).writeStream
-      .outputMode("append").format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
-    s.read.parquet(s"$work/out").orderBy($"wstart", $"event_type")
-  }
+  def st4WatermarkAppend(s: SparkSession, dir: String): DataFrame =
+    drainAppend(s, st4Plan(s, dir), "graft_st4_").orderBy($"wstart", $"event_type")
 
   /** ST-5 — the SLIDING-window production shape (st2's 2h/1h windows,
     * but watermarked + append + file sink instead of complete-mode into
@@ -82,8 +90,6 @@ object Stream {
     * (delay + duration) / slide open windows per key and drops them as
     * the watermark passes. Same drain protocol as st4. */
   def st5SlidingWatermark(s: SparkSession, dir: String): DataFrame = {
-    graft.pipeline.Pipeline.sweepOldWorkDirs()
-    val work = java.nio.file.Files.createTempDirectory("graft_st5_").toString
     val plan = graft.io.Tables.eventsStream(s, dir)
       .select($"ts", $"event_type", $"value")
       .withWatermark("ts", "2 hours")
@@ -91,13 +97,7 @@ object Stream {
       .agg(count(lit(1)).as("n"),
         sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
       .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value_c")
-    val q = plan.writeStream
-      .outputMode("append").format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
-    s.read.parquet(s"$work/out").orderBy($"wstart", $"event_type")
+    drainAppend(s, plan, "graft_st5_").orderBy($"wstart", $"event_type")
   }
 
   /** ST-6 — at-least-once ingest dedup: the source is unioned with
@@ -109,8 +109,6 @@ object Stream {
     * downstream — two chained stateful operators in one append-mode
     * query. The result must equal st4's single-delivery aggregation. */
   def st6StreamDedup(s: SparkSession, dir: String): DataFrame = {
-    graft.pipeline.Pipeline.sweepOldWorkDirs()
-    val work = java.nio.file.Files.createTempDirectory("graft_st6_").toString
     def src = graft.io.Tables.eventsStream(s, dir)
       .select($"event_id", $"ts", $"event_type", $"value")
     val plan = src.union(src)
@@ -120,13 +118,7 @@ object Stream {
       .agg(count(lit(1)).as("n"),
         sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
       .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value_c")
-    val q = plan.writeStream
-      .outputMode("append").format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
-    s.read.parquet(s"$work/out").orderBy($"wstart", $"event_type")
+    drainAppend(s, plan, "graft_st6_").orderBy($"wstart", $"event_type")
   }
 
   /** ST-7 — `foreachBatch` idempotent-upsert sink: the production
@@ -183,8 +175,6 @@ object Stream {
     * dim is still MBs, so the join stays a map-side hash probe on every
     * executor. Same append-mode + file-sink drain protocol as st4. */
   def st8StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
-    graft.pipeline.Pipeline.sweepOldWorkDirs()
-    val work = java.nio.file.Files.createTempDirectory("graft_st8_").toString
     val dim = graft.io.Tables.customer(s, dir)
       .select($"c_custkey", $"c_mktsegment")
     val plan = graft.io.Tables.eventsStream(s, dir)
@@ -195,13 +185,7 @@ object Stream {
       .agg(count(lit(1)).as("n"),
         sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
       .select($"w.start".as("wstart"), $"c_mktsegment", $"n", $"sum_value_c")
-    val q = plan.writeStream
-      .outputMode("append").format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
-    s.read.parquet(s"$work/out").orderBy($"wstart", $"c_mktsegment")
+    drainAppend(s, plan, "graft_st8_").orderBy($"wstart", $"c_mktsegment")
   }
 
   /** ST-9 — stream-STREAM join: per-user attribution pairing each
@@ -231,15 +215,7 @@ object Stream {
   }
 
   def st9StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    graft.pipeline.Pipeline.sweepOldWorkDirs()
-    val work = java.nio.file.Files.createTempDirectory("graft_st9_").toString
-    val q = st9Plan(s, dir).writeStream
-      .outputMode("append").format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
-    s.read.parquet(s"$work/out")
+    drainAppend(s, st9Plan(s, dir), "graft_st9_")
       .groupBy($"v_user".as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct($"v_id").as("n_views_converted"),
@@ -258,8 +234,6 @@ object Stream {
     * views still inside the watermark stay in state and do not appear —
     * exactly what a live pipeline sees. */
   def st11StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
-    graft.pipeline.Pipeline.sweepOldWorkDirs()
-    val work = java.nio.file.Files.createTempDirectory("graft_st11_").toString
     def side(tpe: String, tag: String) =
       graft.io.Tables.eventsStream(s, dir)
         .filter($"event_type" === tpe)
@@ -270,13 +244,7 @@ object Stream {
       $"v_user" === $"p_user" &&
         $"p_ts" >= $"v_ts" && $"p_ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"),
       "left_outer")
-    val q = joined.writeStream
-      .outputMode("append").format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
-    s.read.parquet(s"$work/out")
+    drainAppend(s, joined, "graft_st11_")
       .groupBy($"v_user".as("user_id"))
       .agg(sum(when($"p_id".isNotNull, 1L).otherwise(0L)).as("n_pairs"),
         sum(when($"p_id".isNull, 1L).otherwise(0L)).as("n_unmatched_closed"))
@@ -291,8 +259,6 @@ object Stream {
     * once the watermark passes its end (last event + gap); trailing
     * open sessions stay in state, exactly like st4's open windows. */
   def st12SessionWindow(s: SparkSession, dir: String): DataFrame = {
-    graft.pipeline.Pipeline.sweepOldWorkDirs()
-    val work = java.nio.file.Files.createTempDirectory("graft_st12_").toString
     val plan = graft.io.Tables.eventsStream(s, dir)
       .select($"user_id", $"ts", $"value")
       .withWatermark("ts", "2 hours")
@@ -301,13 +267,7 @@ object Stream {
         sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
       .select($"user_id", $"w.start".as("session_start"),
         $"w.end".as("session_end"), $"n_events", $"sum_value_c")
-    val q = plan.writeStream
-      .outputMode("append").format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
-    s.read.parquet(s"$work/out").orderBy($"user_id", $"session_start")
+    drainAppend(s, plan, "graft_st12_").orderBy($"user_id", $"session_start")
   }
 
   val oracles: Map[String, String] = Map(
