@@ -64,6 +64,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window merges two open sessions when a bridging late event arrives in-watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val agg = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("s"), col("w.end").as("e"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // batch 1: two events 15 min apart -> TWO open sessions in state
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:15:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0, "no session closed yet")
+      // batch 2: a late bridging event at 10:08 (within 10 min of both)
+      // must MERGE the two open sessions into one — the session-specific
+      // state mutation plain windows never do
+      input.addData((1L, ts("2024-01-01 10:08:00")))
+      q.processAllAvailable()
+      // batch 3: advance the watermark past the merged session's end
+      input.addData((2L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").filter(col("user_id") === 1).collect()
+        .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      assert(rows.toSeq == Seq(("2024-01-01 10:00:00.0", "2024-01-01 10:25:00.0", 3L)),
+        s"late bridge must merge the open sessions: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("watermark drops too-late events and admits in-watermark late events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
