@@ -106,9 +106,15 @@ object Dedup {
 
   /** Drop (and unpersist) cached signatures — call after rewriting a
     * document dir within a session. */
-  def invalidateSignatureCache(): Unit = sigCache.synchronized {
-    sigCache.values.forEach(df => scala.util.Try(df.unpersist()))
-    sigCache.clear()
+  def invalidateSignatureCache(): Unit = {
+    sigCache.synchronized {
+      sigCache.values.forEach(df => scala.util.Try(df.unpersist()))
+      sigCache.clear()
+    }
+    d9Cache.synchronized {
+      d9Cache.values.forEach(df => scala.util.Try(df.unpersist()))
+      d9Cache.clear()
+    }
   }
 
   /** Per-doc band signatures (Bands rows per doc). */
@@ -308,20 +314,38 @@ object Dedup {
     * KBs–MBs) → distinct once, BROADCAST to the corpus-side shingle
     * stream, count matches per doc. No shuffle of the corpus beyond the
     * per-doc distinct; PlanSpec asserts the broadcast. */
-  def d9Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.io.Tables.documents(s, dir)
-    def shingles(df: DataFrame) = df.select($"doc_id", explode(expr(
-      """CASE WHEN size(split(text, ' ')) >= 3
-           THEN transform(sequence(0, size(split(text, ' ')) - 3),
-             i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 3))))
-           ELSE array() END""")).as("sh"))
-    val bench = shingles(docs.filter($"doc_id" % 50 === 0))
-      .select($"sh").distinct()
-    val corpus = shingles(docs.filter($"doc_id" % 50 =!= 0))
-      .select($"doc_id", $"sh").distinct()
-    corpus.join(broadcast(bench), "sh")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
-      .orderBy($"doc_id")
+  /** Session cache of the (tiny) contamination table — D-9's output is
+    * consumed again by D-10's purge and the P-2/P-3 pipelines, and at
+    * production scale a contamination list is materialized once per
+    * corpus version, not recomputed per consumer. Same bounded-LRU
+    * discipline as [[sigCache]]; same immutable-dir assumption. */
+  private val d9Cache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        if (size > MaxCachedDirs) {
+          scala.util.Try(e.getValue.unpersist())
+          true
+        } else false
+    }
+
+  def d9Decontaminate(s: SparkSession, dir: String): DataFrame = d9Cache.synchronized {
+    d9Cache.computeIfAbsent((s, dir), _ => {
+      val docs = graft.io.Tables.documents(s, dir)
+      def shingles(df: DataFrame) = df.select($"doc_id", explode(expr(
+        """CASE WHEN size(split(text, ' ')) >= 3
+             THEN transform(sequence(0, size(split(text, ' ')) - 3),
+               i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 3))))
+             ELSE array() END""")).as("sh"))
+      val bench = shingles(docs.filter($"doc_id" % 50 === 0))
+        .select($"sh").distinct()
+      val corpus = shingles(docs.filter($"doc_id" % 50 =!= 0))
+        .select($"doc_id", $"sh").distinct()
+      corpus.join(broadcast(bench), "sh")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+        .orderBy($"doc_id")
+        .persist()
+    })
   }
 
   /** D-11 — SimHash near-dup pairs (hamming ≤ 3 over D-5's 16-bit
