@@ -163,7 +163,39 @@ object Maintenance {
       .orderBy($"fk_edge")
   }
 
+  /** MT-5 — schema evolution: two ingest batches land with DIFFERENT
+    * schemas (an upstream added a column mid-stream — the normal state
+    * of a long-lived raw zone), and `mergeSchema` reconciles them at
+    * read time into the union schema with nulls for the absent columns.
+    * The audit counts per-column presence so silent column loss (the
+    * default non-merging read takes one file's schema!) is caught. At
+    * 100 TB the same read works because merging is a FOOTER-metadata
+    * operation — no data pass. */
+  def mt5SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_mt5_").toString
+    val ev = Tables.events(s, dir)
+    // batch 1: schema (event_id, event_type); batch 2: (event_id, value)
+    ev.filter($"event_id" % 2 === 0).select($"event_id", $"event_type")
+      .write.mode("append").parquet(s"$work/zone")
+    ev.filter($"event_id" % 2 === 1)
+      .select($"event_id", round($"value" * 100).cast("bigint").as("value_c"))
+      .write.mode("append").parquet(s"$work/zone")
+    s.read.option("mergeSchema", "true").parquet(s"$work/zone")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"event_type").as("n_with_type"),
+        count($"value_c").as("n_with_value"),
+        sum($"value_c").as("sum_value_c"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "mt5_schema_evolution" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_type,
+                CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
+                CAST(sum(CASE WHEN event_id % 2 = 1
+                              THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS sum_value_c
+         FROM events""",
     "mt4_fk_audit" -> {
       def one(ct: String, ck: String, pt: String, pk: String) =
         s"""SELECT '$ct.$ck -> $pt.$pk' AS fk_edge,
@@ -224,5 +256,6 @@ object Maintenance {
     "mt2_merge_upsert" -> mt2MergeUpsert _,
     "mt3_skew_audit" -> mt3SkewAudit _,
     "mt4_fk_audit" -> mt4FkAudit _,
+    "mt5_schema_evolution" -> mt5SchemaEvolution _,
   )
 }
