@@ -64,6 +64,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked agg result is invariant to replay chunking (maxFilesPerTrigger=1)") {
+    // the same data replayed as FOUR time-ordered micro-batches must
+    // produce exactly the single-batch drain's output: watermarks
+    // advance per batch, but every event stays >= the watermark of its
+    // own batch (files are range-partitioned on ts), so nothing is
+    // dropped and the closed-window set depends only on the data.
+    // The file source replays in MODIFICATION-TIME order (task
+    // completion order, NOT range order — an out-of-order chunk would
+    // advance the watermark past earlier chunks and silently drop
+    // them; first version of this test proved exactly that), so the
+    // production contract is made explicit: mod times are pinned
+    // ascending with the time ranges before replay.
+    val sf = "/root/testdata/sf0.001"
+    val work = java.nio.file.Files.createTempDirectory("graft_replay_").toString
+    graft.io.Tables.events(spark, sf)
+      .select(col("ts"), col("event_type"), col("value"))
+      .repartitionByRange(4, col("ts"))
+      .write.parquet(s"$work/src")
+    val parts = new java.io.File(s"$work/src").listFiles
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L) }
+    def drained(maxFiles: Option[Int]): Array[org.apache.spark.sql.Row] = {
+      val reader = spark.readStream.schema(
+        spark.read.parquet(s"$work/src").schema)
+      val src = maxFiles.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+        .parquet(s"$work/src")
+      val plan = src.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+      val out = s"$work/out_${maxFiles.getOrElse(0)}"
+      val q = plan.writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", s"${out}_chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      spark.read.parquet(out).orderBy("wstart", "event_type").collect()
+    }
+    val single = drained(None)
+    val chunked = drained(Some(1))
+    assert(single.nonEmpty && single.sameElements(chunked),
+      s"chunked replay diverged: single=${single.length} chunked=${chunked.length}")
+  }
+
   test("session_window merges two open sessions when a bridging late event arrives in-watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
