@@ -61,7 +61,25 @@ object Bench {
     val sd = results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sd,"reps":$reps,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sd,"reps":$reps,"sf":"$sfDir"}"""
+    // The driver parses the stdout TAIL. A streaming state-store
+    // maintenance thread racing spark.stop() can dump a benign
+    // RpcEnvStoppedException stack AFTER our line and flood it out
+    // (this destroyed BENCH_r03). Two defenses: (1) persist the line
+    // to a file the driver/judge can always read; (2) stop and await
+    // every still-active streaming query BEFORE spark.stop() so the
+    // maintenance pool is quiesced and the stack never prints.
+    val out = java.nio.file.Paths.get("target", "bench_result.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    spark.streams.active.foreach { q =>
+      scala.util.Try(q.stop())
+      scala.util.Try(q.awaitTermination(30000))
+    }
     spark.stop()
+    // Print LAST, after shutdown: any stack emitted during stop() now
+    // lands before this line in the tail instead of after it.
+    println(line)
+    System.out.flush()
   }
 }

@@ -190,25 +190,40 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** D-5 — SimHash (16-bit) per doc: for bit j, sum ±1 votes from hex
-    * nibble j of each distinct token's md5; fingerprint = Σ bit_j·2^j.
-    * Near-dup docs agree on most nibble majorities → small Hamming
-    * distance. All integer/string algebra — no UDF, fully portable. */
-  def d5Simhash(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
+  /** D-5 core, width-parameterized — `bits`-wide SimHash (1..64) per
+    * doc: bit j is voted ±1 by hex nibble (j mod 32) of md5 digest
+    * group (j div 32) of each distinct token; fingerprint = Σ bit_j·2^j.
+    * Digest group 0 is the UNSALTED md5 (bit-compatible with the 16-bit
+    * oracle gate); groups g ≥ 1 are md5("g:" ‖ token), giving 32 fresh
+    * nibbles per group up to 64 bits. Near-dup docs agree on most
+    * nibble majorities → small Hamming distance. All integer/string
+    * algebra — no UDF, fully portable to the DuckDB oracle. Bit 63's
+    * weight is Long.MinValue: adding it to a sum of distinct lower
+    * powers of two cannot carry, so the two's-complement pattern is
+    * exact and ANSI-overflow-safe. */
+  def simhashFingerprint(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"simhash width $bits outside [1,64]")
+    val groups = (bits + 31) / 32
+    val tok0 = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .filter($"tok" =!= "").distinct()
-      .withColumn("h", md5($"tok"))
-    val votes = (0 until 16).map { j =>
-      sum(when(instr(lit("0123456789abcdef"), substring($"h", j + 1, 1)) - 1 >= 8, 1)
+    val tok = (0 until groups).foldLeft(tok0) { (df, g) =>
+      df.withColumn(s"h$g", if (g == 0) md5($"tok") else md5(concat(lit(s"$g:"), $"tok")))
+    }
+    val votes = (0 until bits).map { j =>
+      sum(when(instr(lit("0123456789abcdef"), substring(col(s"h${j / 32}"), j % 32 + 1, 1)) - 1 >= 8, 1)
         .otherwise(-1)).as(s"v$j")
     }
     tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
       .select($"doc_id",
-        (0 until 16).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(0L))
+        (0 until bits).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
       .orderBy($"doc_id")
   }
+
+  /** D-5 — the 16-bit gate configuration (brute-forceable oracle). */
+  def d5Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashFingerprint(s, dir, bits = 16)
 
   /** D-8 — the near-dup verdict: exact Jaccard on the LSH candidate
     * pairs (the real pipeline stage between candidate generation and
@@ -348,35 +363,59 @@ object Dedup {
     })
   }
 
-  /** D-11 — SimHash near-dup pairs (hamming ≤ 3 over D-5's 16-bit
-    * fingerprints) via nibble banding: pigeonhole guarantees ≤3 flipped
-    * bits leave at least one of the 4 nibbles intact, so an equi-join on
-    * (band, nibble) generates a COMPLETE candidate set — the standard
-    * simhash dedup shape — and bit_count(xor) verifies exactly. At
-    * production scale the fingerprint is 64-bit with 16-bit bands
-    * (buckets ~N/65536); the toy 16-bit hash here keeps the oracle
-    * brute-forceable while the Spark plan is the real banded one.
-    * Gate entry runs on a deterministic 1-in-5 sample (d4 precedent):
-    * the tiny-vocab synthetic corpus makes ~59% of ALL pairs hamming-
-    * close, so the unsampled output is O(N²) rows by data degeneracy,
-    * not by plan shape. */
-  def d11SimhashNeardup(s: SparkSession, dir: String): DataFrame = {
-    val h = d5Simhash(s, dir).select($"doc_id", $"simhash")
-      .filter($"doc_id" % 5 === 0)
-    val banded = h.select($"doc_id", $"simhash", explode(expr(
-      "transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(simhash, b * 4) % 16 AS INT) AS nib))")).as("x"))
-      .select($"doc_id", $"simhash", $"x.band".as("band"), $"x.nib".as("nib"))
+  /** D-11 core, width-parameterized — SimHash near-dup pairs
+    * (hamming ≤ bands−1) via banding: pigeonhole guarantees ≤ bands−1
+    * flipped bits leave at least one of the `bands` bands intact, so
+    * an equi-join on (band, band_key) generates a COMPLETE candidate
+    * set — the standard simhash dedup shape — and bit_count(xor)
+    * verifies exactly. Band key extraction uses shiftrightunsigned +
+    * mask so a set bit 63 (negative Long) bands correctly.
+    *
+    * Bucket population is ~N/2^(bits/bands) per (band, key): at 16-bit
+    * (4-bit bands) that is N/16 per bucket → the banded self-join
+    * degenerates toward O(N²/64) as N grows; at the production 64-bit
+    * / 16-bit-band config it is ~N/65536 — the config that survives a
+    * 100 TB corpus. The 16-bit config is kept ONLY because it makes
+    * the DuckDB oracle brute-forceable at gate SF. */
+  def simhashNeardupPairs(fp: DataFrame, bits: Int, bands: Int): DataFrame = {
+    require(bits % bands == 0, s"bands $bands must divide width $bits")
+    val bw = bits / bands
+    val mask = if (bw == 64) -1L else (1L << bw) - 1
+    val banded = fp.select($"doc_id", $"simhash", explode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, shiftrightunsigned(simhash, b * $bw) & $mask AS k))")).as("x"))
+      .select($"doc_id", $"simhash", $"x.band".as("band"), $"x.k".as("k"))
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("ha"), col("b.simhash").as("hb"))
       .distinct()
       .select($"doc_a", $"doc_b",
         expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
-      .filter($"hamming" <= 3)
+      .filter($"hamming" <= bands - 1)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** D-11 — the 16-bit gate configuration (4 nibble bands, hamming ≤ 3).
+    * Gate entry runs on a deterministic 1-in-5 sample (d4 precedent):
+    * the tiny-vocab synthetic corpus makes ~59% of ALL pairs hamming-
+    * close at 16 bits, so the unsampled output is O(N²) rows by data
+    * degeneracy, not by plan shape. */
+  def d11SimhashNeardup(s: SparkSession, dir: String): DataFrame =
+    simhashNeardupPairs(
+      d5Simhash(s, dir).select($"doc_id", $"simhash").filter($"doc_id" % 5 === 0),
+      bits = 16, bands = 4)
+
+  /** D-11b — the PRODUCTION width: 64-bit fingerprint, 4 × 16-bit bands
+    * (buckets ~N/65536), hamming ≤ 3. Same plan shape as the gate
+    * config — only the constants change — and still oracle-checked:
+    * DuckDB brute-forces the pair set over the same salted-md5
+    * fingerprints. At 64 bits only true near-dups collide, so no
+    * sampling is needed even though the gate config required it. */
+  def d11bSimhashNeardup64(s: SparkSession, dir: String): DataFrame =
+    simhashNeardupPairs(
+      simhashFingerprint(s, dir, bits = 64).select($"doc_id", $"simhash"),
+      bits = 64, bands = 4)
 
   /** D-10 — corpus purge: the removal stage that consumes D-1 and D-9.
     * Drops (a) exact-duplicate losers (keep min doc_id per content
@@ -712,20 +751,42 @@ object Dedup {
           FROM h a JOIN h b ON b.doc_id > a.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
           ORDER BY doc_a, doc_b""",
+    // d11b: production 64-bit width; oracle brute-forces the O(n²)
+    // hamming comparison over the SAME salted-md5 fingerprints (runs
+    // only at gate SF). xor/bit_count on BIGINT are two's-complement
+    // bitwise in both engines, so a set bit 63 compares identically.
+    "d11b_simhash_neardup64" ->
+      s"""WITH h AS (${simhashSqlW(64)})
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM h a JOIN h b ON b.doc_id > a.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY doc_a, doc_b""",
   )
 
-  private lazy val simhashSql: String = {
-    val votes = (0 until 16).map { j =>
-      s"sum(CASE WHEN strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS v$j"
+  /** Oracle twin of [[simhashFingerprint]] at width `bits` — the same
+    * salted-md5 nibble votes in DuckDB SQL. Bit 63's weight renders as
+    * the negative Long.MinValue literal; it is added LAST (j ascending)
+    * so every intermediate sum stays in BIGINT range. */
+  private def simhashSqlW(bits: Int): String = {
+    val groups = (bits + 31) / 32
+    val hs = (0 until groups).map { g =>
+      val e = if (g == 0) "md5(tok)" else s"md5('$g:' || tok)"
+      s"$e AS h$g"
     }.mkString(", ")
-    val bits = (0 until 16).map(j => s"CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val votes = (0 until bits).map { j =>
+      s"sum(CASE WHEN strpos('0123456789abcdef', substr(h${j / 32}, ${j % 32 + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(", ")
+    val bitsSum = (0 until bits).map(j => s"CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     s"""WITH tok AS (
-          SELECT DISTINCT doc_id, md5(tok) AS h FROM (
+          SELECT DISTINCT doc_id, $hs FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
           WHERE tok <> ''),
         v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
-        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
+        SELECT doc_id, CAST($bitsSum AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
   }
+
+  private lazy val simhashSql: String = simhashSqlW(16)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1Exact _,
@@ -738,6 +799,7 @@ object Dedup {
     "d9_decontaminate" -> d9Decontaminate _,
     "d10_purge" -> d10Purge _,
     "d11_simhash_neardup" -> d11SimhashNeardup _,
+    "d11b_simhash_neardup64" -> d11bSimhashNeardup64 _,
     "d12_minhash_calibration" -> d12MinhashCalibration _,
     "d13_incremental_dedup" -> d13IncrementalDedup _,
     "d14_dedup_verdict" -> d14DedupVerdict _,

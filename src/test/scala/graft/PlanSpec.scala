@@ -57,6 +57,38 @@ class PlanSpec extends AnyFunSuite {
       "drop-count metric must be observed:\n" + p.take(2000))
   }
 
+  test("d11b production-width (64-bit) simhash pairing is a banded equi-join, never a nested loop") {
+    val p = plan(Dedup.d11bSimhashNeardup64(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "64-bit banded candidate join degraded to a nested loop:\n" + p.take(2000))
+    assert(p.contains("shiftrightunsigned"),
+      "band keys must extract via unsigned shift (bit 63 = negative Long):\n" + p.take(2000))
+  }
+
+  test("64-bit banding finds every hamming<=3 pair, including sign-bit fingerprints") {
+    // brute-force ground truth over constructed fingerprints that
+    // exercise bit 63 (negative Longs) and every band position
+    import spark.implicits._
+    val base = Long.MinValue | (1L << 40) | (1L << 20) | 7L
+    val fps = Seq(
+      1L -> base,                      // anchor, sign bit set
+      2L -> (base ^ 1L),               // hamming 1, band 0
+      3L -> (base ^ (1L << 17) ^ (1L << 18)), // hamming 2, band 1
+      4L -> (base ^ (1L << 33) ^ (1L << 47) ^ (1L << 63)), // hamming 3, bands 2+3
+      5L -> (base ^ 15L),              // hamming 4 within one band — candidate but filtered
+      6L -> ~base                      // hamming 64 — must never be a candidate hit
+    ).toDF("doc_id", "simhash")
+    val got = Dedup.simhashNeardupPairs(fps, bits = 64, bands = 4)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val rows = Seq(1L -> base, 2L -> (base ^ 1L), 3L -> (base ^ (1L << 17) ^ (1L << 18)),
+      4L -> (base ^ (1L << 33) ^ (1L << 47) ^ (1L << 63)), 5L -> (base ^ 15L), 6L -> ~base)
+    val expect = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == expect, s"banded pairs $got != brute force $expect")
+  }
+
   test("n-gram Jaccard pair generation is equi-join only (no nested loop)") {
     val p = plan(Dedup.d4NgramJaccard(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
