@@ -76,10 +76,22 @@ object Bench {
       scala.util.Try(q.stop())
       scala.util.Try(q.awaitTermination(30000))
     }
-    spark.stop()
+    scala.util.Try(spark.stop())
     // Print LAST, after shutdown: any stack emitted during stop() now
     // lands before this line in the tail instead of after it.
+    //
+    // The driver keeps only a ~2 KB stdout tail; the full line (131
+    // per-query timings, ~7 KB) front-truncates mid-object there
+    // (BENCH_r04 "parsed": null). So the TRUE last line is a compact
+    // variant: total + the headline q1..q17 timings BASELINE.md tracks
+    // (~600 B). Full per-query detail lives in the line above and in
+    // target/bench_result.json.
+    val headline = results.collect {
+      case (k, v, _) if k.matches("q([1-9]|1[0-7])_.*") => "\"" + k + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"reps":$reps,"sf":"$sfDir","detail":"target/bench_result.json"}"""
     println(line)
+    println(compact)
     System.out.flush()
   }
 }

@@ -119,18 +119,26 @@ object Advanced {
       .orderBy($"user_id", $"session_seq")
   }
 
-  /** Q-23 — approximate sketches (rows-only: HLL++ and quantile-sketch
-    * internals are engine-specific, so there is no cross-engine oracle;
-    * accuracy vs exact is asserted in ExtensionsSpec instead). At scale
-    * these replace their exact counterparts: HLL buffers merge map-side
-    * in O(1) memory vs countDistinct's exchange of every distinct
-    * value. */
+  /** Q-23 — approximate sketches with a PORTABLE gate. Raw HLL++ /
+    * quantile-sketch estimates are engine-specific (DuckDB's HLL and
+    * t-digest produce different numbers), so the hashed output carries
+    * only what IS portable: the exact values, plus tolerance flags
+    * (estimate within 10% / 5% of exact) that both engines' sketches
+    * satisfy by their error bounds. Each engine still runs its own
+    * sketch — the flag proves it. At scale the sketches replace their
+    * exact counterparts: HLL buffers merge map-side in O(1) memory vs
+    * countDistinct's exchange of every distinct value. */
   def q23ApproxSketches(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(
-      approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+      approx_count_distinct($"l_partkey", 0.02).as("ac"),
       countDistinct($"l_partkey").as("exact_parts"),
-      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
-      expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
+      expr("percentile(l_extendedprice, 0.5)").as("ep"))
+    .select(
+      $"exact_parts",
+      (abs($"ac" - $"exact_parts") <= $"exact_parts" * 0.1).cast("int").as("approx_parts_ok"),
+      round($"ep", 4).as("exact_p50"),
+      (abs($"ap" - $"ep") <= abs($"ep") * 0.05).cast("int").as("approx_p50_ok"))
 
   /** ST-2 — sliding event-time windows (2h length, 1h slide) via
     * Structured Streaming; each event lands in exactly two windows.
@@ -218,6 +226,16 @@ object Advanced {
                 date_trunc('second', max(ts)) AS session_end,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS session_value_c
          FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+    "q23_approx_sketches" ->
+      """SELECT exact_parts,
+                CAST(abs(ac - exact_parts) <= exact_parts * 0.1 AS INT) AS approx_parts_ok,
+                round(ep, 4) AS exact_p50,
+                CAST(abs(ap - ep) <= abs(ep) * 0.05 AS INT) AS approx_p50_ok
+         FROM (SELECT approx_count_distinct(l_partkey) AS ac,
+                      count(DISTINCT l_partkey) AS exact_parts,
+                      approx_quantile(l_extendedprice, 0.5) AS ap,
+                      quantile_cont(l_extendedprice, 0.5) AS ep
+               FROM lineitem)""",
     "st2_stream_sliding" ->
       """SELECT wstart, event_type, count(*) AS n FROM (
            SELECT date_trunc('hour', ts) AS wstart, event_type FROM events
@@ -233,7 +251,7 @@ object Advanced {
     "q21_running_window" -> q21RunningWindow _,
     "q30_moving_range" -> q30MovingRange _,
     "q22_sessionize" -> q22Sessionize _,
-    "q23_approx_sketches" -> q23ApproxSketches _, // rows-only (no oracle)
+    "q23_approx_sketches" -> q23ApproxSketches _,
     "st2_stream_sliding" -> st2StreamSliding _,
   )
 }

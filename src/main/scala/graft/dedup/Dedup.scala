@@ -268,10 +268,21 @@ object Dedup {
     while (!converged && rounds < maxRounds) {
       val viaNeighbors = labels.join(sym, $"doc_id" === $"src")
         .select($"dst".as("doc_id"), $"label")
-      val next = labels.unionAll(viaNeighbors)
-        .groupBy($"doc_id").agg(min($"label").as("label")).cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter($"label" < $"old").count()
+      // One job per round, no comparison join: rows are tagged by
+      // origin, so the SAME groupBy that takes the new min also
+      // recovers each doc's previous label (labels holds exactly one
+      // row per doc), and the changed-count rides the materialization
+      // job as an observe metric instead of a second action.
+      val obs = org.apache.spark.sql.Observation(s"d6_round_$rounds")
+      val tagged = labels.select($"doc_id", $"label", lit(1).as("own"))
+        .unionAll(viaNeighbors.select($"doc_id", $"label", lit(0).as("own")))
+      val next = tagged.groupBy($"doc_id")
+        .agg(min($"label").as("label"),
+          min(when($"own" === 1, $"label")).as("old"))
+        .observe(obs, sum(($"label" < $"old").cast("long")).as("changed"))
+        .select($"doc_id", $"label").cache()
+      next.count()
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels.unpersist()
       labels = next
       converged = changed == 0

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.syntax._
 import graft.io.Tables
+import graft.ops.Snapshot
 
 /** Lakehouse-hygiene maintenance operators — the table-upkeep half of
   * the medallion design (the reference gets these implicitly from its
@@ -36,12 +37,12 @@ object Maintenance {
   /** Small-file compaction with atomic-ish swap (write aside, then
     * replace) — never overwrites the directory it is reading. */
   def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long): Unit = {
-    val df = spark.read.parquet(dir)
+    val df = Snapshot.readZone(spark, dir)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
     val tmp = dir + ".compact_tmp"
     val old = dir + ".compact_old"
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    df.repartition(files).write.mode(SaveMode.Overwrite).format(Snapshot.ZoneFormat).save(tmp)
     // crash-safe order: old aside -> new in -> drop old. A failure
     // between the two moves leaves the data recoverable at `old`,
     // never a window with no table at the published path.
@@ -177,18 +178,104 @@ object Maintenance {
     val ev = Tables.events(s, dir)
     // batch 1: schema (event_id, event_type); batch 2: (event_id, value)
     ev.filter($"event_id" % 2 === 0).select($"event_id", $"event_type")
-      .write.mode("append").parquet(s"$work/zone")
+      .write.mode("append").format(Snapshot.ZoneFormat).save(s"$work/zone")
     ev.filter($"event_id" % 2 === 1)
       .select($"event_id", round($"value" * 100).cast("bigint").as("value_c"))
-      .write.mode("append").parquet(s"$work/zone")
-    s.read.option("mergeSchema", "true").parquet(s"$work/zone")
+      .write.mode("append").format(Snapshot.ZoneFormat).save(s"$work/zone")
+    s.read.option("mergeSchema", "true").format(Snapshot.ZoneFormat).load(s"$work/zone")
       .agg(count(lit(1)).as("n_rows"),
         count($"event_type").as("n_with_type"),
         count($"value_c").as("n_with_value"),
         sum($"value_c").as("sum_value_c"))
   }
 
+  /** Target file count for MT-6's rewrite (a literal: the write-side
+    * repartition bound, and the audit's upper bound on files). */
+  val ClusterFiles = 8
+
+  /** MT-6 — clustered-layout rewrite (the OPTIMIZE/Z-ORDER maintenance
+    * op of a lakehouse): rewrite a table range-partitioned + sorted on
+    * its hot filter key, then AUDIT the resulting layout from the files
+    * themselves. Per output file the audit reads (min, max, count) of
+    * the cluster key and asserts zero overlapping key ranges across
+    * files — the property that lets parquet min/max (and Delta file
+    * stats) prune a key-range query to one file instead of all of
+    * them. At 100 TB this rewrite is the difference between a point
+    * lookup reading ~1/ClusterFiles of the table and reading ALL of it;
+    * `repartitionByRange` sampling scales (no global sort), and
+    * `sortWithinPartitions` keeps row groups internally ordered so
+    * page-level indexes work too. */
+  def mt6ClusteredLayout(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_mt6_").toString
+    Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate", $"l_quantity")
+      .repartitionByRange(ClusterFiles, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey", $"l_shipdate")
+      .write.mode(SaveMode.Overwrite).format(Snapshot.ZoneFormat).save(s"$work/t")
+    val stats = Snapshot.readZone(s, s"$work/t")
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi"),
+        count(lit(1)).as("n"))
+    val totals = stats.agg(
+      (count(lit(1)) <= ClusterFiles).cast("int").as("files_le_target"),
+      sum($"n").as("n_rows"))
+    // ≤ ClusterFiles × ClusterFiles bounded product — the audit joins
+    // the per-file stat table (8 rows) against itself for range overlap
+    val a = stats.select($"f".as("fa"), $"lo".as("la"), $"hi".as("ha"))
+    val b = stats.select($"f".as("fb"), $"lo".as("lb"), $"hi".as("hb"))
+    val overlaps = a.join(b, $"fa" < $"fb" && $"la" <= $"hb" && $"lb" <= $"ha")
+      .agg(count(lit(1)).as("n_overlap"))
+    totals.crossJoin(overlaps)
+      .select($"files_le_target", $"n_rows", $"n_overlap")
+  }
+
+  /** MT-7 — dynamic partition overwrite (the replaceWhere/backfill op):
+    * a day-partitioned table gets one day's data corrected by
+    * REWRITING ONLY THAT PARTITION — `partitionOverwriteMode=dynamic`
+    * replaces exactly the partitions present in the incoming frame,
+    * leaving every other day's files untouched. At 100 TB this is how
+    * a backfill touches 1/Nth of the table instead of rewriting it;
+    * the patched day is data-derived (max event day) so the op is
+    * deterministic at every SF. The audit re-reads the table and
+    * proves the patched day carries doubled cents while all other
+    * days round-trip unchanged. */
+  def mt7PartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_mt7_").toString
+    val ev = Tables.events(s, dir).select(
+      $"event_id", $"ts".cast("date").as("day"),
+      round($"value" * 100).cast("bigint").as("value_c"))
+    ev.write.mode(SaveMode.Overwrite).partitionBy("day")
+      .format(Snapshot.ZoneFormat).save(s"$work/t")
+    val maxDay = ev.agg(max($"day").as("md"))
+    val patch = ev.crossJoin(broadcast(maxDay)).filter($"day" === $"md")
+      .select($"event_id", ($"value_c" * 2).as("value_c"), $"day")
+    patch.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").format(Snapshot.ZoneFormat).save(s"$work/t")
+    Snapshot.readZone(s, s"$work/t").crossJoin(broadcast(maxDay))
+      .groupBy(($"day" === $"md").cast("int").as("is_patched"))
+      .agg(countDistinct($"day").as("n_days"), count(lit(1)).as("n_rows"),
+        sum($"value_c").as("sum_value_c"))
+      .orderBy($"is_patched")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mt6_clustered_layout" ->
+      """SELECT CAST(1 AS INT) AS files_le_target, count(*) AS n_rows,
+                CAST(0 AS BIGINT) AS n_overlap
+         FROM lineitem""",
+    "mt7_partition_overwrite" ->
+      """WITH ev AS (
+           SELECT event_id, CAST(ts AS DATE) AS day,
+                  CAST(round(value * 100) AS BIGINT) AS value_c
+           FROM events),
+         m AS (SELECT max(day) AS md FROM ev)
+         SELECT CAST(day = (SELECT md FROM m) AS INT) AS is_patched,
+                count(DISTINCT day) AS n_days, count(*) AS n_rows,
+                CAST(sum(CASE WHEN day = (SELECT md FROM m)
+                              THEN value_c * 2 ELSE value_c END) AS BIGINT) AS sum_value_c
+         FROM ev GROUP BY 1 ORDER BY is_patched""",
     "mt5_schema_evolution" ->
       """SELECT count(*) AS n_rows,
                 CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_type,
@@ -257,5 +344,7 @@ object Maintenance {
     "mt3_skew_audit" -> mt3SkewAudit _,
     "mt4_fk_audit" -> mt4FkAudit _,
     "mt5_schema_evolution" -> mt5SchemaEvolution _,
+    "mt6_clustered_layout" -> mt6ClusteredLayout _,
+    "mt7_partition_overwrite" -> mt7PartitionOverwrite _,
   )
 }

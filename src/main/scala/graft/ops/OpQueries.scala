@@ -72,7 +72,25 @@ object OpQueries {
       count(Cleaning.tryDouble($"o_orderpriority")).as("n_bad"),
       sum(round(Cleaning.tryDouble($"o_totalprice".cast("string")) * 100).cast("bigint")).as("roundtrip_sum_c"))
 
-  /** O-17/O-18 — canonical-column derive + prune to serving schema. */
+  /** O-17 — derive a canonical `timestamp` column from a renamed source
+    * column, null-on-error (ref `waktu_mandi` → `timestamp`,
+    * `elt/clean_sheets.py:116-117`). Two derives over one scan: a clean
+    * date-string column (all parse) and a junk column (none parse) — the
+    * asymmetric counts prove coercion, not just column copying. */
+  def o17Derive(s: SparkSession, dir: String): DataFrame = {
+    val messy = Tables.orders(s, dir).select(
+      $"o_orderkey",
+      $"o_orderdate".cast("date").cast("string").as("waktu_mandi"),
+      $"o_orderpriority".as("junk"))
+    val derived = Cleaning.deriveTimestamp(
+      Cleaning.deriveTimestamp(messy, "waktu_mandi", "timestamp"), "junk", "junk_ts")
+    derived.agg(
+      count($"timestamp").as("n_ts"),
+      count($"junk_ts").as("n_junk"),
+      date_trunc("second", max($"timestamp")).as("max_ts"))
+  }
+
+  /** O-18 — prune to serving schema over a derived column. */
   def o18Prune(s: SparkSession, dir: String): DataFrame =
     Cleaning.prune(
       Tables.orders(s, dir).withColumn("generated_at", $"o_orderdate"),
@@ -230,6 +248,11 @@ object OpQueries {
                 CAST(sum(CAST(round(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
                   AS roundtrip_sum_c
          FROM orders""",
+    "o17_derive" ->
+      """SELECT count(TRY_CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS TIMESTAMP)) AS n_ts,
+                count(TRY_CAST(o_orderpriority AS TIMESTAMP)) AS n_junk,
+                date_trunc('second', max(TRY_CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS TIMESTAMP))) AS max_ts
+         FROM orders""",
     "o18_prune" ->
       "SELECT o_orderkey, o_orderdate AS generated_at, o_totalprice FROM orders ORDER BY o_orderkey",
     "o19_tz_shift" ->
@@ -306,6 +329,7 @@ object OpQueries {
     "o14_normalize" -> o14Normalize _,
     "o15_try_timestamp" -> o15TryTimestamp _,
     "o16_try_numeric" -> o16TryNumeric _,
+    "o17_derive" -> o17Derive _,
     "o18_prune" -> o18Prune _,
     "o19_tz_shift" -> o19TzShift _,
     "o20_drop_null" -> o20DropNull _,

@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
+  /** THE Delta seam (SURVEY.md §7.2a): every clean/curated ZONE
+    * writer and reader resolves its table format through this one
+    * constant. The reference stores zones as Delta Lake; this
+    * environment has no delta jars (verified impossible, round 3), and
+    * the reference uses none of Delta's distinguishing features (always
+    * full-snapshot overwrite — no MERGE/time-travel), so parquet is
+    * semantics-complete here. On a cluster with delta-spark on the
+    * classpath, switching the engine's storage to real Delta is editing
+    * THIS LITERAL to "delta" — provably one line, because no zone
+    * writer/reader names a format directly. */
+  val ZoneFormat = "parquet"
+
   /** O-13/O-31 — global latest row (k=1 sort-limit without the sort):
     * ORDER BY ts DESC, tiebreak DESC LIMIT 1 via max_by over a struct.
     * Aggregation is map-side partial → single-row reduce. */
@@ -56,11 +68,16 @@ object Snapshot {
     * `write_deltalake(mode="overwrite", schema_mode="overwrite")`,
     * `elt/clean_sheets.py:70-82`). */
   def overwriteSnapshot(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).option("overwriteSchema", "true").parquet(path)
+    df.write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
+      .format(ZoneFormat).save(path)
 
   /** O-10 — append history sink (ref `load_prescriptive_to_sql.py:51-56`). */
   def appendHistory(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(path)
+    df.write.mode(SaveMode.Append).format(ZoneFormat).save(path)
+
+  /** Zone-table reader twin of the writers above — same seam. */
+  def readZone(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.format(ZoneFormat).load(path)
 
   /** O-12 — single-row CSV audit log (ref `prescriptive_logic.py:191-197`).
     * coalesce(1) is safe here by construction: the input is a 1-row

@@ -114,7 +114,7 @@ object Pipeline {
 
     // ---- CURATED zone: prescriptive score over cleaned activity +
     // zone-round-tripped env readings, then snapshot + audit CSV ----
-    val cleanLi = s.read.parquet(s"$work/clean-zone/sheets/catatan_aktivitas")
+    val cleanLi = Snapshot.readZone(s, s"$work/clean-zone/sheets/catatan_aktivitas")
     val result = Scoring.score(cleanLi, Tables.orders(s, dir),
       cleanEv, Tables.part(s, dir))
     Snapshot.overwriteSnapshot(result, s"$work/curated-zone/prescriptive_hygiene")
@@ -124,7 +124,7 @@ object Pipeline {
     Snapshot.appendHistory(result, s"$work/serving/rekomendasi_history")
     Snapshot.overwriteSnapshot(result, s"$work/serving/rekomendasi_snapshot")
 
-    s.read.parquet(s"$work/curated-zone/prescriptive_hygiene")
+    Snapshot.readZone(s, s"$work/curated-zone/prescriptive_hygiene")
   }
 
   /** Driver-contract entry: run the whole pipeline into a unique temp
@@ -231,11 +231,11 @@ object Pipeline {
       .withColumn("keep_id", min($"doc_id").over(Window.partitionBy(md5($"text"))))
       .filter($"doc_id" === $"keep_id").drop("keep_id")
       .join(broadcast(colliding), Seq("doc_id"), "left_anti")
-    corpus.write.mode("overwrite").parquet(s"$work/corpus")
-    val cur = s.read.parquet(s"$work/corpus")
+    corpus.write.mode("overwrite").format(Snapshot.ZoneFormat).save(s"$work/corpus")
+    val cur = Snapshot.readZone(s, s"$work/corpus")
     graft.maintenance.Maintenance.mergeUpsert(cur, admitted, "doc_id")
-      .write.mode("overwrite").parquet(s"$work/next")
-    s.read.parquet(s"$work/next")
+      .write.mode("overwrite").format(Snapshot.ZoneFormat).save(s"$work/next")
+    Snapshot.readZone(s, s"$work/next")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
         sum($"doc_id").as("id_checksum"))

@@ -175,6 +175,54 @@ object Sketches {
       .orderBy($"o_custkey")
   }
 
+  /** Catalyst's own bloom-filter pair, surfaced as SQL functions.
+    * Spark ships `BloomFilterAggregate`/`BloomFilterMightContain` for
+    * its runtime row-level filtering (InjectRuntimeFilter) but does not
+    * register them publicly; the expressions themselves are the right
+    * tool — partial sketches merge map-side, and the membership probe
+    * is codegen'd — so we register them, same seam as `dot_f64`. */
+  private def registerBloom(s: SparkSession): Unit = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)), "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** X-8 — bloom-filter semi-join pre-reduction: the manual form of the
+    * runtime filter a 100 TB shuffle join lives or dies by. The
+    * selective dim side (urgent orders) folds into a ~100 KB bloom
+    * sketch via a distributed aggregate; the probe side's scan is then
+    * pre-filtered by `bloom_might_contain` BEFORE the join shuffle, so
+    * only candidate rows (matches + the fpp tail) pay exchange cost.
+    * The bloom rides an uncorrelated scalar subquery — one lazy plan,
+    * nothing driver-side. The final LEFT SEMI join removes bloom false
+    * positives, so the RESULT is exactly the plain semi-join (= the
+    * oracle); the bloom only changes how many rows reach the shuffle. */
+  def x8BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    registerBloom(s)
+    Tables.registerViews(s, dir)
+    s.sql("""
+      SELECT l.l_returnflag AS l_returnflag,
+             count(*) AS n,
+             sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS qty_c
+      FROM (
+        SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
+        WHERE bloom_might_contain(
+                (SELECT bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)
+                 FROM orders WHERE o_orderpriority = '1-URGENT'),
+                xxhash64(l_orderkey))
+      ) l
+      LEFT SEMI JOIN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ) o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_returnflag
+      ORDER BY l.l_returnflag""")
+  }
+
   /** X-7 — the typed-`Aggregator` entry (see
     * [[graft.functions.CentsStats]]): per-status one-pass
     * (n, sum, min, max) over order cents through `functions.udaf` —
@@ -235,6 +283,12 @@ object Sketches {
                         ((('0x' || substr(kth_hash, 1, 13))::BIGINT) / 4503599627370496.0), 2)
                  END AS n_distinct_est
           FROM kth""",
+    "x8_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         GROUP BY 1 ORDER BY l_returnflag""",
     "x3_salted_agg" ->
       """SELECT l_returnflag,
                 CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
@@ -249,5 +303,6 @@ object Sketches {
     "x3_salted_agg" -> x3SaltedAgg _,
     "x6_countmin" -> x6CountMin _,
     "x7_typed_aggregator" -> x7TypedAggregator _,
+    "x8_bloom_semijoin" -> x8BloomSemiJoin _,
   )
 }

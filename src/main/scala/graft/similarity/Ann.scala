@@ -136,24 +136,57 @@ object Ann {
     * the oracle needs no mirror); the cost is ×G row replication. */
   val SaltBuckets = 4
 
-  /** S-3 — embedding-cosine near-duplicate pairs, blocked by label and
-    * salted within label (hot-label guard — see [[SaltBuckets]]). */
-  def s3CosineNearDup(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+  /** S-3 hot-label WORK guard (round-3 verdict: salting fixes
+    * stragglers, not total work — label-blocked all-pairs is quadratic
+    * in |label| and dies at 100× if label cardinality doesn't grow with
+    * the corpus). Labels larger than [[BlockCap]] rows are sub-blocked
+    * by their LSH sign bucket mod [[SubBlocks]], bounding per-block
+    * pairs at ~(|label|/SubBlocks)² and total work at |label|²/SubBlocks
+    * expected. Near-duplicates (cos→1) agree on every sign plane with
+    * high probability, so routing loses only far pairs near the
+    * similarity floor — the same approximation contract as S-2, and
+    * mirrored EXACTLY in the DuckDB oracle (the bucket function is
+    * portable), so the gate hashes the guarded semantics, not an
+    * unguarded idealization. BlockCap=150 is deliberately below sf0.1's
+    * largest label (218) so the guard path is live in the gate. */
+  val BlockCap = 150
+  val SubBlocks = 16
+
+  /** Adds the guard key: `sub` = LSH-bucket mod [[SubBlocks]] for rows
+    * of oversized labels, 0 (single block) otherwise. Expects columns
+    * (label, vec_id, v, nrm). Label sizes ride a broadcast join — label
+    * cardinality is assumed dimension-like. */
+  private[graft] def blockKeyed(c: DataFrame): DataFrame = {
+    val sizes = c.groupBy($"label").agg(count(lit(1)).as("label_n"))
+    c.join(broadcast(sizes), "label")
+      .withColumn("sub",
+        when($"label_n" > BlockCap, (bucketOf($"v") % SubBlocks).cast("int"))
+          .otherwise(lit(0)))
+  }
+
+  /** Guarded near-dup pairing over a (label, vec_id, v, nrm) corpus:
+    * all-pairs within (label, sub) blocks, salted ([[SaltBuckets]]). */
+  private[graft] def nearDupPairs(c: DataFrame): DataFrame = {
+    val keyed = blockKeyed(c)
     val salts = sequence(lit(0), lit(SaltBuckets - 1))
-    val a = c.select($"label", $"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"),
+    val a = keyed.select($"label", $"sub", $"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"),
         ($"vec_id" % SaltBuckets).cast("int").as("ga"))
       .withColumn("gb", explode(salts))
-    val b = c.select($"label", $"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"),
+    val b = keyed.select($"label", $"sub", $"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"),
         ($"vec_id" % SaltBuckets).cast("int").as("gb"))
       .withColumn("ga", explode(salts))
-    a.join(b, Seq("label", "ga", "gb"))
+    a.join(b, Seq("label", "sub", "ga", "gb"))
       .filter($"vec_a" < $"vec_b")
       .select($"label", $"vec_a", $"vec_b", cosine($"va", $"vb", $"na", $"nb").as("cos"))
       .filter($"cos" >= 0.3)
       .select($"label", $"vec_a", $"vec_b", round($"cos", 4).as("cosine"))
       .orderBy($"label", $"vec_a", $"vec_b")
   }
+
+  /** S-3 — embedding-cosine near-duplicate pairs, blocked by label,
+    * sub-blocked past [[BlockCap]] and salted within block. */
+  def s3CosineNearDup(s: SparkSession, dir: String): DataFrame =
+    nearDupPairs(corpus(s, dir))
 
   /** Number of IVF cells; the codebook is a fixed deterministic subset
     * of the corpus (every ⌈N/Cells⌉-th vector) — at production scale
@@ -384,10 +417,16 @@ object Ann {
           FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""",
     "s3_cosine_neardup" ->
       s"""WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          n AS (SELECT *, count(*) OVER (PARTITION BY label) AS label_n FROM c),
+          k AS (SELECT vec_id, label, v,
+                       CASE WHEN label_n > $BlockCap
+                            THEN (${bucketSql("v")}) % $SubBlocks ELSE 0 END AS sub
+                FROM n),
           pairs AS (
             SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
                    $cosineSql AS cos
-            FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id)
+            FROM k a JOIN k b
+              ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id)
           SELECT label, vec_a, vec_b, round(cos, 4) AS cosine
           FROM pairs WHERE cos >= 0.3 ORDER BY label, vec_a, vec_b""",
   )

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.syntax._
+import graft.ops.Snapshot
 
 /** Structured Streaming variant of the ingest→clean→aggregate hop
   * (SURVEY.md §7.2 item 7): the reference's cron micro-batches
@@ -38,12 +39,12 @@ object Stream {
     graft.pipeline.Pipeline.sweepOldWorkDirs()
     val work = java.nio.file.Files.createTempDirectory(prefix).toString
     val q = plan.writeStream
-      .outputMode("append").format("parquet")
+      .outputMode("append").format(Snapshot.ZoneFormat)
       .option("path", s"$work/out")
       .option("checkpointLocation", s"$work/chk")
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
-    s.read.parquet(s"$work/out")
+    Snapshot.readZone(s, s"$work/out")
   }
 
   def st1StreamHourly(s: SparkSession, dir: String): DataFrame = {
@@ -149,12 +150,12 @@ object Stream {
         val tPath = java.nio.file.Paths.get(target)
         val next =
           if (java.nio.file.Files.exists(tPath)) {
-            val cur = s.read.parquet(target)
+            val cur = Snapshot.readZone(s, target)
               .withColumn("k", concat_ws("|", $"wstart", $"event_type"))
             graft.maintenance.Maintenance.mergeUpsert(cur, keyed, "k")
           } else keyed
         val staging = java.nio.file.Paths.get(s"$work/staging_$batchId")
-        next.drop("k").write.mode("overwrite").parquet(staging.toString)
+        next.drop("k").write.mode("overwrite").format(Snapshot.ZoneFormat).save(staging.toString)
         // write-aside then swap: never overwrite the dir being read
         val old = java.nio.file.Paths.get(s"$work/old_$batchId")
         if (java.nio.file.Files.exists(tPath)) java.nio.file.Files.move(tPath, old)
@@ -163,7 +164,7 @@ object Stream {
       }
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
-    s.read.parquet(target).orderBy($"wstart", $"event_type")
+    Snapshot.readZone(s, target).orderBy($"wstart", $"event_type")
   }
 
   /** ST-8 — stream-static join: the streaming event feed enriched

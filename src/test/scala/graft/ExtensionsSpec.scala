@@ -100,11 +100,10 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("approx sketches land within tolerance of exact") {
     val r = graft.analytics.Advanced.q23ApproxSketches(spark, sfBig).collect().head
-    val (approxN, exactN) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
-    assert(math.abs(approxN - exactN).toDouble / exactN < 0.1,
-      s"HLL off by >10%: $approxN vs $exactN")
-    val (ap50, ep50) = (r.getAs[Double]("approx_p50"), r.getAs[Double]("exact_p50"))
-    assert(math.abs(ap50 - ep50) / ep50 < 0.05, s"approx p50 off: $ap50 vs $ep50")
+    assert(r.getAs[Long]("exact_parts") > 0)
+    assert(r.getAs[Int]("approx_parts_ok") == 1, "HLL estimate off by >10% of exact")
+    assert(r.getAs[Double]("exact_p50") > 0)
+    assert(r.getAs[Int]("approx_p50_ok") == 1, "approx p50 off by >5% of exact")
   }
 
   test("as-of join equals the brute-force correlated formulation") {

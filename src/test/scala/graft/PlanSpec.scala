@@ -70,18 +70,19 @@ class PlanSpec extends AnyFunSuite {
     // exercise bit 63 (negative Longs) and every band position
     import spark.implicits._
     val base = Long.MinValue | (1L << 40) | (1L << 20) | 7L
-    val fps = Seq(
+    // single source of truth for both the DataFrame under test and the
+    // brute-force expectation — an edit to one cannot desync the other
+    val rows = Seq(
       1L -> base,                      // anchor, sign bit set
       2L -> (base ^ 1L),               // hamming 1, band 0
       3L -> (base ^ (1L << 17) ^ (1L << 18)), // hamming 2, band 1
       4L -> (base ^ (1L << 33) ^ (1L << 47) ^ (1L << 63)), // hamming 3, bands 2+3
       5L -> (base ^ 15L),              // hamming 4 within one band — candidate but filtered
       6L -> ~base                      // hamming 64 — must never be a candidate hit
-    ).toDF("doc_id", "simhash")
+    )
+    val fps = rows.toDF("doc_id", "simhash")
     val got = Dedup.simhashNeardupPairs(fps, bits = 64, bands = 4)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
-    val rows = Seq(1L -> base, 2L -> (base ^ 1L), 3L -> (base ^ (1L << 17) ^ (1L << 18)),
-      4L -> (base ^ (1L << 33) ^ (1L << 47) ^ (1L << 63)), 5L -> (base ^ 15L), 6L -> ~base)
     val expect = (for {
       (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
       d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
@@ -99,6 +100,29 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Ann.s3CosineNearDup(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
+  }
+
+  test("s3 hot-label guard bounds per-block pair work on a degenerate single-label corpus") {
+    import org.apache.spark.sql.functions._
+    // one label, 12x BlockCap rows: unguarded all-pairs would be
+    // N(N-1)/2 comparisons in one block. Deterministic varied vectors
+    // (no RNG) so sign buckets actually spread.
+    val n = Ann.BlockCap * 12
+    val c = spark.range(n.toLong).toDF("vec_id")
+      .withColumn("label", lit(0))
+      .withColumn("v", expr(
+        "transform(sequence(0, 63), d -> cast((vec_id * 31 + d * 17) % 101 - 50 AS double) / 50.0)"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0.0d, (a, x) -> a + x * x)")))
+    graft.functions.NativeFunctions.register(spark)
+    val keyed = Ann.blockKeyed(c)
+    val sizes = keyed.groupBy("sub").count().collect().map(r => r.getLong(1))
+    assert(sizes.length > 1, s"guard never split the oversized label: $sizes")
+    val unguarded = n.toLong * (n - 1) / 2
+    val guarded = sizes.map(s => s * (s - 1) / 2).sum
+    assert(guarded < unguarded / 4,
+      s"sub-blocking saved <4x on pair count: $guarded vs $unguarded (sizes ${sizes.mkString(",")})")
+    val maxBlock = sizes.max
+    assert(maxBlock < n / 2, s"one sub-block holds most of the label: $maxBlock of $n")
   }
 
   test("as-of join is one shuffle on the key + window (no nested loop)") {
@@ -119,6 +143,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"),
       "benchmark set must broadcast, not shuffle the corpus:\n" + p.take(2000))
+  }
+
+  test("x8 bloom prefilter sits on the fact scan, before the semi-join") {
+    val p = plan(graft.plans.Sketches.x8BloomSemiJoin(spark, sf))
+    assert(p.contains("might_contain"),
+      "bloom membership probe missing from the physical plan:\n" + p.take(2000))
+    assert(p.contains("LeftSemi"), p.take(2000))
+    // the probe must be a filter on the scan side (pre-shuffle), not a
+    // post-join predicate: in the plan string the filter line carrying
+    // might_contain appears BELOW (after) the join operator line
+    val joinIdx = p.indexOf("LeftSemi")
+    val probeIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "bloom probe is not under the join's build/stream input:\n" + p.take(2000))
   }
 
   test("x4 range join is a bucket equi-join, never a nested loop") {
@@ -198,7 +236,9 @@ class PlanSpec extends AnyFunSuite {
       // bounded-small-side products by design (not scalars, still O(n)):
       "mt4_fk_audit",  // 1-row child-count x 1-row orphan-count per edge
       "s1_ann_brute",  // the documented brute-force BASELINE: query side broadcast
-      "s4_ann_ivf")    // corpus x |codebook|=8 centroid assignment
+      "s4_ann_ivf",    // corpus x |codebook|=8 centroid assignment
+      "mt6_clustered_layout", // per-file stat table (<=ClusterFiles rows) range-overlap self-join
+      "mt7_partition_overwrite") // 1-row max-day broadcast across the table
     // Streaming drains / external-side-effect mains are exercised by their
     // own specs and the gate; their DataFrames are post-sink reads.
     def skip(n: String) =
