@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -140,6 +140,37 @@ object Advanced {
       round($"ep", 4).as("exact_p50"),
       (abs($"ap" - $"ep") <= abs($"ep") * 0.05).cast("int").as("approx_p50_ok"))
 
+  /** Q-42 — single-pass distributed moments: per-group stddev and
+    * correlation computed from EXACT integer power sums (n, Σx, Σy,
+    * Σx², Σxy, Σy²). The built-in stddev/corr aggregates are also
+    * one-pass, but their float accumulation reassociates under shuffle
+    * so no two runs (or engines) agree bitwise; integer power sums are
+    * exact, merge associatively (partial aggregation, days compose into
+    * months), and the closed-form moments derived from them are
+    * identical doubles in every engine — the same policy as the cents
+    * sums, lifted to second moments. Inputs are integral by data
+    * contract (quantity, whole-unit price), so the sums fit bigint with
+    * 10³ headroom at 100 TB row counts. */
+  def q42ExactMoments(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val agg = Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        round($"l_quantity").cast("bigint").as("x"),
+        round($"l_extendedprice").cast("bigint").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+        sum($"y" * $"y").as("syy"))
+    val vx = d($"n") * d($"sxx") - d($"sx") * d($"sx")
+    val vy = d($"n") * d($"syy") - d($"sy") * d($"sy")
+    val cxy = d($"n") * d($"sxy") - d($"sx") * d($"sy")
+    agg.select($"l_returnflag", $"n", $"sx", $"sy",
+        round(sqrt(vx / (d($"n") * d($"n" - 1))), 4).as("stddev_x"),
+        round(sqrt(vy / (d($"n") * d($"n" - 1))), 4).as("stddev_y"),
+        round(cxy / sqrt(vx * vy), 4).as("corr_xy"))
+      .orderBy($"l_returnflag")
+  }
+
   /** ST-2 — sliding event-time windows (2h length, 1h slide) via
     * Structured Streaming; each event lands in exactly two windows.
     * Complete-mode memory sink = the drain-everything GATE HARNESS shape
@@ -236,6 +267,24 @@ object Advanced {
                       approx_quantile(l_extendedprice, 0.5) AS ap,
                       quantile_cont(l_extendedprice, 0.5) AS ep
                FROM lineitem)""",
+    "q42_exact_moments" ->
+      """WITH g AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+                  CAST(sum(y*y) AS BIGINT) AS syy
+           FROM (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x,
+                        CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem)
+           GROUP BY 1)
+         SELECT l_returnflag, n, sx, sy,
+                round(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) /
+                      (CAST(n AS DOUBLE)*CAST(n - 1 AS DOUBLE))), 4) AS stddev_x,
+                round(sqrt((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) /
+                      (CAST(n AS DOUBLE)*CAST(n - 1 AS DOUBLE))), 4) AS stddev_y,
+                round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+                      sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+                           (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 4) AS corr_xy
+         FROM g ORDER BY l_returnflag""",
     "st2_stream_sliding" ->
       """SELECT wstart, event_type, count(*) AS n FROM (
            SELECT date_trunc('hour', ts) AS wstart, event_type FROM events
@@ -252,6 +301,7 @@ object Advanced {
     "q30_moving_range" -> q30MovingRange _,
     "q22_sessionize" -> q22Sessionize _,
     "q23_approx_sketches" -> q23ApproxSketches _,
+    "q42_exact_moments" -> q42ExactMoments _,
     "st2_stream_sliding" -> st2StreamSliding _,
   )
 }

@@ -56,6 +56,27 @@ object SetOps {
         grouping_id().as("lvl"))
       .orderBy($"lvl", $"o_orderstatus", $"yr")
 
+  /** Q-41 — explicit GROUPING SETS: the asymmetric shape neither
+    * ROLLUP (q29) nor CUBE (q32) expresses — a (status, year) detail
+    * grid, a per-priority summary, and the grand total in ONE pass.
+    * Same single-scan grouping-set expansion as cube: the shuffle
+    * carries per-set group cardinality, not row count. SQL text form —
+    * the DataFrame API has no grouping-sets verb. */
+  def q41GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql("""
+      WITH o AS (
+        SELECT o_orderstatus, year(o_orderdate) AS yr, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT o_orderstatus, yr, o_orderpriority, count(*) AS n,
+             sum(cents) AS sum_cents,
+             CAST(grouping_id(o_orderstatus, yr, o_orderpriority) AS BIGINT) AS lvl
+      FROM o
+      GROUP BY GROUPING SETS ((o_orderstatus, yr), (o_orderpriority), ())
+      ORDER BY lvl, o_orderstatus, yr, o_orderpriority""")
+  }
+
   /** Q-33 — NTILE quartiles of order value within priority class, then
     * per-quartile stats (the "spend-band" report). The window orders by
     * (cents, orderkey) so ties are pinned and the bucketing is
@@ -272,6 +293,17 @@ object SetOps {
          FROM orders
          GROUP BY CUBE(o_orderstatus, year(o_orderdate))
          ORDER BY lvl, o_orderstatus, yr""",
+    "q41_grouping_sets" ->
+      """WITH o AS (
+           SELECT o_orderstatus, year(o_orderdate) AS yr, o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderstatus, yr, o_orderpriority, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(GROUPING(o_orderstatus, yr, o_orderpriority) AS BIGINT) AS lvl
+         FROM o
+         GROUP BY GROUPING SETS ((o_orderstatus, yr), (o_orderpriority), ())
+         ORDER BY lvl, o_orderstatus, yr, o_orderpriority""",
     "q33_ntile" ->
       """WITH r AS (
            SELECT o_orderpriority AS prio,
@@ -307,5 +339,6 @@ object SetOps {
     "q38_unpivot" -> q38Unpivot _,
     "q39_generator_outer" -> q39GeneratorOuter _,
     "q40_session_window" -> q40SessionWindow _,
+    "q41_grouping_sets" -> q41GroupingSets _,
   )
 }

@@ -247,7 +247,38 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** T-13 — text canonicalization: the normalization pass every dedup
+    * pipeline runs BEFORE shingling/fingerprinting (D-1..D-5 operate on
+    * raw text here because the testdata is already clean): lowercase →
+    * strip non-alphanumerics → collapse runs of whitespace → trim.
+    * Pure narrow projection (codegen'd regexes, no shuffle); the audit
+    * emits per-doc before/after lengths, token count, and the md5 of
+    * the canonical form — the key exact dedup would group on. */
+  def t13Normalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(s, dir)
+      .select($"doc_id", length($"text").as("n_raw_chars"), norm.as("norm"))
+      .select($"doc_id", $"n_raw_chars",
+        length($"norm").as("n_norm_chars"),
+        when($"norm" === "", 0).otherwise(size(split($"norm", " ")))
+          .cast("bigint").as("n_tokens"),
+        md5($"norm").as("norm_md5"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "t13_normalize" ->
+      """WITH n AS (
+           SELECT doc_id, length(text) AS n_raw_chars,
+                  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                       ' +', ' ', 'g')) AS norm
+           FROM documents)
+         SELECT doc_id, n_raw_chars, length(norm) AS n_norm_chars,
+                CAST(CASE WHEN norm = '' THEN 0
+                          ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens,
+                md5(norm) AS norm_md5
+         FROM n ORDER BY doc_id""",
     "t12_hash_features" -> {
       val bucket =
         """((strpos('0123456789abcdef', substr(md5('feat:' || tok), 1, 1)) - 1) * 16
@@ -395,5 +426,6 @@ object TextOps {
     "t10_seq_pack" -> t10SeqPack _,
     "t11_stratified_sample" -> t11StratifiedSample _,
     "t12_hash_features" -> t12HashFeatures _,
+    "t13_normalize" -> t13Normalize _,
   )
 }

@@ -159,6 +159,13 @@ class PlanSpec extends AnyFunSuite {
       "bloom probe is not under the join's build/stream input:\n" + p.take(2000))
   }
 
+  test("x9 bucketed join is exchange-free: co-partitioning comes from the catalog") {
+    val p = plan(graft.plans.Bucketing.bucketedJoinRaw(spark, sf))
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Exchange"),
+      "bucketed join re-shuffled — bucketing metadata not used:\n" + p.take(2000))
+  }
+
   test("x4 range join is a bucket equi-join, never a nested loop") {
     val p = plan(graft.plans.RangeJoin.x4RangeJoin(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
