@@ -153,6 +153,31 @@ class PropertySpec extends AnyFunSuite {
     assert(bad == 0, s"$bad probes had est < truth — CM invariant broken")
   }
 
+  test("q42 exact-moment stddev/corr equal the driver-side brute force") {
+    import spark.implicits._
+    val rows = graft.analytics.Advanced.q42ExactMoments(spark, sf)
+      .select("l_returnflag", "stddev_x", "stddev_y", "corr_xy")
+      .as[(String, Double, Double, Double)].collect()
+    val raw = graft.io.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    rows.foreach { case (flag, sx, sy, cxy) =>
+      val xs = raw(flag).map(_._2.toDouble); val ys = raw(flag).map(_._3.toDouble)
+      def stddev(v: Seq[Double]) = {
+        val m = v.sum / v.size
+        math.sqrt(v.map(a => (a - m) * (a - m)).sum / (v.size - 1))
+      }
+      val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+      val corr = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum /
+        math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum * ys.map(b => (b - my) * (b - my)).sum)
+      assert(math.abs(sx - stddev(xs)) < 1e-3, s"$flag stddev_x $sx vs ${stddev(xs)}")
+      assert(math.abs(sy - stddev(ys)) < 1e-3, s"$flag stddev_y $sy vs ${stddev(ys)}")
+      assert(math.abs(cxy - corr) < 1e-3, s"$flag corr $cxy vs $corr")
+    }
+  }
+
   test("t7 split assignment is total, deterministic, and ~90/5/5") {
     import spark.implicits._
     val counts = graft.text.TextOps.t7TrainSplit(spark, sf)
