@@ -179,13 +179,15 @@ object Advanced {
     * state — is [[graft.streaming.Stream.st5SlidingWatermark]]. */
   def st2StreamSliding(s: SparkSession, dir: String): DataFrame = {
     val name = "st2_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = Tables.eventsStream(s, dir)
-      .select($"ts", $"event_type")
-      .groupBy(window($"ts", "2 hours", "1 hour").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"))
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
+    graft.streaming.Stream.withDrainPartitions(s) {
+      val q = Tables.eventsStream(s, dir)
+        .select($"ts", $"event_type")
+        .groupBy(window($"ts", "2 hours", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
     s.table(name)
       .select($"w.start".as("wstart"), $"event_type", $"n")
       .orderBy($"wstart", $"event_type")

@@ -65,14 +65,16 @@ object Stateful {
   def st3StatefulSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val name = "st3_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.io.Tables.eventsStream(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .as[Ev]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
+    graft.streaming.Stream.withDrainPartitions(s) {
+      val q = graft.io.Tables.eventsStream(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
     s.table(name).orderBy(col("user_id"), col("session_seq"))
   }
 
@@ -120,14 +122,16 @@ object Stateful {
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val q = graft.io.Tables.eventsStream(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-        .as[Ev]
-        .groupByKey(_.user_id)
-        .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Update())
-        .writeStream.outputMode("update").format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      graft.streaming.Stream.withDrainPartitions(s) {
+        val q = graft.io.Tables.eventsStream(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Update())
+          .writeStream.outputMode("update").format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      }
       s.table(name).groupBy(col("user_id"))
         .agg(max(col("n_events")).as("n_events"),
           expr("max_by(sum_value_c, n_events)").as("sum_value_c"))

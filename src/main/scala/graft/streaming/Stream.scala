@@ -30,6 +30,23 @@ import graft.ops.Snapshot
   */
 object Stream {
 
+  /** Stateful streaming cost is per-PARTITION, not per-row: every
+    * micro-batch opens, commits, and snapshots one state store per
+    * shuffle partition per stateful operator, so the session default
+    * (32, sized for batch scans) pays 32 store lifecycles per batch
+    * where the drained data needs a handful. Scope the drains to 8 —
+    * at production stream volumes the right number is high again, and
+    * it is a per-QUERY knob precisely because the checkpoint pins it
+    * at first start (a restarted query keeps its original state
+    * partitioning regardless of the session conf). Results are
+    * partitioning-invariant; only store overhead changes. */
+  private[graft] def withDrainPartitions[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Drain an append-mode streaming plan into a fresh parquet file sink
     * with `Trigger.AvailableNow` and read the result back — the shared
     * protocol of every production-shape entry (st4/5/6/8/9/11/12). The
@@ -38,12 +55,14 @@ object Stream {
   private def drainAppend(s: SparkSession, plan: DataFrame, prefix: String): DataFrame = {
     graft.pipeline.Pipeline.sweepOldWorkDirs()
     val work = java.nio.file.Files.createTempDirectory(prefix).toString
-    val q = plan.writeStream
-      .outputMode("append").format(Snapshot.ZoneFormat)
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/chk")
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
+    withDrainPartitions(s) {
+      val q = plan.writeStream
+        .outputMode("append").format(Snapshot.ZoneFormat)
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
     Snapshot.readZone(s, s"$work/out")
   }
 
@@ -56,10 +75,12 @@ object Stream {
       // reassociation (same rule as every batch money sum)
       .agg(count(lit(1)).as("n"),
         sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
-    val q = stream.writeStream
-      .outputMode("complete").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
+    withDrainPartitions(s) {
+      val q = stream.writeStream
+        .outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
     s.table(name)
       .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value_c")
       .orderBy($"wstart", $"event_type")
@@ -136,6 +157,7 @@ object Stream {
     graft.pipeline.Pipeline.sweepOldWorkDirs()
     val work = java.nio.file.Files.createTempDirectory("graft_st7_").toString
     val target = s"$work/serving"
+    withDrainPartitions(s) {
     val q = graft.io.Tables.eventsStream(s, dir)
       .select($"ts", $"event_type", $"value")
       .withWatermark("ts", "2 hours")
@@ -164,6 +186,7 @@ object Stream {
       }
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
+    }
     Snapshot.readZone(s, target).orderBy($"wstart", $"event_type")
   }
 
