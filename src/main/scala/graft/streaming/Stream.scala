@@ -212,6 +212,29 @@ object Stream {
     drainAppend(s, plan, "graft_st8_").orderBy($"wstart", $"c_mktsegment")
   }
 
+  /** ST-13 — stream-static ANTI join: the streaming incremental-ingest
+    * filter (the streaming face of d13/p3): each arriving record is
+    * dropped if its key already exists in the STATIC historical log
+    * (here: every event_id ≡ 0 mod 3, standing in for the corpus's
+    * processed-id table), and only survivors aggregate onward. The
+    * anti side broadcasts — at 100 TB the historical KEY set is the
+    * dim-sized artifact a pipeline maintains precisely so ingest never
+    * shuffles the full corpus (the bloom form of the same idea is x8).
+    * Complements st8's inner enrichment: anti = "new only". */
+  def st13StreamAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val seen = graft.io.Tables.events(s, dir)
+      .filter($"event_id" % 3 === 0).select($"event_id")
+    val plan = graft.io.Tables.eventsStream(s, dir)
+      .select($"ts", $"event_id", $"event_type", $"value")
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(seen), Seq("event_id"), "left_anti")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
+      .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value_c")
+    drainAppend(s, plan, "graft_st13_").orderBy($"wstart", $"event_type")
+  }
+
   /** ST-9 — stream-STREAM join: per-user attribution pairing each
     * `view` with the `purchase`s that follow it within 1 hour — two
     * live feeds joined on (user, time range). Both sides carry
@@ -401,6 +424,17 @@ object Stream {
       """SELECT date_trunc('hour', ts) AS wstart, event_type,
                 count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
          FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    // st13: anti-join survivors (event_id not in the mod-3 "seen" log),
+    // windows closed under the final watermark, as st4
+    "st13_stream_anti_join" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+         SELECT date_trunc('hour', ts) AS wstart, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM events, wm
+         WHERE event_id % 3 <> 0
+           AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+         GROUP BY 1, 2 ORDER BY wstart, event_type""",
     // st4: only windows CLOSED under the final watermark (= max ts - 2h)
     // are emitted in append mode; Spark finalizes a window when
     // watermark >= window.end (verified against the operator: eviction
@@ -417,6 +451,7 @@ object Stream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_hourly" -> st1StreamHourly _,
+    "st13_stream_anti_join" -> st13StreamAntiJoin _,
     "st4_watermark_append" -> st4WatermarkAppend _,
     "st5_sliding_watermark" -> st5SlidingWatermark _,
     "st6_stream_dedup" -> st6StreamDedup _,

@@ -62,4 +62,26 @@ class MaintenanceSpec extends AnyFunSuite {
       .orderBy("k").as[(Long, String)].collect().toSeq
     assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
   }
+
+  test("mt7 dynamic overwrite rewrites ONLY the patched partition's files") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mt7spec_").toString + "/t"
+    Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L), (4L, "d3", 40L))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(root)
+    def filesOf(day: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$root/day=$day")
+      d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    }
+    val d1Before = filesOf("d1"); val d2Before = filesOf("d2")
+    Seq((4L, 99L, "d3")).toDF("id", "v", "day")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(root)
+    assert(filesOf("d1") == d1Before && filesOf("d2") == d2Before,
+      "untouched partitions were rewritten")
+    val back = spark.read.parquet(root).select("id", "v").as[(Long, Long)].collect().toMap
+    assert(back == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 99L),
+      s"patched table wrong: $back")
+  }
 }
