@@ -223,6 +223,48 @@ object Sketches {
       ORDER BY l.l_returnflag""")
   }
 
+  /** Q-43 — `approx_top_k` heavy hitters. The sketch is EXACT whenever
+    * the number of distinct items fits its capacity (default 10⁴ ≫ the
+    * 5 priorities), which is precisely the production regime for
+    * dashboard-style top-k over categorical keys — so the entry gets a
+    * FULL value oracle (exact group-by top-3) while still exercising
+    * the sketch aggregate, which at high cardinality degrades
+    * gracefully instead of OOMing the way an exact global group-by
+    * top-k can. Selection is tie-free at every gate SF (verified:
+    * the only tied counts sit strictly inside the top-3); output order
+    * is re-pinned by (n DESC, item). */
+  def q43ApproxTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .agg(expr("approx_top_k(o_orderpriority, 3)").as("tk"))
+      .select(explode($"tk").as("x"))
+      .select($"x.item".as("item"), $"x.count".as("n"))
+      .orderBy($"n".desc, $"item")
+
+  /** Q-44 — the mergeable-sketch LIFECYCLE: per-status Datasketches HLL
+    * sketches (`hll_sketch_agg` — the binary artifact a pipeline stores
+    * next to each partition/day), rolled up with `hll_union_agg` and
+    * estimated once. This is how 100 TB incremental distinct-count
+    * works: each ingest batch persists a few-KB sketch; any rollup
+    * (day → month → total) is a union of sketches, never a re-scan. The
+    * hashed output is q23-style portable: exact totals + a tolerance
+    * flag each engine's own estimator satisfies. */
+  def q44SketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val perGroup = Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"),
+        countDistinct($"o_custkey").as("exact_g"))
+    val merged = perGroup.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total"),
+      sum($"exact_g").as("sum_exact_g"))
+    val exactTotal = Tables.orders(s, dir)
+      .agg(countDistinct($"o_custkey").as("exact_total"))
+    merged.crossJoin(exactTotal).select(
+      $"exact_total",
+      (abs($"est_total" - $"exact_total") <= $"exact_total" * 0.1)
+        .cast("int").as("union_est_ok"),
+      ($"sum_exact_g" >= $"exact_total").cast("int").as("groups_cover"))
+  }
+
   /** X-7 — the typed-`Aggregator` entry (see
     * [[graft.functions.CentsStats]]): per-status one-pass
     * (n, sum, min, max) over order cents through `functions.udaf` —
@@ -283,6 +325,18 @@ object Sketches {
                         ((('0x' || substr(kth_hash, 1, 13))::BIGINT) / 4503599627370496.0), 2)
                  END AS n_distinct_est
           FROM kth""",
+    "q43_approx_top_k" ->
+      """SELECT o_orderpriority AS item, count(*) AS n FROM orders
+         GROUP BY 1 ORDER BY n DESC, item LIMIT 3""",
+    "q44_sketch_rollup" ->
+      """WITH g AS (SELECT o_orderstatus, count(DISTINCT o_custkey) AS eg
+                    FROM orders GROUP BY 1),
+            t AS (SELECT count(DISTINCT o_custkey) AS exact_total,
+                         approx_count_distinct(o_custkey) AS est FROM orders)
+         SELECT exact_total,
+                CAST(abs(est - exact_total) <= exact_total * 0.1 AS INT) AS union_est_ok,
+                CAST((SELECT sum(eg) FROM g) >= exact_total AS INT) AS groups_cover
+         FROM t""",
     "x8_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS n,
                 CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
@@ -304,5 +358,7 @@ object Sketches {
     "x6_countmin" -> x6CountMin _,
     "x7_typed_aggregator" -> x7TypedAggregator _,
     "x8_bloom_semijoin" -> x8BloomSemiJoin _,
+    "q43_approx_top_k" -> q43ApproxTopK _,
+    "q44_sketch_rollup" -> q44SketchRollup _,
   )
 }

@@ -240,6 +240,7 @@ class PlanSpec extends AnyFunSuite {
       "q7_scalar_subquery", "q14_today", "q15_query_on_query", "q26_gap_fill",
       "mt3_skew_audit", "x2_kmv_distinct", "st4_watermark_append",
       "s6_ann_recall", "p1_pipeline_e2e",
+      "q44_sketch_rollup", // 1-row merged-sketch x 1-row exact-total
       // bounded-small-side products by design (not scalars, still O(n)):
       "mt4_fk_audit",  // 1-row child-count x 1-row orphan-count per edge
       "s1_ann_brute",  // the documented brute-force BASELINE: query side broadcast
