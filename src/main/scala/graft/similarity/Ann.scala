@@ -198,18 +198,24 @@ object Ann {
     * centroid (inverted file); a query searches only its own cell.
     * Cell id is a partition key at scale — retrieval prunes to one
     * cell's partition instead of scanning the corpus. */
-  def s4IvfTopK(s: SparkSession, dir: String): DataFrame = {
+  /** Shared IVF construction (S-4 in-plan form, S-8 persisted form):
+    * every corpus vector assigned to its max-cosine centroid (ties →
+    * lowest cell id) against the broadcast codebook. */
+  private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val centroids = c.filter($"vec_id" % 61 === 0).orderBy($"vec_id").limit(Cells)
       .select($"vec_id".as("cell_id"), $"v".as("cv"), $"nrm".as("cnrm"))
-    // assign every vector to its max-cosine centroid (ties -> lowest cell id)
-    def assign(df: DataFrame) = df.crossJoin(broadcast(centroids))
-      .select(df.columns.map(col) :+ $"cell_id" :+
+    c.crossJoin(broadcast(centroids))
+      .select(c.columns.map(col) :+ $"cell_id" :+
         cosine($"v", $"cv", $"nrm", $"cnrm").as("ccos"): _*)
       .withColumn("rk", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell_id")))
       .filter($"rk" === 1).drop("rk", "ccos")
-    val assigned = assign(c)
+  }
+
+  /** Ranked cell-local top-k over an assigned corpus — the IVF search
+    * kernel shared by S-4 and S-8. */
+  private def ivfSearch(assigned: DataFrame): DataFrame = {
     val q = assigned.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"cell_id")
     val scored = assigned.join(broadcast(q), "cell_id")
@@ -220,6 +226,30 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
       .select($"query_id", $"cell_id", $"rank", $"neighbor_id", round($"cos", 4).as("cosine"))
       .orderBy($"query_id", $"rank")
+  }
+
+  def s4IvfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(ivfAssigned(s, dir))
+
+  /** S-8 — the PERSISTED IVF index: the assigned corpus written
+    * `partitionBy(cell_id)` (one directory per inverted list — the
+    * physical layout an ANN serving tier reads), searched from the
+    * files. The cell-restricted search joins the scanned index against
+    * the broadcast query set on the PARTITION column, so Spark injects
+    * a dynamic-partition-pruning subquery into the index scan: at
+    * 100 TB retrieval reads only the probed cells' directories, never
+    * the corpus (StorageSpec asserts the dynamicpruning filter).
+    * Results are identical to S-4 (same assignment, same arithmetic,
+    * doubles round-trip parquet exactly) — the oracle is S-4's. */
+  def s8IvfPersisted(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_s8_").toString
+    ivfAssigned(s, dir)
+      .write.partitionBy("cell_id")
+      .format(graft.ops.Snapshot.ZoneFormat).save(s"$work/index")
+    val idx = s.read.format(graft.ops.Snapshot.ZoneFormat).load(s"$work/index")
+      .select($"vec_id", $"label", $"v", $"nrm", $"cell_id")
+    ivfSearch(idx)
   }
 
   /** S-5 — int8 embedding quantization (the storage/bandwidth path for
@@ -334,6 +364,34 @@ object Ann {
         FROM p ORDER BY vec_id"""
   }
 
+  /** S-4 / S-8 share this: the persisted index holds the SAME assigned
+    * vectors (doubles round-trip parquet bit-exactly), so both search
+    * paths produce one result set. */
+  private lazy val IvfOracleSql: String =
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cell_id, v AS cv FROM c
+                 WHERE vec_id % 61 = 0 ORDER BY vec_id LIMIT $Cells),
+        allcos AS (
+          SELECT a.vec_id AS vec_id, a.v AS v, cent.cell_id AS cell_id,
+                 ${cosineSql.replace("b.v", "cent.cv")} AS ccos
+          FROM c a CROSS JOIN cent),
+        asg AS (
+          SELECT vec_id, v, cell_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rk
+          FROM allcos),
+        a AS (SELECT vec_id, v, cell_id FROM asg WHERE rk = 1),
+        q AS (SELECT vec_id AS query_id, v, cell_id FROM a WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.query_id AS query_id, q.cell_id AS cell_id, a.vec_id AS neighbor_id,
+                 ${cosineSql.replace("b.v", "q.v")} AS cos
+          FROM a JOIN q ON a.cell_id = q.cell_id WHERE a.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, cell_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, cell_id, rank, neighbor_id, round(cos, 4) AS cosine
+        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
+
   private lazy val oracleS1: String =
     s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v FROM c WHERE vec_id % 100 = 0),
@@ -391,30 +449,9 @@ object Ann {
          FROM q ORDER BY vec_id""",
     "s1_ann_brute" -> oracleS1,
     "s2_ann_lsh" -> oracleS2,
-    "s4_ann_ivf" ->
-      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          cent AS (SELECT vec_id AS cell_id, v AS cv FROM c
-                   WHERE vec_id % 61 = 0 ORDER BY vec_id LIMIT $Cells),
-          allcos AS (
-            SELECT a.vec_id AS vec_id, a.v AS v, cent.cell_id AS cell_id,
-                   ${cosineSql.replace("b.v", "cent.cv")} AS ccos
-            FROM c a CROSS JOIN cent),
-          asg AS (
-            SELECT vec_id, v, cell_id,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rk
-            FROM allcos),
-          a AS (SELECT vec_id, v, cell_id FROM asg WHERE rk = 1),
-          q AS (SELECT vec_id AS query_id, v, cell_id FROM a WHERE vec_id % 100 = 0),
-          scored AS (
-            SELECT q.query_id AS query_id, q.cell_id AS cell_id, a.vec_id AS neighbor_id,
-                   ${cosineSql.replace("b.v", "q.v")} AS cos
-            FROM a JOIN q ON a.cell_id = q.cell_id WHERE a.vec_id <> q.query_id),
-          ranked AS (
-            SELECT query_id, cell_id, neighbor_id, cos,
-                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-            FROM scored)
-          SELECT query_id, cell_id, rank, neighbor_id, round(cos, 4) AS cosine
-          FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""",
+    "s4_ann_ivf" -> IvfOracleSql,
+    // identical computation, persisted index path — same oracle
+    "s8_ann_ivf_persisted" -> IvfOracleSql,
     "s3_cosine_neardup" ->
       s"""WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
           n AS (SELECT *, count(*) OVER (PARTITION BY label) AS label_n FROM c),
@@ -436,6 +473,7 @@ object Ann {
     "s2_ann_lsh" -> s2LshTopK _,
     "s3_cosine_neardup" -> s3CosineNearDup _,
     "s4_ann_ivf" -> s4IvfTopK _,
+    "s8_ann_ivf_persisted" -> s8IvfPersisted _,
     "s5_quantize" -> s5Quantize _,
     "s6_ann_recall" -> s6AnnRecall _,
     "s7_pq_code" -> s7PqCode _,

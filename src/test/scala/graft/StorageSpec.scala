@@ -86,6 +86,23 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("s8 persisted IVF: search scan is dynamic-partition-pruned; results == s4") {
+    // the index is written partitionBy(cell_id); the probed-cell list is
+    // only known after scanning the query side, so Spark must inject a
+    // dynamicpruning subquery into the index scan — at 100 TB retrieval
+    // reads only the probed cells' directories, never the full corpus
+    val q = graft.similarity.Ann.s8IvfPersisted(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "expected a dynamicpruning filter on the persisted-index scan:\n" + plan.take(3000))
+    // doubles round-trip parquet bit-exactly, so the persisted path is
+    // row-for-row identical to the in-plan S-4 form
+    val persisted = q.collect().map(_.toSeq).toSeq
+    val inPlan = graft.similarity.Ann.s4IvfTopK(spark, sf).collect().map(_.toSeq).toSeq
+    assert(persisted == inPlan)
+    assert(persisted.nonEmpty)
+  }
+
   test("O-2 JDBC: partitioned read-back splits into range partitions; empty guard skips") {
     val work = Files.createTempDirectory("graft_pipeline_derbyspec_")
     System.setProperty("derby.stream.error.file",
