@@ -71,7 +71,6 @@ object Bench {
     // maintenance pool is quiesced and the stack never prints.
     val out = java.nio.file.Paths.get("target", "bench_result.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.streams.active.foreach { q =>
       scala.util.Try(q.stop())
       scala.util.Try(q.awaitTermination(30000))
@@ -90,6 +89,9 @@ object Bench {
       case (k, v, _) if k.matches("q([1-9]|1[0-7])_.*") => "\"" + k + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"reps":$reps,"sf":"$sfDir","detail":"target/bench_result.json"}"""
+    // Persist BOTH lines in one write so the file twin can never drift
+    // from stdout (full line first, compact last — same order as below).
+    java.nio.file.Files.write(out, (line + "\n" + compact + "\n").getBytes("UTF-8"))
     println(line)
     println(compact)
     System.out.flush()

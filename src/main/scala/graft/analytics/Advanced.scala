@@ -164,10 +164,14 @@ object Advanced {
     val vx = d($"n") * d($"sxx") - d($"sx") * d($"sx")
     val vy = d($"n") * d($"syy") - d($"sy") * d($"sy")
     val cxy = d($"n") * d($"sxy") - d($"sx") * d($"sy")
+    // Degenerate groups give NULL (not NaN/Inf, whose spelling differs
+    // across engines): stddev needs n ≥ 2, corr needs both variances > 0.
+    val big = when($"n" >= 2, lit(1))
+    val pos = when(vx > 0 && vy > 0, lit(1))
     agg.select($"l_returnflag", $"n", $"sx", $"sy",
-        round(sqrt(vx / (d($"n") * d($"n" - 1))), 4).as("stddev_x"),
-        round(sqrt(vy / (d($"n") * d($"n" - 1))), 4).as("stddev_y"),
-        round(cxy / sqrt(vx * vy), 4).as("corr_xy"))
+        (big * round(sqrt(vx / (d($"n") * d($"n" - 1))), 4)).as("stddev_x"),
+        (big * round(sqrt(vy / (d($"n") * d($"n" - 1))), 4)).as("stddev_y"),
+        (pos * round(cxy / sqrt(vx * vy), 4)).as("corr_xy"))
       .orderBy($"l_returnflag")
   }
 
@@ -277,16 +281,18 @@ object Advanced {
                   CAST(sum(y*y) AS BIGINT) AS syy
            FROM (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x,
                         CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem)
-           GROUP BY 1)
+           GROUP BY 1),
+         v AS (
+           SELECT *,
+                  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy,
+                  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS cxy
+           FROM g)
          SELECT l_returnflag, n, sx, sy,
-                round(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) /
-                      (CAST(n AS DOUBLE)*CAST(n - 1 AS DOUBLE))), 4) AS stddev_x,
-                round(sqrt((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) /
-                      (CAST(n AS DOUBLE)*CAST(n - 1 AS DOUBLE))), 4) AS stddev_y,
-                round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
-                      sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
-                           (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 4) AS corr_xy
-         FROM g ORDER BY l_returnflag""",
+                CASE WHEN n >= 2 THEN round(sqrt(vx / (CAST(n AS DOUBLE)*CAST(n - 1 AS DOUBLE))), 4) END AS stddev_x,
+                CASE WHEN n >= 2 THEN round(sqrt(vy / (CAST(n AS DOUBLE)*CAST(n - 1 AS DOUBLE))), 4) END AS stddev_y,
+                CASE WHEN vx > 0 AND vy > 0 THEN round(cxy / sqrt(vx * vy), 4) END AS corr_xy
+         FROM v ORDER BY l_returnflag""",
     "st2_stream_sliding" ->
       """SELECT wstart, event_type, count(*) AS n FROM (
            SELECT date_trunc('hour', ts) AS wstart, event_type FROM events

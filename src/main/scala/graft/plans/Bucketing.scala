@@ -31,8 +31,19 @@ object Bucketing {
 
   /** The raw bucketed join (pre-aggregation) — shared by the gate entry
     * and the no-Exchange plan spec. */
+  /** Drop catalog entries left by PRIOR invocations (the result frame is
+    * lazy, so an invocation can't drop its own tables — the consumer
+    * hasn't collected yet). Run alongside the temp-dir sweep so the
+    * catalog never accumulates and never dangles past the data sweep. */
+  private def sweepOldTables(s: SparkSession): Unit =
+    s.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => n.startsWith("x9_orders_") || n.startsWith("x9_lineitem_"))
+      .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
+
   private[graft] def bucketedJoinRaw(s: SparkSession, dir: String): DataFrame = {
     graft.pipeline.Pipeline.sweepOldWorkDirs()
+    sweepOldTables(s)
     val work = java.nio.file.Files.createTempDirectory("graft_x9_").toString
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val to = s"x9_orders_$tag"

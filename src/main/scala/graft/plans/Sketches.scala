@@ -205,14 +205,23 @@ object Sketches {
   def x8BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
     registerBloom(s)
     Tables.registerViews(s, dir)
-    s.sql("""
+    // Size the sketch from the ACTUAL dim-side cardinality (a pushed-
+    // filter count over the small side — the same stats-driven sizing
+    // Spark's InjectRuntimeFilter does from catalog rowCount): a fixed
+    // capacity silently saturates as SF grows, and a saturated bloom
+    // passes everything — still correct (the semi-join scrubs false
+    // positives) but the pre-shuffle reduction the sketch exists for is
+    // gone. 8 bits/item keeps fpp ≈ 2% at every SF.
+    val nd = math.max(100000L,
+      Tables.orders(s, dir).where($"o_orderpriority" === "1-URGENT").count())
+    s.sql(s"""
       SELECT l.l_returnflag AS l_returnflag,
              count(*) AS n,
              sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS qty_c
       FROM (
         SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
         WHERE bloom_might_contain(
-                (SELECT bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)
+                (SELECT bloom_agg(xxhash64(o_orderkey), ${nd}L, ${nd * 8}L)
                  FROM orders WHERE o_orderpriority = '1-URGENT'),
                 xxhash64(l_orderkey))
       ) l

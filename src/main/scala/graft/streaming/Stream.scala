@@ -39,13 +39,25 @@ object Stream {
     * it is a per-QUERY knob precisely because the checkpoint pins it
     * at first start (a restarted query keeps its original state
     * partitioning regardless of the session conf). Results are
-    * partitioning-invariant; only store overhead changes. */
-  private[graft] def withDrainPartitions[A](s: SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "8")
-    try body finally s.conf.set(key, prev)
-  }
+    * partitioning-invariant; only store overhead changes.
+    *
+    * The conf key is SESSION-global, so the set/restore is guarded by a
+    * lock: two concurrent drains serialize instead of racing the
+    * restore (second drain observing 8, or the restore clobbering the
+    * other's restore). A concurrent BATCH query on the same session
+    * could still plan its shuffles at 8 while a drain holds the lock —
+    * the gate and bench run entries sequentially, so that interleaving
+    * does not occur here; a truly concurrent deployment should use
+    * `SparkSession.newSession()` per worker (per-session conf view)
+    * rather than share one session across threads. */
+  private val drainLock = new Object
+  private[graft] def withDrainPartitions[A](s: SparkSession)(body: => A): A =
+    drainLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "8")
+      try body finally s.conf.set(key, prev)
+    }
 
   /** Drain an append-mode streaming plan into a fresh parquet file sink
     * with `Trigger.AvailableNow` and read the result back — the shared
