@@ -210,11 +210,23 @@ object Dedup {
     val tok = (0 until groups).foldLeft(tok0) { (df, g) =>
       df.withColumn(s"h$g", if (g == 0) md5($"tok") else md5(concat(lit(s"$g:"), $"tok")))
     }
-    val votes = (0 until bits).map { j =>
-      sum(when(instr(lit("0123456789abcdef"), substring(col(s"h${j / 32}"), j % 32 + 1, 1)) - 1 >= 8, 1)
-        .otherwise(-1)).as(s"v$j")
+    // Parse each 32-hex digest into 4 × 32-bit integer chunks ONCE,
+    // then pull each vote bit with shift+mask: 4 conv() string parses
+    // per digest instead of 32 substring+instr character scans (the
+    // former per-token hot cost). Bit j is the TOP bit of hex nibble
+    // j — nibble value ≥ 8 — exactly the old instr() ≥ 8 predicate,
+    // so fingerprints are bit-identical.
+    val nChunks = (bits + 7) / 8
+    val chunked = (0 until nChunks).foldLeft(tok) { (df, c) =>
+      df.withColumn(s"c$c",
+        conv(substring(col(s"h${c / 4}"), (c % 4) * 8 + 1, 8), 16, 10).cast("long"))
     }
-    tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+    val votes = (0 until bits).map { j =>
+      val c = (j / 32) * 4 + (j % 32) / 8    // which 8-hex-char chunk
+      val shift = (7 - j % 8) * 4 + 3        // top bit of nibble j within it
+      sum(shiftrightunsigned(col(s"c$c"), shift).bitwiseAND(1) * 2 - 1).as(s"v$j")
+    }
+    chunked.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
       .select($"doc_id",
         (0 until bits).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))

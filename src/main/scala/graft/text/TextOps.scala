@@ -62,7 +62,14 @@ object TextOps {
     val nTokens = size(split($"text", "\\s+")) -
       when(trim($"text") === "", 1).otherwise(0)
     val alphaChars = length(regexp_replace($"text", "[^a-z]", ""))
-    val stopHits = size(filter(split($"text", " "), t => t.isin(Stopwords.map(lit): _*)))
+    // Token-exact stopword count as ONE codegen'd regex scan: the HOF
+    // spelling size(filter(split(...), isin)) is CodegenFallback and
+    // drops this projection out of whole-stage codegen. Lookarounds pin
+    // token boundaries (space-delimited, same tokens as split(text,' '));
+    // the lookAHEAD also forces longest-alternative semantics ("an" is
+    // not counted as "a" + trailing garbage).
+    val stopPattern = Stopwords.mkString("(?<![^ ])(?:", "|", ")(?![^ ])")
+    val stopHits = size(regexp_extract_all($"text", lit(stopPattern), lit(0)))
     d.select($"doc_id", nChars.as("n_chars"), nTokens.as("n_tokens"),
         round(alphaChars / greatest(nChars, lit(1)).cast("double"), 4).as("alpha_ratio"),
         round(stopHits / greatest(nTokens, lit(1)).cast("double"), 4).as("stopword_ratio"))
