@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through (no "[info] " prefix):
+// the bench/verify drivers parse a bare JSON line from the process tail,
+// and sbt's default LoggedOutput strategy would prefix (and thereby hide)
+// it. StdoutOutput makes println lines appear verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
