@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // users keep the portable HOF spelling of a dot product; the
     // optimizer swaps in the codegen'd DotF64 (same bits, tight loop)
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // grouped top-k: the row_number()<=k window spelling plans as the
+    // bounded-heap TopKPerGroupExec (logical node + strategy + exec)
+    ext.injectOptimizerRule(_ => graft.plans.TopK.TopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopK.TopKStrategy)
   }
 }

@@ -37,7 +37,7 @@ object SparkEntry {
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
       Binary.queries ++ Stream.queries ++ Stateful.queries ++ Pipeline.queries ++
       AsOfJoin.queries ++ Sketches.queries ++ graft.plans.RangeJoin.queries ++
-      graft.plans.Bucketing.queries ++
+      graft.plans.Bucketing.queries ++ graft.plans.TopK.queries ++
       Advanced.queries ++ SetOps.queries ++
       Maintenance.queries ++ Wide.queries ++ Cohort.queries ++ Map(
       "o30_prescriptive" -> ((s: SparkSession, dir: String) => Scoring.hygieneScore(s, dir)),
@@ -51,7 +51,7 @@ object SparkEntry {
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++
       Binary.oracles ++ Stream.oracles ++ Stateful.oracles ++ Pipeline.oracles ++
       AsOfJoin.oracles ++ Sketches.oracles ++ graft.plans.RangeJoin.oracles ++
-      graft.plans.Bucketing.oracles ++
+      graft.plans.Bucketing.oracles ++ graft.plans.TopK.oracles ++
       Advanced.oracles ++ SetOps.oracles ++
       Maintenance.oracles ++ Wide.oracles ++ Cohort.oracles ++ Map(
       "o30_prescriptive" -> Scoring.oracleSql,
