@@ -317,6 +317,8 @@ object SetOps {
                 CAST(max(cents) AS BIGINT) AS hi_c,
                 CAST(sum(cents) AS BIGINT) AS sum_c
          FROM r GROUP BY prio, q ORDER BY prio, q""",
+    "q45_lateral" -> lateralSql,
+    "q46_recursive_cte" -> recursiveSql,
     "q34_corr_subquery" ->
       """SELECT c.c_custkey,
                 CAST(round(c.c_acctbal * 100) AS BIGINT) AS acct_c,
@@ -329,7 +331,69 @@ object SetOps {
          ORDER BY c.c_custkey""",
   )
 
+  /** Q-45 — correlated LATERAL subquery (top-2 customers by account
+    * balance per nation). The classic per-group-top-n spelled the SQL
+    * way: the lateral subquery correlates on `n_nationkey` and carries
+    * its own ORDER BY + LIMIT. Catalyst DECORRELATES it — the plan is
+    * one outer join against a rank-limited aggregate, never a per-row
+    * re-execution of the subquery (plan-asserted: no lingering
+    * LateralJoin/nested loop at any SF). Same SQL text runs on DuckDB
+    * as the oracle.
+    */
+  def q45Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(lateralSql)
+  }
+
+  // defs, not vals: referenced from the `oracles` map that initializes
+  // earlier in the object
+  private def lateralSql =
+    """SELECT n.n_name AS n_name, c.c_custkey AS c_custkey, c.acctbal_c AS acctbal_c
+       FROM nation n, LATERAL (
+         SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
+         FROM customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY acctbal_c DESC, c_custkey
+         LIMIT 2
+       ) c
+       ORDER BY n_name, acctbal_c DESC, c_custkey"""
+
+  /** Q-46 — recursive CTE (WITH RECURSIVE, Spark 4's UnionLoop):
+    * hierarchy walk over the supplier "org tree" where the parent of
+    * suppkey s (s ≥ 10) is floor(s/10) — a deterministic forest rooted
+    * at keys 0..9, depth = digits(s)-1, every supplier reached exactly
+    * once; the `s >= 10` guard keeps the walk strictly child > parent
+    * (key 0 would otherwise be its own parent — an infinite loop).
+    * Each recursion level plans as one equi-join of the frontier
+    * against the supplier scan: at 100 TB the loop runs
+    * O(log10 |supplier|) bounded-size joins, not a driver-side loop
+    * (this is the SQL-surface face of d6's iterative min-label
+    * propagation, whose oracle is already a DuckDB recursive CTE).
+    * Same SQL text runs on DuckDB as the oracle.
+    */
+  def q46RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(recursiveSql)
+  }
+
+  private def recursiveSql =
+    """WITH RECURSIVE chain AS (
+         SELECT s_suppkey AS node, s_suppkey AS root, 0 AS depth
+         FROM supplier WHERE s_suppkey < 10
+         UNION ALL
+         SELECT s.s_suppkey AS node, c.root AS root, c.depth + 1 AS depth
+         FROM supplier s JOIN chain c
+           ON CAST(floor(s.s_suppkey / 10.0) AS BIGINT) = c.node
+         WHERE s.s_suppkey >= 10
+       )
+       SELECT CAST(depth AS INT) AS depth, count(*) AS n_nodes,
+              CAST(sum(node) AS BIGINT) AS sum_node,
+              CAST(count(DISTINCT root) AS BIGINT) AS n_roots
+       FROM chain GROUP BY depth ORDER BY depth"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_lateral" -> q45Lateral _,
+    "q46_recursive_cte" -> q46RecursiveCte _,
     "q31_setops" -> q31SetOps _,
     "q32_cube" -> q32Cube _,
     "q33_ntile" -> q33Ntile _,
