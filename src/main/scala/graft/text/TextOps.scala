@@ -371,6 +371,23 @@ object TextOps {
 
   // lazy: referenced from `oracles` above its declaration point
   private lazy val oraclesNew: Map[String, String] = Map(
+    "t14_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok <> '' GROUP BY 1, 2),
+         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                  CAST(tf.tf * CAST(round(ln(n.n_total / df.df) * 1000000)
+                    AS BIGINT) AS BIGINT) AS score_micro
+           FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+         SELECT doc_id, tok, tf, df, score_micro FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score_micro DESC, tok) AS rn
+           FROM scored)
+         WHERE rn <= 3 ORDER BY doc_id, score_micro DESC, tok""",
     "t7_train_split" ->
       """WITH b AS (
            SELECT doc_id, n_chars,
@@ -422,7 +439,41 @@ object TextOps {
           FROM c ORDER BY doc_id""",
   )
 
+  /** T-14 — TF-IDF top-3 terms per document. Three shuffles total:
+    * TF = groupBy(doc, tok); DF = groupBy(tok) over the (already
+    * distinct) TF pairs; the per-doc top-3 by score. N (corpus size)
+    * rides along as a 1-row broadcast. IDF is quantized to integer
+    * MICRO units — `round(ln(N/df)·1e6)` — so the score
+    * `tf · idf_micro` is exact BIGINT algebra and the cross-engine
+    * gate never depends on float summation or comparison order (the
+    * repo's cents policy applied to term weights). The top-3 selection
+    * is written in the portable row_number()<=k spelling: the x10
+    * TopKRewrite turns it into the bounded-heap TopKPerGroup plan (no
+    * per-doc sort — at 100 TB the vocabulary join shuffles on tok and
+    * the final pass keeps 3 rows per doc per task).
+    */
+  def t14TfIdf(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopK.install(s)
+    val tf = tokens(s, dir).groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir)
+      .agg(count(lit(1)).cast("double").as("n_total"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(n))
+      .select($"doc_id", $"tok", $"tf", $"df",
+        ($"tf" * round(log($"n_total" / $"df") * 1e6).cast("bigint"))
+          .as("score_micro"))
+    scored.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")
+          .orderBy($"score_micro".desc, $"tok".asc)))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"tok", $"tf", $"df", $"score_micro")
+      .orderBy($"doc_id", $"score_micro".desc, $"tok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_tfidf" -> t14TfIdf _,
     "t1_langid" -> t1LangId _,
     "t2_quality" -> t2Quality _,
     "t3_token_count" -> t3TokenCount _,

@@ -86,6 +86,12 @@ class TopKSpec extends AnyFunSuite {
       99995L, 99996L, 99997L, 99998L, 99999L)))
   }
 
+  test("t14 tf-idf's top-3 stage runs on the custom top-k plan") {
+    val p = executed(graft.text.TextOps.t14TfIdf(spark, sf))
+    assert(p.contains("TopKPerGroupFinal") && !p.contains("WindowExec"),
+      p.take(3000))
+  }
+
   test("rewrite does NOT fire when the rank column is kept or the filter is compound") {
     import spark.implicits._
     TopK.install(spark)
