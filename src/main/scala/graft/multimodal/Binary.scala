@@ -124,7 +124,33 @@ object Binary {
       md5($"payload").as("content_md5"))
       .orderBy($"asset_id")
 
+  /** M-5 — exact dedup of binary assets by content digest (d1's media
+    * counterpart, the first pass of every multimodal ingest). One
+    * shuffle on the payload md5; within a digest group every copy is
+    * byte-identical, so keeper choice (min asset id) and reclaimable
+    * bytes ((n-1)·size) are deterministic. At 100 TB the digest is
+    * computed at INGEST and carried as a column — this operator then
+    * never rereads payload bytes, and the groupBy shuffles 16-byte
+    * digests + metadata, not media. Emits every group (singletons
+    * included) so the gate is non-trivial at every SF; the planted
+    * duplicate assets surface as n_copies > 1. */
+  def m5AssetDedup(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir)
+      .select($"asset_id", md5($"payload").as("digest"),
+        $"meta.n_bytes".as("n_bytes"))
+      .groupBy($"digest")
+      .agg(count(lit(1)).as("n_copies"),
+        min($"asset_id").as("keeper"),
+        ((count(lit(1)) - 1) * min($"n_bytes")).cast("bigint").as("dup_bytes"))
+      .orderBy($"digest")
+
   val oracles: Map[String, String] = Map(
+    "m5_asset_dedup" ->
+      """SELECT md5(text) AS digest, count(*) AS n_copies,
+                CAST(min(doc_id) AS BIGINT) AS keeper,
+                CAST((count(*) - 1) * min(octet_length(encode(text))) AS BIGINT)
+                  AS dup_bytes
+         FROM documents GROUP BY digest ORDER BY digest""",
     "m4_resize_stub" ->
       s"""WITH a AS (
             SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
@@ -174,6 +200,7 @@ object Binary {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_asset_dedup" -> m5AssetDedup _,
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_decode_features" -> m2DecodeFeatures _,
     "m3_frame_sample" -> m3FrameSample _,
