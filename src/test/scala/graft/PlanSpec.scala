@@ -241,6 +241,7 @@ class PlanSpec extends AnyFunSuite {
       "mt3_skew_audit", "x2_kmv_distinct", "st4_watermark_append",
       "s6_ann_recall", "p1_pipeline_e2e",
       "q44_sketch_rollup", // 1-row merged-sketch x 1-row exact-total
+      "t14_tfidf",         // 1-row corpus-size N broadcast into the idf
       // bounded-small-side products by design (not scalars, still O(n)):
       "mt4_fk_audit",  // 1-row child-count x 1-row orphan-count per edge
       "s1_ann_brute",  // the documented brute-force BASELINE: query side broadcast
