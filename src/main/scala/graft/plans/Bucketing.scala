@@ -69,7 +69,53 @@ object Bucketing {
         sum($"price_c").as("sum_price_c"))
       .orderBy($"o_orderstatus")
 
+  /** X-11 — exchange reuse: pay ONE shuffle, feed multiple consumers.
+    *
+    * X-9 amortizes the shuffle across QUERIES (layout at write time);
+    * this amortizes it WITHIN a query: `repartition(key)` once, then
+    * two different aggregations and the join of their results all run
+    * on that single exchange. Catalyst's ReuseExchange rule (and AQE's
+    * stage reuse) proves the two exchange subtrees identical and scans
+    * the shuffle output twice; both groupBys then satisfy their
+    * distribution requirement with NO further exchange, and the final
+    * join of the two aggregates is co-partitioned for free. At 100 TB
+    * this is the difference between one 100 TB shuffle and three.
+    * PlanSpec asserts: exactly one real fact-side exchange, a reused
+    * stage, and no exchange above either aggregate.
+    */
+  def x11ExchangeReuse(s: SparkSession, dir: String): DataFrame = {
+    // Both consumers aggregate over the SAME column set {custkey, cents,
+    // urgent} — if the branches needed different columns, Catalyst's
+    // column pruning would specialize each branch's scan and the two
+    // exchange subtrees would no longer canonicalize equal (two narrower
+    // shuffles instead of one reused one — the pruning/reuse trade).
+    val o = Tables.orders(s, dir)
+      .select($"o_custkey",
+        round($"o_totalprice" * 100).cast("bigint").as("cents"),
+        when($"o_orderpriority".like("1%"), 1L).otherwise(0L).as("urgent"))
+      .repartition($"o_custkey")
+    val counts = o.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"urgent").cast("bigint").as("n_urgent"),
+        min($"cents").cast("bigint").as("min_cents"))
+    val sums = o.groupBy($"o_custkey")
+      .agg(sum($"cents").cast("bigint").as("sum_cents"),
+        max($"cents").cast("bigint").as("max_cents"),
+        max($"urgent").cast("bigint").as("any_urgent"))
+    counts.join(sums, "o_custkey").orderBy($"o_custkey")
+  }
+
   val oracles: Map[String, String] = Map(
+    "x11_exchange_reuse" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_urgent,
+                CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+                CAST(max(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS any_urgent
+         FROM orders GROUP BY 1 ORDER BY o_custkey""",
     "x9_bucketed_join" ->
       """SELECT o.o_orderstatus, count(*) AS n,
                 CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
@@ -80,5 +126,6 @@ object Bucketing {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x9_bucketed_join" -> x9BucketedJoin _,
+    "x11_exchange_reuse" -> x11ExchangeReuse _,
   )
 }

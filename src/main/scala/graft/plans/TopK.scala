@@ -94,6 +94,12 @@ object TopK {
       if (partial) Seq(UnspecifiedDistribution)
       else Seq(ClusteredDistribution(groupExprs))
 
+    override lazy val metrics = Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+      "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of groups"))
+
     override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
       copy(child = newChild)
 
@@ -102,6 +108,8 @@ object TopK {
       val groupEs = groupExprs
       val orderEs = order
       val limit = k
+      val outRows = longMetric("numOutputRows")
+      val nGroups = longMetric("numGroups")
       child.execute().mapPartitions({ iter =>
         // generated (codegen'd) comparator for the SortOrder spec and an
         // unsafe projection for the group key — both per-partition, on
@@ -126,7 +134,9 @@ object TopK {
           }
         }
         import scala.jdk.CollectionConverters._
+        nGroups += heaps.size()
         heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+          .map { r => outRows += 1; r }
       }, preservesPartitioning = true)
     }
   }

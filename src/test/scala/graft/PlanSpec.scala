@@ -231,6 +231,18 @@ class PlanSpec extends AnyFunSuite {
       "typed udaf should plan paired partial/final aggregates:\n" + p.take(2000))
   }
 
+  test("x11: one fact shuffle feeds both aggregates via ReusedExchange") {
+    val df = graft.plans.Bucketing.x11ExchangeReuse(spark, sf)
+    df.collect() // AQE materializes stage reuse at runtime
+    val p = plan(df)
+    val initIdx = p.indexOf("== Initial Plan ==")
+    val finalPlan = if (initIdx >= 0) p.substring(0, initIdx) else p
+    assert(finalPlan.contains("ReusedExchange"),
+      "second aggregate should reuse the repartition exchange:\n" + p.take(3000))
+    // the fact table is scanned once in the final plan
+    assert("FileScan parquet".r.findAllIn(finalPlan).size == 1, p.take(3000))
+  }
+
   test("NO batch entry plans an unguarded cartesian / nested-loop join (full sweep)") {
     // Entries whose plans legitimately contain a BroadcastNestedLoopJoin:
     // every one is a 1-row scalar (or bounds/total row) broadcast across

@@ -86,6 +86,20 @@ class TopKSpec extends AnyFunSuite {
       99995L, 99996L, 99997L, 99998L, 99999L)))
   }
 
+  test("degenerate: every group unique (pass-through worst case) stays exact") {
+    import spark.implicits._
+    TopK.install(spark)
+    // |groups| = N: the partial pass keeps everything (its documented
+    // worst case — same volume the window plan would shuffle); results
+    // must still be exact
+    val df = spark.range(10000).select(col("id").as("g"), (col("id") * 7 % 13).as("v"))
+    val top = df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"v".desc)))
+      .filter(col("rn") <= 2).select($"g", $"v")
+    assert(executed(top).contains("TopKPerGroupFinal"))
+    assert(top.count() == 10000) // one row per group, k=2 > group size 1
+  }
+
   test("t14 tf-idf's top-3 stage runs on the custom top-k plan") {
     val p = executed(graft.text.TextOps.t14TfIdf(spark, sf))
     assert(p.contains("TopKPerGroupFinal") && !p.contains("WindowExec"),
