@@ -260,7 +260,37 @@ object Maintenance {
       .orderBy($"is_patched")
   }
 
+  /** MT-8 — ORC zone round-trip: the second columnar format of the
+    * source/sink surface (CSV o1, JSON o8, parquet everywhere, JDBC
+    * o2). Orders write as ORC sorted within files on the filter key,
+    * read back through a predicate that must reach the ORC reader
+    * (`PushedFilters`, StorageSpec-asserted), and aggregate. Proves the
+    * zone layer is format-agnostic beyond the `ZoneFormat` constant —
+    * on a cluster the swap to ORC (or Delta's parquet) is config, not
+    * code. */
+  def mt8OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_mt8_").toString
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("bigint").as("cents"))
+      .sortWithinPartitions($"o_orderstatus")
+      .write.mode(SaveMode.Overwrite).orc(s"$work/orders_orc")
+    s.read.orc(s"$work/orders_orc")
+      .filter($"o_orderstatus" =!= "P") // pushed to the ORC reader
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"cents").cast("bigint").as("sum_cents"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderstatus")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mt8_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders WHERE o_orderstatus <> 'P'
+         GROUP BY 1 ORDER BY o_orderstatus""",
     "mt6_clustered_layout" ->
       """SELECT CAST(1 AS INT) AS files_le_target, count(*) AS n_rows,
                 CAST(0 AS BIGINT) AS n_overlap
@@ -346,5 +376,6 @@ object Maintenance {
     "mt5_schema_evolution" -> mt5SchemaEvolution _,
     "mt6_clustered_layout" -> mt6ClusteredLayout _,
     "mt7_partition_overwrite" -> mt7PartitionOverwrite _,
+    "mt8_orc_roundtrip" -> mt8OrcRoundtrip _,
   )
 }

@@ -32,6 +32,14 @@ class StorageSpec extends AnyFunSuite {
     assert(n == expected)
   }
 
+  test("mt8: ORC round-trip pushes the status filter into the ORC reader") {
+    val df = graft.maintenance.Maintenance.mt8OrcRoundtrip(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Format: ORC") || plan.contains("FileScan orc"), plan.take(1500))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), Not(EqualTo(o_orderstatus,P))"),
+      "status predicate did not reach the ORC reader:\n" + plan.take(1500))
+  }
+
   test("join-driven DYNAMIC partition pruning reaches the partitioned scan") {
     // the fact side is partitioned on the join key; the selective filter
     // lives on the OTHER side of the join, so the partition list is only
