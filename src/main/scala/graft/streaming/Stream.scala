@@ -98,6 +98,27 @@ object Stream {
       .orderBy($"wstart", $"event_type")
   }
 
+  /** ST-14 — streaming top-k: the lambda-free production pattern for a
+    * ranking no append-mode stream can maintain incrementally. The
+    * stream keeps the per-(hour, type) counters (st1's drain — bounded
+    * state, exactly the windowed agg); the top-3-types-per-hour RANKING
+    * is computed over the drained serving table by the x10 bounded-heap
+    * operator (portable row_number()<=3 spelling, rewritten — no sort,
+    * no window exec). At 100 TB the serving table is hours × types —
+    * MBs — so the ranking pass is free next to the stream; re-ranking
+    * per drain replaces a stateful top-k operator Spark doesn't have. */
+  def st14StreamTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopK.install(s)
+    val hourly = st1StreamHourly(s, dir) // drained serving table, bit = batch
+    hourly.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"wstart")
+          .orderBy($"n".desc, $"event_type".asc)))
+      .filter($"rn" <= 3)
+      .select($"wstart", $"event_type", $"n", $"sum_value_c")
+      .orderBy($"wstart", $"n".desc, $"event_type")
+  }
+
   /** The unstarted st4 streaming plan — exposed so StreamingSpec can
     * assert the event-time watermark is present in the analyzed plan. */
   def st4Plan(s: SparkSession, dir: String): DataFrame =
@@ -436,6 +457,16 @@ object Stream {
       """SELECT date_trunc('hour', ts) AS wstart, event_type,
                 count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
          FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "st14_stream_topk" ->
+      """WITH h AS (
+           SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+           FROM events GROUP BY 1, 2)
+         SELECT wstart, event_type, n, sum_value_c FROM (
+           SELECT *, row_number() OVER (PARTITION BY wstart
+                       ORDER BY n DESC, event_type) AS rn
+           FROM h)
+         WHERE rn <= 3 ORDER BY wstart, n DESC, event_type""",
     // st13: anti-join survivors (event_id not in the mod-3 "seen" log),
     // windows closed under the final watermark, as st4
     "st13_stream_anti_join" ->
@@ -463,6 +494,7 @@ object Stream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_hourly" -> st1StreamHourly _,
+    "st14_stream_topk" -> st14StreamTopK _,
     "st13_stream_anti_join" -> st13StreamAntiJoin _,
     "st4_watermark_append" -> st4WatermarkAppend _,
     "st5_sliding_watermark" -> st5SlidingWatermark _,
