@@ -174,6 +174,10 @@ object TopK {
     private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
       case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
       case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+      // rn = 1 is the latest/first-per-key idiom (rn = k for k > 1 is a
+      // single rank slice, NOT a top-k — only 1 coincides)
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
       case _ => None
     }
 

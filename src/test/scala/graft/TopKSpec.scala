@@ -106,6 +106,23 @@ class TopKSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("rn = 1 (latest-per-key idiom) takes the heap path; rn = 2 does not") {
+    import spark.implicits._
+    TopK.install(spark)
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "v")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"v".desc)
+    val latest = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select($"g", $"v")
+    assert(executed(latest).contains("TopKPerGroupFinal"))
+    assert(latest.collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("a", 2), ("b", 5)))
+    // rn = 2 is a rank slice, not a top-k — must stay on the window path
+    val slice = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 2).select($"g", $"v")
+    assert(!executed(slice).contains("TopKPerGroup"))
+    assert(slice.collect().map(r => (r.getString(0), r.getInt(1))).toSet == Set(("a", 1)))
+  }
+
   test("rewrite does NOT fire when the rank column is kept or the filter is compound") {
     import spark.implicits._
     TopK.install(spark)
