@@ -144,7 +144,41 @@ object Binary {
         ((count(lit(1)) - 1) * min($"n_bytes")).cast("bigint").as("dup_bytes"))
       .orderBy($"digest")
 
+  /** M-6 — `binaryFile` source: Spark's native whole-file media reader
+    * (path, modificationTime, length, content), the ingest edge for
+    * image/audio corpora. A deterministic 20-file fixture (the 20
+    * smallest doc ids' text bytes — fixture GENERATION collects 20
+    * rows; the read path is the real distributed source) is read back
+    * with `pathGlobFilter`; output = (file name, byte length, content
+    * md5). At 100 TB this source partitions by FILES (one task per
+    * group of files, `maxPartitionBytes`-sized) and payload bytes stay
+    * executor-side — the same property m2/m3 assert for the decode
+    * stages downstream. Oracle = the expected values stated
+    * relationally over `documents` (same bytes, same names). */
+  def m6BinaryFileSource(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_m6_bin")
+    work.mkdirs()
+    Tables.documents(s, dir).filter($"doc_id" < 20)
+      .select($"doc_id", $"text").collect() // 20-row fixture gen only
+      .foreach { r =>
+        java.nio.file.Files.write(
+          new java.io.File(work, f"doc_${r.getLong(0)}%06d.bin").toPath,
+          r.getString(1).getBytes("UTF-8"))
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+      .load(work.getAbsolutePath)
+      .select(substring_index($"path", "/", -1).as("fname"),
+        $"length".as("n_bytes"), md5($"content").as("content_md5"))
+      .orderBy($"fname")
+  }
+
   val oracles: Map[String, String] = Map(
+    "m6_binaryfile_source" ->
+      """SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.bin' AS fname,
+                CAST(strlen(text) AS BIGINT) AS n_bytes,
+                md5(text) AS content_md5
+         FROM documents WHERE doc_id < 20 ORDER BY fname""",
     "m5_asset_dedup" ->
       """SELECT md5(text) AS digest, count(*) AS n_copies,
                 CAST(min(doc_id) AS BIGINT) AS keeper,
@@ -201,6 +235,7 @@ object Binary {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m5_asset_dedup" -> m5AssetDedup _,
+    "m6_binaryfile_source" -> m6BinaryFileSource _,
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_decode_features" -> m2DecodeFeatures _,
     "m3_frame_sample" -> m3FrameSample _,
