@@ -371,6 +371,36 @@ object TextOps {
 
   // lazy: referenced from `oracles` above its declaration point
   private lazy val oraclesNew: Map[String, String] = Map(
+    "t15_bigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         toksf AS (SELECT * FROM toks WHERE tok <> ''),
+         bi AS (
+           SELECT doc_id, source, tok,
+                  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+           FROM toksf),
+         big AS (SELECT * FROM bi WHERE next IS NOT NULL),
+         c12 AS (
+           SELECT tok, next, count(*) AS c12 FROM big
+           WHERE source = 'src0' GROUP BY 1, 2),
+         c1 AS (
+           SELECT tok, count(*) AS c1 FROM toksf
+           WHERE source = 'src0' GROUP BY 1),
+         model AS (
+           SELECT c12.tok, c12.next,
+                  CAST(round(ln(CAST(c12.c12 AS DOUBLE) / c1.c1) * 1000000)
+                    AS BIGINT) AS lp_micro
+           FROM c12 JOIN c1 ON c12.tok = c1.tok),
+         scored AS (
+           SELECT b.doc_id, coalesce(m.lp_micro, -10000000) AS lp
+           FROM big b LEFT JOIN model m ON b.tok = m.tok AND b.next = m.next)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
+                CAST(CAST(sum(lp) AS BIGINT) < count(*) * -3000000 AS INT)
+                  AS low_quality
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "t14_tfidf" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -472,7 +502,49 @@ object TextOps {
       .orderBy($"doc_id", $"score_micro".desc, $"tok")
   }
 
+  /** T-15 — bigram language-model quality scoring (the CCNet/Gopher LM
+    * filter): train bigram MLE counts on one trusted source slice,
+    * score every document by its summed bigram log-probability, flag
+    * low-quality outliers. All cross-engine arithmetic is exact
+    * integers: each bigram's `ln(c12/c1)` is quantized to MICRO units
+    * once (one transcendental per MODEL row, never per document), doc
+    * scores are BIGINT sums of those, unseen bigrams draw a fixed
+    * integer floor penalty, and the quality flag is an integer
+    * inequality (sum < n·threshold) — no float accumulation anywhere.
+    * Shuffles: token lead-window per doc (1), model groupBys (2,
+    * vocab-bounded), model join on the bigram key (the 100 TB path —
+    * the model table is corpus-sublinear but vocab² worst-case, so it
+    * equi-joins rather than broadcasts), final per-doc agg (1).
+    */
+  def t15BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val TrainSource = "src0"
+    val UnseenPenaltyMicro = -10000000L // ln floor for unseen bigrams
+    val ThresholdMicro = -3000000L      // avg logp < -3 → low quality
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", $"source", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      .filter($"tok" =!= "")
+    val bigrams = toks
+      .withColumn("next", lead($"tok", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"pos")))
+      .filter($"next".isNotNull)
+    val train = bigrams.filter($"source" === TrainSource)
+    val c12 = train.groupBy($"tok", $"next").agg(count(lit(1)).as("c12"))
+    val c1 = toks.filter($"source" === TrainSource)
+      .groupBy($"tok").agg(count(lit(1)).as("c1"))
+    val model = c12.join(c1, "tok")
+      .select($"tok", $"next",
+        round(log($"c12".cast("double") / $"c1") * 1e6).cast("bigint").as("lp_micro"))
+    bigrams.join(model, Seq("tok", "next"), "left")
+      .select($"doc_id", coalesce($"lp_micro", lit(UnseenPenaltyMicro)).as("lp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lp").cast("bigint").as("sum_lp_micro"))
+      .withColumn("low_quality",
+        ($"sum_lp_micro" < $"n_bigrams" * ThresholdMicro).cast("int"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_bigram_lm" -> t15BigramLm _,
     "t14_tfidf" -> t14TfIdf _,
     "t1_langid" -> t1LangId _,
     "t2_quality" -> t2Quality _,
