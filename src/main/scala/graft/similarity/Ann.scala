@@ -231,6 +231,39 @@ object Ann {
   def s4IvfTopK(s: SparkSession, dir: String): DataFrame =
     ivfSearch(ivfAssigned(s, dir))
 
+  /** D-15 — semantic dedup, SemDeDup-style: embeddings are blocked by
+    * their IVF cell (s4's deterministic codebook — at 100 TB the cell
+    * count is the knob that bounds block size, exactly the
+    * clustering-then-dedup-within-cluster shape of the published
+    * technique), near-dup pairs (cos ≥ 0.3 here; production ~0.95+ on
+    * real embeddings) form within cells only, and the HIGHER vec id of
+    * every pair is dropped — a deterministic keep rule, no iterative
+    * clustering. Output audits each cell: population, drops, and the
+    * survivor id-sum checksum that pins the exact surviving set
+    * cross-engine (p2's checksum idiom). Semantic dedup catches what
+    * d1/d11 cannot: paraphrases with different bytes but near-identical
+    * embeddings. */
+  def d15SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val a = ivfAssigned(s, dir).select($"cell_id", $"vec_id", $"v", $"nrm")
+    val x = a.select($"cell_id", $"vec_id".as("a_id"), $"v".as("av"), $"nrm".as("anrm"))
+    val y = a.select($"cell_id", $"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bnrm"))
+    val pairs = x.join(y, Seq("cell_id")).filter($"a_id" < $"b_id")
+      .select($"cell_id", $"b_id",
+        cosine($"av", $"bv", $"anrm", $"bnrm").as("cos"))
+      .filter($"cos" >= 0.3)
+    val drops = pairs.select($"cell_id", $"b_id").distinct()
+    val cellStats = a.groupBy($"cell_id")
+      .agg(count(lit(1)).as("n_vecs"), sum($"vec_id").as("sum_all"))
+    val dropStats = drops.groupBy($"cell_id")
+      .agg(count(lit(1)).as("n_dropped"), sum($"b_id").as("sum_dropped"))
+    cellStats.join(dropStats, Seq("cell_id"), "left")
+      .select($"cell_id", $"n_vecs",
+        coalesce($"n_dropped", lit(0L)).cast("bigint").as("n_dropped"),
+        ($"sum_all" - coalesce($"sum_dropped", lit(0L))).cast("bigint")
+          .as("survivor_id_sum"))
+      .orderBy($"cell_id")
+  }
+
   /** S-8 — the PERSISTED IVF index: the assigned corpus written
     * `partitionBy(cell_id)` (one directory per inverted list — the
     * physical layout an ANN serving tier reads), searched from the
@@ -447,6 +480,39 @@ object Ann {
                 CAST(list_aggregate(q, 'sum') AS BIGINT) AS sum_q,
                 CAST(list_max(q) AS BIGINT) AS max_q, CAST(list_min(q) AS BIGINT) AS min_q
          FROM q ORDER BY vec_id""",
+    "d15_semantic_dedup" ->
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cent AS (SELECT vec_id AS cell_id, v AS cv FROM c
+                   WHERE vec_id % 61 = 0 ORDER BY vec_id LIMIT $Cells),
+          allcos AS (
+            SELECT a.vec_id AS vec_id, a.v AS v, cent.cell_id AS cell_id,
+                   ${cosineSql.replace("b.v", "cent.cv")} AS ccos
+            FROM c a CROSS JOIN cent),
+          asgd AS (
+            SELECT vec_id, v, cell_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS rk
+            FROM allcos),
+          asg AS (SELECT vec_id, v, cell_id FROM asgd WHERE rk = 1),
+          pairs AS (
+            SELECT a.cell_id AS cell_id, b.vec_id AS b_id, $cosineSql AS cos
+            FROM asg a JOIN asg b
+              ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+          drops AS (
+            SELECT DISTINCT cell_id, b_id FROM pairs WHERE cos >= 0.3),
+          cellstats AS (
+            SELECT cell_id, count(*) AS n_vecs,
+                   CAST(sum(vec_id) AS BIGINT) AS sum_all
+            FROM asg GROUP BY 1),
+          dropstats AS (
+            SELECT cell_id, count(*) AS n_dropped,
+                   CAST(sum(b_id) AS BIGINT) AS sum_dropped
+            FROM drops GROUP BY 1)
+          SELECT s.cell_id AS cell_id, s.n_vecs AS n_vecs,
+                 CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+                 CAST(s.sum_all - coalesce(d.sum_dropped, 0) AS BIGINT)
+                   AS survivor_id_sum
+          FROM cellstats s LEFT JOIN dropstats d ON s.cell_id = d.cell_id
+          ORDER BY cell_id""",
     "s1_ann_brute" -> oracleS1,
     "s2_ann_lsh" -> oracleS2,
     "s4_ann_ivf" -> IvfOracleSql,
@@ -472,6 +538,7 @@ object Ann {
     "s1_ann_brute" -> s1BruteTopK _,
     "s2_ann_lsh" -> s2LshTopK _,
     "s3_cosine_neardup" -> s3CosineNearDup _,
+    "d15_semantic_dedup" -> d15SemanticDedup _,
     "s4_ann_ivf" -> s4IvfTopK _,
     "s8_ann_ivf_persisted" -> s8IvfPersisted _,
     "s5_quantize" -> s5Quantize _,
