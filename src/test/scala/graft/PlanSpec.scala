@@ -258,6 +258,7 @@ class PlanSpec extends AnyFunSuite {
       "mt4_fk_audit",  // 1-row child-count x 1-row orphan-count per edge
       "s1_ann_brute",  // the documented brute-force BASELINE: query side broadcast
       "s4_ann_ivf",    // corpus x |codebook|=8 centroid assignment
+      "d15_semantic_dedup", // same s4 centroid assignment feeds the cells
       "mt6_clustered_layout", // per-file stat table (<=ClusterFiles rows) range-overlap self-join
       "mt7_partition_overwrite") // 1-row max-day broadcast across the table
     // Streaming drains / external-side-effect mains are exercised by their
