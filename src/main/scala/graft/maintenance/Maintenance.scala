@@ -284,7 +284,95 @@ object Maintenance {
       .orderBy($"o_orderstatus")
   }
 
+  /** MT-9 — small-file compaction through the gate (the OPTIMIZE
+    * bin-packing op): an hourly micro-batch pattern leaves the zone as
+    * 64 KB-sized files (simulated with a round-robin `repartition(64)`
+    * write); `compact` rewrites to ~`CompactRowsPerFile`-row files with
+    * a crash-safe write-aside + atomic swap, and the audit proves (a)
+    * the file count collapsed below the cluster bound, (b) not one row
+    * or cent drifted across the rewrite. At 100 TB: per-file open +
+    * footer cost dominates scans of a fragmented zone (thousands of
+    * KB files per partition); the compaction plan is a single
+    * round-robin shuffle sized off row count — no sort, no skew — and
+    * on an object store the local-fs dir swap becomes the table
+    * format's transactional commit (the `ZoneFormat` seam, §7.2a). */
+  def mt9CompactSmallFiles(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_mt9_").toString
+    val zone = s"$work/t"
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey",
+        round($"l_extendedprice" * 100).cast("bigint").as("price_c"))
+      .repartition(64) // fragment: 64 tiny files, the micro-batch smell
+      .write.mode(SaveMode.Overwrite).format(Snapshot.ZoneFormat).save(zone)
+    val (filesBefore, _) = fileStats(zone)
+    compact(s, zone, CompactRowsPerFile)
+    val (filesAfter, _) = fileStats(zone)
+    Snapshot.readZone(s, zone).agg(
+      count(lit(1)).as("n_rows"),
+      sum($"price_c").as("sum_price_c"),
+      min($"l_orderkey").as("min_key"),
+      max($"l_orderkey").as("max_key"))
+      .select($"n_rows", $"sum_price_c", $"min_key", $"max_key",
+        lit(filesBefore > ClusterFiles).cast("int").as("fragmented_before"),
+        lit(filesAfter <= ClusterFiles).cast("int").as("compacted_after"))
+  }
+
+  /** Row budget per compacted file for MT-9: 200k rows ≈ one healthy
+    * parquet file at this row width; sf0.1's 600k-row lineitem lands in
+    * 3 files, every smaller SF in 1 — always ≤ `ClusterFiles`. */
+  val CompactRowsPerFile = 200000L
+
+  /** MT-10 — snapshot retention through the gate: the raw zone's
+    * timestamped immutable objects (`name_YYYYMMDD_HHMMSS`, the
+    * reference's convention — `elt/clean_sheets.py:42-51` consumers
+    * sort by name) accumulate one per pipeline run forever;
+    * `retainSnapshots` keeps the newest K and the audit proves the
+    * latest snapshot's content survived the purge bit-for-bit while
+    * exactly `total - K` objects were deleted. Snapshot timestamps are
+    * synthetic literals so the entry is deterministic at every SF. At
+    * 100 TB retention is a NAME-ordered metadata operation — no data is
+    * read to decide what dies, and each delete is one object-store
+    * prefix removal. */
+  def mt10SnapshotRetention(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_mt10_").toString
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", round($"o_totalprice" * 100).cast("bigint").as("price_c"))
+    // five runs, each snapshotting a successively wider key slice;
+    // the NEWEST name (day 05) carries slices 0..4 of o_orderkey % 10
+    (1 to 5).foreach { i =>
+      orders.filter($"o_orderkey" % 10 < i)
+        .write.mode(SaveMode.Overwrite).format(Snapshot.ZoneFormat)
+        .save(f"$work/orders_202601$i%02d_000000")
+    }
+    val deleted = retainSnapshots(work, keep = 2)
+    val survivors = Option(new java.io.File(work).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.getName.matches(".*_\\d{8}_\\d{6}$")).map(_.getName).sorted
+    val latest = survivors.last
+    Snapshot.readZone(s, s"$work/$latest").agg(
+      count(lit(1)).as("n_rows"), sum($"price_c").as("sum_price_c"))
+      .select(
+        lit(deleted.size).cast("int").as("n_deleted"),
+        lit(survivors.size).cast("int").as("n_kept"),
+        lit(latest.endsWith("20260105_000000")).cast("int").as("latest_is_newest"),
+        $"n_rows", $"sum_price_c")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mt9_compact_small_files" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+                CAST(1 AS INT) AS fragmented_before, CAST(1 AS INT) AS compacted_after
+         FROM lineitem""",
+    "mt10_snapshot_retention" ->
+      """SELECT CAST(3 AS INT) AS n_deleted, CAST(2 AS INT) AS n_kept,
+                CAST(1 AS INT) AS latest_is_newest,
+                count(*) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+         FROM orders WHERE o_orderkey % 10 < 5""",
     "mt8_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
@@ -377,5 +465,7 @@ object Maintenance {
     "mt6_clustered_layout" -> mt6ClusteredLayout _,
     "mt7_partition_overwrite" -> mt7PartitionOverwrite _,
     "mt8_orc_roundtrip" -> mt8OrcRoundtrip _,
+    "mt9_compact_small_files" -> mt9CompactSmallFiles _,
+    "mt10_snapshot_retention" -> mt10SnapshotRetention _,
   )
 }
