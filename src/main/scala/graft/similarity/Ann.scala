@@ -129,6 +129,41 @@ object Ann {
       .orderBy($"query_id", $"rank")
   }
 
+  /** S-9 — multi-probe LSH with exact rerank (the production two-stage
+    * retrieval shape): RETRIEVE from the query's own sign bucket plus
+    * every bucket at Hamming distance 1 (flip one of the 8 plane bits —
+    * the probes most likely to hold neighbors that a borderline
+    * projection pushed across a hyperplane), then RERANK all candidates
+    * with exact cosine and keep top-k. Recall strictly dominates S-2's
+    * single-bucket search at 9× the candidate cost — still ~N/2^planes
+    * per probe, NOT the corpus. The probe set is expanded on the tiny
+    * query side (explode → 9 rows/query) so retrieval stays one
+    * broadcast EQUI-join on bucket; the oracle states the same
+    * candidate set declaratively as bit_count(xor) <= 1. At 100 TB the
+    * corpus is written partitioned-by-bucket once, and each probe is a
+    * partition-pruned read; rerank cost is |candidates|·dim, linear in
+    * the probe count. */
+  def s9MultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir).withColumn("bucket", bucketOf($"v"))
+    val q0 = c.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"bucket")
+    // probe 0 = the bucket itself; probes 1..8 flip one sign bit each.
+    // XOR with distinct masks keeps the 9 probe buckets distinct, so no
+    // candidate is scored twice and no dedup pass is needed.
+    val masks = array((lit(0L) +: (0 until NumPlanes).map(b => lit(1L << b))): _*)
+    val q = q0.withColumn("mask", explode(masks))
+      .select($"query_id", $"qv", $"qnrm",
+        $"bucket".bitwiseXOR($"mask").as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine($"qv", $"v", $"qnrm", $"nrm").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
+      .select($"query_id", $"rank", $"neighbor_id", round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Sub-blocks per label for S-3: a pair (x, y) is matched on exactly
     * one salted key (label, x%G, y%G), so a hot label's all-pairs work
     * spreads over G² tasks of (|label|/G)² each instead of one
@@ -515,6 +550,22 @@ object Ann {
           ORDER BY cell_id""",
     "s1_ann_brute" -> oracleS1,
     "s2_ann_lsh" -> oracleS2,
+    "s9_ann_multiprobe" ->
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            ${bucketSql("embedding::DOUBLE[]")} AS bucket
+                     FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v, bucket FROM c WHERE vec_id % 100 = 0),
+          scored AS (
+            SELECT q.query_id AS query_id, a.vec_id AS neighbor_id,
+                   ${cosineSql.replace("b.v", "q.v")} AS cos
+            FROM c a JOIN q ON bit_count(xor(a.bucket, q.bucket)) <= 1
+            WHERE a.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+          FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""",
     "s4_ann_ivf" -> IvfOracleSql,
     // identical computation, persisted index path — same oracle
     "s8_ann_ivf_persisted" -> IvfOracleSql,
@@ -537,6 +588,7 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> s1BruteTopK _,
     "s2_ann_lsh" -> s2LshTopK _,
+    "s9_ann_multiprobe" -> s9MultiProbe _,
     "s3_cosine_neardup" -> s3CosineNearDup _,
     "d15_semantic_dedup" -> d15SemanticDedup _,
     "s4_ann_ivf" -> s4IvfTopK _,
