@@ -27,6 +27,15 @@ object TextOps {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
+  /** Head ranks used for the T-16 Zipf fit (and the 10-rank head-mass
+    * numerator within it). */
+  val ZipfHead = 100
+
+  /** T-17 shingle width and the distinct-doc threshold past which a
+    * shingle counts as boilerplate. */
+  val BoilerShingle = 5
+  val BoilerMinDocs = 5
+
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
@@ -371,6 +380,41 @@ object TextOps {
 
   // lazy: referenced from `oracles` above its declaration point
   private lazy val oraclesNew: Map[String, String] = Map(
+    "t16_zipf_profile" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+          tf AS (SELECT tok, count(*) AS freq FROM toks WHERE tok <> '' GROUP BY 1),
+          totals AS (SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+                            count(*) AS n_vocab FROM tf),
+          head AS (SELECT tok, freq,
+                          row_number() OVER (ORDER BY freq DESC, tok) AS rank
+                   FROM tf ORDER BY freq DESC, tok LIMIT $ZipfHead),
+          fit AS (SELECT round(covar_pop(ln(rank), ln(freq)) / var_pop(ln(rank)), 4)
+                           AS zipf_slope FROM head),
+          h10 AS (SELECT CAST(sum(freq) AS BIGINT) AS head10 FROM head WHERE rank <= 10)
+          SELECT n_vocab, n_tokens,
+                 round(head10 / CAST(n_tokens AS DOUBLE), 4) AS head10_frac,
+                 zipf_slope
+          FROM totals, h10, fit""",
+    "t17_boilerplate" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+          sh AS (SELECT doc_id,
+                        unnest([array_to_string(list_slice(arr, i, i + ${BoilerShingle - 1}), ' ')
+                                for i in range(1, len(arr) - ${BoilerShingle - 2})]) AS sh
+                 FROM d WHERE len(arr) >= $BoilerShingle),
+          df AS (SELECT sh, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1),
+          j AS (SELECT s.doc_id AS doc_id, f.n_docs AS n_docs
+                FROM sh s JOIN df f USING (sh)),
+          agg AS (SELECT doc_id, count(*) AS n_shingles,
+                         CAST(sum(CASE WHEN n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_boiler
+                  FROM j GROUP BY 1)
+          SELECT d.doc_id AS doc_id,
+                 coalesce(a.n_shingles, 0) AS n_shingles,
+                 coalesce(a.n_boiler, 0) AS n_boiler,
+                 round(coalesce(a.n_boiler, 0) /
+                       CAST(greatest(coalesce(a.n_shingles, 0), 1) AS DOUBLE), 4)
+                   AS boiler_frac
+          FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
     "t15_bigram_lm" ->
       """WITH toks AS (
            SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
@@ -543,7 +587,75 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // (ZipfHead/BoilerShingle/BoilerMinDocs are declared near Stopwords,
+  // ABOVE the strict `oracles` val that interpolates them — a later
+  // declaration would read as 0 during object init.)
+
+  /** T-16 — corpus Zipf profile: the vocabulary-level health check a
+    * training corpus gets before a tokenizer is fit. Term frequencies →
+    * rank → least-squares slope of ln(freq) on ln(rank) over the top
+    * [[ZipfHead]] ranks (natural text ≈ −1; synthetic/templated corpora
+    * flatten toward 0), plus vocabulary size, token volume, and top-10
+    * head mass. One groupBy(token) shuffle; the head is a
+    * TakeOrderedAndProject (per-partition heap, no global sort), and
+    * the fit runs on [[ZipfHead]] rows driver-free. At 100 TB the
+    * term-frequency table is the only large intermediate and it
+    * map-side combines. */
+  def t16ZipfProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokens(s, dir).groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val totals = tf.agg(sum($"freq").as("n_tokens"), count(lit(1)).as("n_vocab"))
+    val head = tf.orderBy($"freq".desc, $"tok").limit(ZipfHead)
+      .withColumn("rank", row_number().over(Window.orderBy($"freq".desc, $"tok")))
+    val fit = head
+      .select(log($"rank".cast("double")).as("lx"), log($"freq".cast("double")).as("ly"))
+      .agg(round(covar_pop($"lx", $"ly") / var_pop($"lx"), 4).as("zipf_slope"))
+    val h10 = head.filter($"rank" <= 10).agg(sum($"freq").as("head10"))
+    totals.crossJoin(h10).crossJoin(fit)
+      .select($"n_vocab", $"n_tokens",
+        round($"head10" / $"n_tokens".cast("double"), 4).as("head10_frac"),
+        $"zipf_slope")
+  }
+
+  /** T-17 — cross-document boilerplate detection (the CCNet/template
+    * -removal pass): a [[BoilerShingle]]-gram that appears in ≥
+    * [[BoilerMinDocs]] DISTINCT documents is boilerplate (headers,
+    * footers, licence blocks); per document, report total shingle
+    * positions, boilerplate positions, and the boilerplate fraction a
+    * cleaning pass would strip. Plan: one shingle explode (narrow), one
+    * groupBy(shingle) for document frequency, one join back on shingle,
+    * one groupBy(doc). Differs from dedup (d-family): this finds
+    * SEGMENTS shared across many non-duplicate docs, not duplicate doc
+    * pairs. At 100 TB the shingle DF table is the big intermediate;
+    * countDistinct map-side combines per shingle, and the join back is
+    * shuffle-on-shingle — co-partitioned with the DF aggregate, so AQE
+    * reuses the exchange. */
+  def t17Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", explode(expr(
+        s"""CASE WHEN size(split(text, ' ')) >= $BoilerShingle
+              THEN transform(sequence(0, size(split(text, ' ')) - $BoilerShingle),
+                   i -> concat_ws(' ', slice(split(text, ' '), i + 1, $BoilerShingle)))
+              ELSE CAST(array() AS array<string>) END""")).as("sh"))
+    val docFreq = sh.groupBy($"sh").agg(countDistinct($"doc_id").as("n_docs"))
+    val perDoc = sh.join(docFreq, "sh")
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when($"n_docs" >= BoilerMinDocs, 1L).otherwise(0L)).as("n_boiler"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+        coalesce($"n_boiler", lit(0L)).as("n_boiler"),
+        round(coalesce($"n_boiler", lit(0L)) /
+          greatest(coalesce($"n_shingles", lit(0L)), lit(1L)).cast("double"), 4)
+          .as("boiler_frac"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_zipf_profile" -> t16ZipfProfile _,
+    "t17_boilerplate" -> t17Boilerplate _,
     "t15_bigram_lm" -> t15BigramLm _,
     "t14_tfidf" -> t14TfIdf _,
     "t1_langid" -> t1LangId _,
