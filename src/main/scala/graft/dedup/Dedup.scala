@@ -190,6 +190,46 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Containment threshold above which D-16 flags the smaller doc as
+    * subsumed by the larger. */
+  val ContainCap = 0.9
+
+  /** D-16 — containment-based near-dup (asymmetric): for each candidate
+    * pair, |A∩B|/|A| and |A∩B|/|B| over distinct 3-gram shingles.
+    * Symmetric Jaccard (d4/d8) misses the quote-inflation case — a short
+    * doc fully embedded in a much longer one scores low Jaccard
+    * (∩/∪ is diluted by the big doc's size) but containment of the
+    * small side is ~1. A doc whose shingles are ≥ [[ContainCap]]
+    * contained in its pair partner is flagged `subsumed` — the
+    * training-set policy is to drop the smaller of the two. Pair
+    * source and plan shape are d4's (anchor equi-joins; at scale the
+    * pair source is [[d3LshPairs]]); only the scoring changes, so the
+    * extra cost over Jaccard is zero — both divisions read the same
+    * (na, nb, n_inter) row. */
+  def d16Containment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val anchors = sizes.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("doc_a"), $"n".as("na"))
+    val pairs = (1 to 3).map { k =>
+        sizes.select(($"doc_id" - k).as("doc_a"), $"doc_id".as("doc_b"), $"n".as("nb"))
+      }.reduce(_ unionAll _)
+      .join(anchors, "doc_a")
+      .select($"doc_a", $"doc_b", $"na", $"nb")
+    val inter = sh.filter($"doc_id" % 100 === 0).select($"doc_id".as("doc_a"), $"shingle")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
+      .filter($"doc_b" > $"doc_a" && $"doc_b" <= $"doc_a" + 3)
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs.join(inter, Seq("doc_a", "doc_b"), "left")
+      .select($"doc_a", $"doc_b",
+        round(coalesce($"n_inter", lit(0)) / $"na", 4).as("contain_a"),
+        round(coalesce($"n_inter", lit(0)) / $"nb", 4).as("contain_b"),
+        (greatest(coalesce($"n_inter", lit(0)) / $"na",
+          coalesce($"n_inter", lit(0)) / $"nb") >= ContainCap).cast("int")
+          .as("subsumed"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** D-5 core, width-parameterized — `bits`-wide SimHash (1..64) per
     * doc: bit j is voted ±1 by hex nibble (j mod 32) of md5 digest
     * group (j div 32) of each distinct token; fingerprint = Σ bit_j·2^j.
@@ -741,6 +781,28 @@ object Dedup {
                  round(coalesce(i.n_inter, 0) / (p.na + p.nb - coalesce(i.n_inter, 0)), 4) AS jaccard
           FROM pairs p LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
           ORDER BY p.doc_a, p.doc_b""",
+    "d16_containment" ->
+      s"""WITH sh AS ($shingleSql),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb
+            FROM sizes a JOIN sizes b
+              ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
+            WHERE a.doc_id % 100 = 0),
+          inter AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh x JOIN sh y ON x.shingle = y.shingle
+              AND y.doc_id > x.doc_id AND y.doc_id <= x.doc_id + 3
+            WHERE x.doc_id % 100 = 0
+            GROUP BY 1, 2)
+          SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+                 round(coalesce(i.n_inter, 0) / p.na, 4) AS contain_a,
+                 round(coalesce(i.n_inter, 0) / p.nb, 4) AS contain_b,
+                 CAST(greatest(coalesce(i.n_inter, 0) / p.na,
+                               coalesce(i.n_inter, 0) / p.nb) >= $ContainCap AS INT)
+                   AS subsumed
+          FROM pairs p LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+          ORDER BY p.doc_a, p.doc_b""",
     "d8_lsh_jaccard" ->
       s"""WITH $lshPairsCtes,
           sh AS ($shingleSql),
@@ -816,6 +878,7 @@ object Dedup {
     "d2_minhash_sig" -> d2MinhashSig _,
     "d3_lsh_pairs" -> d3LshPairs _,
     "d4_ngram_jaccard" -> d4NgramJaccard _,
+    "d16_containment" -> d16Containment _,
     "d5_simhash" -> d5Simhash _,
     "d6_dup_clusters" -> d6DupClusters _,
     "d8_lsh_jaccard" -> d8LshJaccard _,
