@@ -18,6 +18,10 @@ run / fork := true
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's trailing "[success] Total time: ..." line, so a
+// tail parser that reads only the LAST stdout line still lands on the
+// bench's compact JSON object rather than sbt chrome.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
