@@ -52,6 +52,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(both.filter(abs(col("cosine") - col("lsh_cosine")) > 1e-9).count() == 0)
   }
 
+  test("multi-probe recall dominates single-bucket recall per query") {
+    // s9's candidate set (own bucket + all Hamming-1 probes) is a strict
+    // superset of s2's (own bucket), so for each query, recall@k vs the
+    // brute-force truth can only improve.
+    def hitsPerQuery(df: org.apache.spark.sql.DataFrame) =
+      Ann.s1BruteTopK(spark, sf)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(df.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val s2h = hitsPerQuery(Ann.s2LshTopK(spark, sf))
+      .withColumnRenamed("hits", "h2")
+    val s9h = hitsPerQuery(Ann.s9MultiProbe(spark, sf))
+      .withColumnRenamed("hits", "h9")
+    val cmp = s2h.join(s9h, Seq("query_id"), "full")
+      .select(coalesce(col("h2"), lit(0L)).as("h2"),
+        coalesce(col("h9"), lit(0L)).as("h9"))
+    assert(cmp.filter(col("h9") < col("h2")).count() == 0,
+      "a query lost recall going from single-bucket to multi-probe")
+  }
+
   test("jaccard is 1.0 for identical docs and within [0,1] everywhere") {
     val j = Dedup.d4NgramJaccard(spark, sf).collect()
     assert(j.nonEmpty)
