@@ -380,6 +380,32 @@ object TextOps {
 
   // lazy: referenced from `oracles` above its declaration point
   private lazy val oraclesNew: Map[String, String] = Map(
+    "t18_quality_gate" -> {
+      val stop = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+          tf AS (SELECT doc_id, tok, count(*) AS c FROM toks
+                 WHERE tok <> '' GROUP BY 1, 2),
+          agg AS (SELECT doc_id,
+                         CAST(sum(c) AS BIGINT) AS n_tokens,
+                         CAST(max(c) AS BIGINT) AS top_c,
+                         CAST(sum(length(tok) * c) AS BIGINT) AS sum_chars,
+                         CAST(sum(CASE WHEN tok IN $stop THEN c ELSE 0 END)
+                              AS BIGINT) AS stop_hits
+                  FROM tf GROUP BY 1),
+          m AS (SELECT doc_id, n_tokens,
+                       CAST((CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+                          + (CASE WHEN n_tokens > 10000 THEN 2 ELSE 0 END)
+                          + (CASE WHEN sum_chars < n_tokens * 3
+                                    OR sum_chars > n_tokens * 10 THEN 4 ELSE 0 END)
+                          + (CASE WHEN top_c * 5 > n_tokens THEN 8 ELSE 0 END)
+                          + (CASE WHEN stop_hits < 2 THEN 16 ELSE 0 END)
+                            AS INT) AS reason_mask
+                FROM agg)
+          SELECT doc_id, n_tokens, reason_mask,
+                 CAST(CASE WHEN reason_mask = 0 THEN 1 ELSE 0 END AS INT) AS keep
+          FROM m ORDER BY doc_id"""
+    },
     "t16_zipf_profile" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
           tf AS (SELECT tok, count(*) AS freq FROM toks WHERE tok <> '' GROUP BY 1),
@@ -653,7 +679,37 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** T-18 — composite quality gate (the Gopher-rules filter stage): the
+    * per-document keep/drop VERDICT a training pipeline materializes,
+    * with a reason bitmask so every drop is attributable. Rules (bit
+    * set = rule fired): 1 too short (<20 tokens), 2 too long (>10k), 4
+    * degenerate mean token length (<3 or >10 chars — integer form
+    * sum_chars vs 3n/10n, no division), 8 repetition (top token >20% —
+    * integer form 5·top_c > n), 16 unnatural (fewer than 2 stopword
+    * hits). All predicates are exact integer algebra over one
+    * token-frequency aggregation, so the gate is bit-exact and the
+    * whole stage is two map-side-combined shuffles (doc,tok → doc). At
+    * 100 TB this replaces five separate filter scans with one pass. */
+  def t18QualityGate(s: SparkSession, dir: String): DataFrame = {
+    val tf = tokens(s, dir)
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val agg = tf.groupBy($"doc_id").agg(
+      sum($"c").as("n_tokens"), max($"c").as("top_c"),
+      sum(length($"tok") * $"c").as("sum_chars"),
+      sum(when($"tok".isin(Stopwords: _*), $"c").otherwise(0L)).as("stop_hits"))
+    val mask =
+      when($"n_tokens" < 20, 1).otherwise(0) +
+      when($"n_tokens" > 10000, 2).otherwise(0) +
+      when($"sum_chars" < $"n_tokens" * 3 || $"sum_chars" > $"n_tokens" * 10, 4).otherwise(0) +
+      when($"top_c" * 5 > $"n_tokens", 8).otherwise(0) +
+      when($"stop_hits" < 2, 16).otherwise(0)
+    agg.select($"doc_id", $"n_tokens", mask.cast("int").as("reason_mask"))
+      .withColumn("keep", ($"reason_mask" === 0).cast("int"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_quality_gate" -> t18QualityGate _,
     "t16_zipf_profile" -> t16ZipfProfile _,
     "t17_boilerplate" -> t17Boilerplate _,
     "t15_bigram_lm" -> t15BigramLm _,
