@@ -173,7 +173,82 @@ object Binary {
       .orderBy($"fname")
   }
 
+  /** Perceptual-hash width for M-7 (one mean-threshold bit per payload
+    * segment — the aHash construction). */
+  val PhashBits = 16
+
+  /** M-7 — perceptual-hash NEAR-dup of media assets (m5 is the exact
+    * -digest counterpart): an aHash-style fingerprint — payload split
+    * into [[PhashBits]] segments, bit j set iff segment j's byte mean ≥
+    * the whole-payload mean (integer cross-multiplied, no division) —
+    * then assets grouped by fingerprint; re-encoded/trailing-metadata
+    * variants of the same image land in one bucket where the exact md5
+    * (m5) splits them. The payload stands in as ASCII text, so byte
+    * values are `ascii()` char codes on BOTH engines (documented stub
+    * seam: a real build hashes decoded luma pixels in the same
+    * expression shape). All integer algebra inside one narrow
+    * projection; the grouping is one window over the 16-bit hash. At
+    * 100 TB the fingerprint is computed at ingest next to the digest
+    * (m1) and near-dup candidates are a hash-equality shuffle, never a
+    * byte comparison. */
+  def m7PerceptualNearDup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select($"doc_id".as("asset_id"), $"text", length($"text").as("n"))
+      .withColumn("seg_len", ceil($"n" / lit(PhashBits.toDouble)).cast("int"))
+    // per-segment (byte count, byte sum); empty tail segments are (0, 0)
+    val withSegs = d
+      .withColumn("segs", expr(
+        s"""transform(sequence(0, ${PhashBits - 1}), j -> named_struct(
+              'sb', greatest(least((j + 1) * seg_len, n) - j * seg_len, 0),
+              'ss', CASE WHEN j * seg_len < n
+                    THEN aggregate(sequence(j * seg_len, least((j + 1) * seg_len, n) - 1),
+                         0L, (acc, k) -> acc + ascii(substring(text, k + 1, 1)))
+                    ELSE 0L END))"""))
+      .withColumn("total", expr("aggregate(segs, 0L, (acc, x) -> acc + x.ss)"))
+    // bit j: segment mean >= payload mean, exact via cross-multiply
+    val h = withSegs.select($"asset_id", expr(
+      s"""aggregate(transform(sequence(0, ${PhashBits - 1}), j ->
+            CASE WHEN segs[j].sb > 0 AND segs[j].ss * n >= total * segs[j].sb
+                 THEN shiftleft(1L, j) ELSE 0L END), 0L, (acc, x) -> acc + x)""")
+      .as("phash"))
+    val w = Window.partitionBy($"phash")
+    h.select($"asset_id", $"phash",
+        count(lit(1)).over(w).as("n_same"),
+        min($"asset_id").over(w).as("keeper"))
+      .withColumn("is_dup", ($"asset_id" =!= $"keeper").cast("int"))
+      .orderBy($"asset_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "m7_perceptual_neardup" ->
+      s"""WITH d AS (SELECT doc_id AS asset_id, text, length(text) AS n,
+                            CAST(ceil(length(text) / $PhashBits.0) AS INT) AS seg_len
+                     FROM documents),
+          segs AS (SELECT asset_id, n,
+                     [struct_pack(
+                        sb := greatest(least((j + 1) * seg_len, n) - j * seg_len, 0),
+                        ss := CASE WHEN j * seg_len < n THEN
+                                list_sum([ord(substr(text, k + 1, 1))
+                                          for k in range(j * seg_len,
+                                                         least((j + 1) * seg_len, n))])
+                              ELSE 0 END)
+                      for j in range(0, $PhashBits)] AS sg
+                   FROM d),
+          t AS (SELECT asset_id, n, sg,
+                       list_sum([x.ss for x in sg]) AS total FROM segs),
+          h AS (SELECT asset_id,
+                       CAST(list_sum([CASE WHEN sg[j + 1].sb > 0
+                                            AND sg[j + 1].ss * n >= total * sg[j + 1].sb
+                                           THEN 1 << j ELSE 0 END
+                                      for j in range(0, $PhashBits)]) AS BIGINT) AS phash
+                FROM t)
+          SELECT asset_id, phash,
+                 count(*) OVER (PARTITION BY phash) AS n_same,
+                 min(asset_id) OVER (PARTITION BY phash) AS keeper,
+                 CAST(CASE WHEN asset_id <> min(asset_id) OVER (PARTITION BY phash)
+                           THEN 1 ELSE 0 END AS INT) AS is_dup
+          FROM h ORDER BY asset_id""",
     "m6_binaryfile_source" ->
       """SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.bin' AS fname,
                 CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -236,6 +311,7 @@ object Binary {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m5_asset_dedup" -> m5AssetDedup _,
     "m6_binaryfile_source" -> m6BinaryFileSource _,
+    "m7_perceptual_neardup" -> m7PerceptualNearDup _,
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_decode_features" -> m2DecodeFeatures _,
     "m3_frame_sample" -> m3FrameSample _,
