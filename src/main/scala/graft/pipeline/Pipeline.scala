@@ -242,7 +242,55 @@ object Pipeline {
       .orderBy($"source")
   }
 
+  /** P-4 — the QUALITY-gated curation pipeline (p2's sibling with the
+    * t18 rule gate as the admission stage): documents → t18 composite
+    * quality gate (only reason_mask = 0 admitted) → exact dedup (keep
+    * min doc_id per content hash) → deterministic train/val/test split
+    * → per-(source, split) audit with an id checksum pinning the exact
+    * surviving set. Same composition point as p2: the stages are plan
+    * fragments fused by Catalyst into one job — the token-frequency
+    * aggregate (gate), the hash window (dedup), and the md5 split
+    * predicate never materialize between stages. At 100 TB the gate's
+    * two token shuffles dominate and are map-side combined; everything
+    * downstream rides the already-shrunk survivor set. */
+  def p4CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val admitted = graft.text.TextOps.t18QualityGate(s, dir)
+      .filter($"keep" === 1).select($"doc_id")
+    Tables.documents(s, dir)
+      .join(admitted, Seq("doc_id"), "left_semi")
+      .withColumn("keep_id", min($"doc_id").over(Window.partitionBy(md5($"text"))))
+      .filter($"doc_id" === $"keep_id")
+      .withColumn("split", graft.text.TextOps.splitAssign($"doc_id"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        sum($"doc_id").as("id_checksum"))
+      .orderBy($"source", $"split")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p4_curation_pipeline" -> {
+      def b(seed: String, k: String) =
+        s"""((strpos('0123456789abcdef', substr(md5('$seed' || $k), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5('$seed' || $k), 2, 1)) - 1))"""
+      s"""WITH ${graft.text.TextOps.qualityMaskCtes},
+          kept AS (SELECT d.doc_id AS doc_id, d.source AS source,
+                          d.n_chars AS n_chars, d.text AS text
+                   FROM documents d JOIN qmask q ON d.doc_id = q.doc_id
+                   WHERE q.reason_mask = 0),
+          dd AS (SELECT doc_id, source, n_chars,
+                        min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                 FROM kept),
+          sp AS (SELECT doc_id, source, n_chars,
+                        CASE WHEN ${b("split:", "doc_id")} < 230 THEN 'train'
+                             WHEN ${b("split:", "doc_id")} < 243 THEN 'val'
+                             ELSE 'test' END AS split
+                 FROM dd WHERE doc_id = keep_id)
+          SELECT source, split, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
+          FROM sp GROUP BY 1, 2 ORDER BY source, split"""
+    },
     "p3_incremental_ingest" ->
       s"""WITH ${graft.dedup.Dedup.lshPairsCtes},
           coll AS (
@@ -308,6 +356,7 @@ object Pipeline {
     "p1_pipeline_e2e" -> p1Pipeline _,
     "p2_training_corpus" -> p2TrainingCorpus _,
     "p3_incremental_ingest" -> p3IncrementalIngest _,
+    "p4_curation_pipeline" -> p4CurationPipeline _,
     "o8_json_raw" -> o8JsonRaw _,
   )
 }

@@ -379,33 +379,38 @@ object TextOps {
   ) ++ oraclesNew
 
   // lazy: referenced from `oracles` above its declaration point
+  /** DuckDB CTE chain ending in `qmask(doc_id, n_tokens, reason_mask)`
+    * — the t18 rule set as SQL; shared with p4's pipeline oracle. */
+  private[graft] def qualityMaskCtes: String = {
+    val stop = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS c FROM toks
+               WHERE tok <> '' GROUP BY 1, 2),
+        agg AS (SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(max(c) AS BIGINT) AS top_c,
+                       CAST(sum(length(tok) * c) AS BIGINT) AS sum_chars,
+                       CAST(sum(CASE WHEN tok IN $stop THEN c ELSE 0 END)
+                            AS BIGINT) AS stop_hits
+                FROM tf GROUP BY 1),
+        qmask AS (SELECT doc_id, n_tokens,
+                     CAST((CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+                        + (CASE WHEN n_tokens > 10000 THEN 2 ELSE 0 END)
+                        + (CASE WHEN sum_chars < n_tokens * 3
+                                  OR sum_chars > n_tokens * 10 THEN 4 ELSE 0 END)
+                        + (CASE WHEN top_c * 5 > n_tokens THEN 8 ELSE 0 END)
+                        + (CASE WHEN stop_hits < 2 THEN 16 ELSE 0 END)
+                          AS INT) AS reason_mask
+                  FROM agg)"""
+  }
+
   private lazy val oraclesNew: Map[String, String] = Map(
-    "t18_quality_gate" -> {
-      val stop = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                        FROM documents),
-          tf AS (SELECT doc_id, tok, count(*) AS c FROM toks
-                 WHERE tok <> '' GROUP BY 1, 2),
-          agg AS (SELECT doc_id,
-                         CAST(sum(c) AS BIGINT) AS n_tokens,
-                         CAST(max(c) AS BIGINT) AS top_c,
-                         CAST(sum(length(tok) * c) AS BIGINT) AS sum_chars,
-                         CAST(sum(CASE WHEN tok IN $stop THEN c ELSE 0 END)
-                              AS BIGINT) AS stop_hits
-                  FROM tf GROUP BY 1),
-          m AS (SELECT doc_id, n_tokens,
-                       CAST((CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
-                          + (CASE WHEN n_tokens > 10000 THEN 2 ELSE 0 END)
-                          + (CASE WHEN sum_chars < n_tokens * 3
-                                    OR sum_chars > n_tokens * 10 THEN 4 ELSE 0 END)
-                          + (CASE WHEN top_c * 5 > n_tokens THEN 8 ELSE 0 END)
-                          + (CASE WHEN stop_hits < 2 THEN 16 ELSE 0 END)
-                            AS INT) AS reason_mask
-                FROM agg)
+    "t18_quality_gate" ->
+      s"""WITH $qualityMaskCtes
           SELECT doc_id, n_tokens, reason_mask,
                  CAST(CASE WHEN reason_mask = 0 THEN 1 ELSE 0 END AS INT) AS keep
-          FROM m ORDER BY doc_id"""
-    },
+          FROM qmask ORDER BY doc_id""",
     "t16_zipf_profile" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
           tf AS (SELECT tok, count(*) AS freq FROM toks WHERE tok <> '' GROUP BY 1),
