@@ -165,13 +165,16 @@ object Dedup {
     * equi-join, union = |A|+|B|-∩. At scale the pair source is
     * [[d3LshPairs]]; the sample keeps the gate output non-empty at
     * small SF where no true near-dups exist. */
-  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Shared pair-scoring subplan for d4/d16: the deterministic pair
+    * sample (every-100th doc anchored to the next 3 ids) with shingle
+    * sizes and intersection — (doc_a, doc_b, na, nb, n_inter). Pair
+    * generation is a UNION of three EQUI-joins (doc_b = doc_a + k,
+    * k ∈ 1..3) — hash-partitionable on doc_a, so it scales; the round-1
+    * crossJoin + range filter planned as a BroadcastNestedLoopJoin
+    * (O(N/100 × N), a 10⁹-doc scale-killer). */
+  private def anchorPairScores(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // pair generation as a UNION of three EQUI-joins (doc_b = doc_a + k,
-    // k ∈ 1..3) — hash-partitionable on doc_a, so it scales; the round-1
-    // crossJoin + range filter planned as a BroadcastNestedLoopJoin
-    // (O(N/100 × N), a 10⁹-doc scale-killer)
     val anchors = sizes.filter($"doc_id" % 100 === 0)
       .select($"doc_id".as("doc_a"), $"n".as("na"))
     val pairs = (1 to 3).map { k =>
@@ -184,11 +187,14 @@ object Dedup {
       .filter($"doc_b" > $"doc_a" && $"doc_b" <= $"doc_a" + 3)
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
     pairs.join(inter, Seq("doc_a", "doc_b"), "left")
+  }
+
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    anchorPairScores(s, dir)
       .select($"doc_a", $"doc_b",
         round(coalesce($"n_inter", lit(0)) / ($"na" + $"nb" - coalesce($"n_inter", lit(0))), 4)
           .as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
-  }
 
   /** Containment threshold above which D-16 flags the smaller doc as
     * subsumed by the larger. */
@@ -206,21 +212,8 @@ object Dedup {
     * pair source is [[d3LshPairs]]); only the scoring changes, so the
     * extra cost over Jaccard is zero — both divisions read the same
     * (na, nb, n_inter) row. */
-  def d16Containment(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val anchors = sizes.filter($"doc_id" % 100 === 0)
-      .select($"doc_id".as("doc_a"), $"n".as("na"))
-    val pairs = (1 to 3).map { k =>
-        sizes.select(($"doc_id" - k).as("doc_a"), $"doc_id".as("doc_b"), $"n".as("nb"))
-      }.reduce(_ unionAll _)
-      .join(anchors, "doc_a")
-      .select($"doc_a", $"doc_b", $"na", $"nb")
-    val inter = sh.filter($"doc_id" % 100 === 0).select($"doc_id".as("doc_a"), $"shingle")
-      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
-      .filter($"doc_b" > $"doc_a" && $"doc_b" <= $"doc_a" + 3)
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
-    pairs.join(inter, Seq("doc_a", "doc_b"), "left")
+  def d16Containment(s: SparkSession, dir: String): DataFrame =
+    anchorPairScores(s, dir)
       .select($"doc_a", $"doc_b",
         round(coalesce($"n_inter", lit(0)) / $"na", 4).as("contain_a"),
         round(coalesce($"n_inter", lit(0)) / $"nb", 4).as("contain_b"),
@@ -228,7 +221,6 @@ object Dedup {
           coalesce($"n_inter", lit(0)) / $"nb") >= ContainCap).cast("int")
           .as("subsumed"))
       .orderBy($"doc_a", $"doc_b")
-  }
 
   /** D-5 core, width-parameterized — `bits`-wide SimHash (1..64) per
     * doc: bit j is voted ±1 by hex nibble (j mod 32) of md5 digest
@@ -361,6 +353,24 @@ object Dedup {
 
   /** Shared CTE chain ending in `lsh_pairs(doc_a, doc_b)` (used by the
     * D-3 oracle and as the edge set of the D-6 clustering oracle). */
+  /** DuckDB twin of [[anchorPairScores]]: CTE chain ending in
+    * pairs(doc_a, na, doc_b, nb) and inter(doc_a, doc_b, n_inter) —
+    * shared by the d4 and d16 oracles. */
+  private def anchorPairCtes: String =
+    s"""sh AS ($shingleSql),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb
+          FROM sizes a JOIN sizes b
+            ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
+          WHERE a.doc_id % 100 = 0),
+        inter AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh x JOIN sh y ON x.shingle = y.shingle
+            AND y.doc_id > x.doc_id AND y.doc_id <= x.doc_id + 3
+          WHERE x.doc_id % 100 = 0
+          GROUP BY 1, 2)"""
+
   private[graft] lazy val lshPairsCtes: String = {
     val rows = NumHashes / Bands
     val bandSelects = (0 until Bands).map { b =>
@@ -764,37 +774,13 @@ object Dedup {
           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
           ORDER BY doc_id""",
     "d4_ngram_jaccard" ->
-      s"""WITH sh AS ($shingleSql),
-          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-          pairs AS (
-            SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb
-            FROM sizes a JOIN sizes b
-              ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
-            WHERE a.doc_id % 100 = 0),
-          inter AS (
-            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
-            FROM sh x JOIN sh y ON x.shingle = y.shingle
-              AND y.doc_id > x.doc_id AND y.doc_id <= x.doc_id + 3
-            WHERE x.doc_id % 100 = 0
-            GROUP BY 1, 2)
+      s"""WITH $anchorPairCtes
           SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
                  round(coalesce(i.n_inter, 0) / (p.na + p.nb - coalesce(i.n_inter, 0)), 4) AS jaccard
           FROM pairs p LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
           ORDER BY p.doc_a, p.doc_b""",
     "d16_containment" ->
-      s"""WITH sh AS ($shingleSql),
-          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-          pairs AS (
-            SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb
-            FROM sizes a JOIN sizes b
-              ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
-            WHERE a.doc_id % 100 = 0),
-          inter AS (
-            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
-            FROM sh x JOIN sh y ON x.shingle = y.shingle
-              AND y.doc_id > x.doc_id AND y.doc_id <= x.doc_id + 3
-            WHERE x.doc_id % 100 = 0
-            GROUP BY 1, 2)
+      s"""WITH $anchorPairCtes
           SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
                  round(coalesce(i.n_inter, 0) / p.na, 4) AS contain_a,
                  round(coalesce(i.n_inter, 0) / p.nb, 4) AS contain_b,

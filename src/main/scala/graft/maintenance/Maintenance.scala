@@ -54,13 +54,14 @@ object Maintenance {
 
   /** Keep the newest K timestamped snapshot objects under a prefix
     * (name-embedded `_YYYYMMDD_HHMMSS` gives the total order, same
-    * convention the reference's consumers rely on). Returns deleted. */
-  def retainSnapshots(root: String, keep: Int): Seq[String] = {
+    * convention the reference's consumers rely on). Returns
+    * (deleted names, kept names) — both name-sorted ascending. */
+  def retainSnapshots(root: String, keep: Int): (Seq[String], Seq[String]) = {
     val dirs = Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.getName.matches(".*_\\d{8}_\\d{6}$")).sortBy(_.getName)
     val doomed = dirs.dropRight(keep)
     doomed.foreach(d => deleteRecursively(d.toPath))
-    doomed.map(_.getName)
+    (doomed.map(_.getName), dirs.takeRight(keep).map(_.getName))
   }
 
   def fileStats(dir: String): (Long, Long) = {
@@ -346,10 +347,7 @@ object Maintenance {
         .write.mode(SaveMode.Overwrite).format(Snapshot.ZoneFormat)
         .save(f"$work/orders_202601$i%02d_000000")
     }
-    val deleted = retainSnapshots(work, keep = 2)
-    val survivors = Option(new java.io.File(work).listFiles())
-      .map(_.toSeq).getOrElse(Seq.empty)
-      .filter(_.getName.matches(".*_\\d{8}_\\d{6}$")).map(_.getName).sorted
+    val (deleted, survivors) = retainSnapshots(work, keep = 2)
     val latest = survivors.last
     Snapshot.readZone(s, s"$work/$latest").agg(
       count(lit(1)).as("n_rows"), sum($"price_c").as("sum_price_c"))

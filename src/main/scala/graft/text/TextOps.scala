@@ -419,8 +419,17 @@ object TextOps {
           head AS (SELECT tok, freq,
                           row_number() OVER (ORDER BY freq DESC, tok) AS rank
                    FROM tf ORDER BY freq DESC, tok LIMIT $ZipfHead),
-          fit AS (SELECT round(covar_pop(ln(rank), ln(freq)) / var_pop(ln(rank)), 4)
-                           AS zipf_slope FROM head),
+          q AS (SELECT CAST(round(ln(rank) * 1e6) AS BIGINT) AS lx,
+                       CAST(round(ln(freq) * 1e6) AS BIGINT) AS ly,
+                       rank FROM head),
+          s AS (SELECT count(*) AS n, CAST(sum(lx) AS BIGINT) AS sx,
+                       CAST(sum(ly) AS BIGINT) AS sy,
+                       CAST(sum(lx * ly) AS BIGINT) AS sxy,
+                       CAST(sum(lx * lx) AS BIGINT) AS sxx
+                FROM q),
+          fit AS (SELECT round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                               CAST(n * sxx - sx * sx AS DOUBLE), 4)
+                           AS zipf_slope FROM s),
           h10 AS (SELECT CAST(sum(freq) AS BIGINT) AS head10 FROM head WHERE rank <= 10)
           SELECT n_vocab, n_tokens,
                  round(head10 / CAST(n_tokens AS DOUBLE), 4) AS head10_frac,
@@ -638,9 +647,20 @@ object TextOps {
     val totals = tf.agg(sum($"freq").as("n_tokens"), count(lit(1)).as("n_vocab"))
     val head = tf.orderBy($"freq".desc, $"tok").limit(ZipfHead)
       .withColumn("rank", row_number().over(Window.orderBy($"freq".desc, $"tok")))
+    // ln quantized to micro units per row (the t15 policy: ONE
+    // transcendental per row, then exact BIGINT sums — no float
+    // accumulation-order dependence between engines); slope =
+    // (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) in integer micro algebra, one
+    // final division. Magnitudes: lx ≤ ln(100)·1e6 ≈ 4.6e6 → nΣxy ≲
+    // 2e17, inside Long.
     val fit = head
-      .select(log($"rank".cast("double")).as("lx"), log($"freq".cast("double")).as("ly"))
-      .agg(round(covar_pop($"lx", $"ly") / var_pop($"lx"), 4).as("zipf_slope"))
+      .select(round(log($"rank".cast("double")) * 1e6).cast("bigint").as("lx"),
+        round(log($"freq".cast("double")) * 1e6).cast("bigint").as("ly"))
+      .agg(count(lit(1)).as("n"), sum($"lx").as("sx"), sum($"ly").as("sy"),
+        sum($"lx" * $"ly").as("sxy"), sum($"lx" * $"lx").as("sxx"))
+      .select(round(
+        ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double"), 4).as("zipf_slope"))
     val h10 = head.filter($"rank" <= 10).agg(sum($"freq").as("head10"))
     totals.crossJoin(h10).crossJoin(fit)
       .select($"n_vocab", $"n_tokens",

@@ -56,9 +56,10 @@ class ExtensionsSpec extends AnyFunSuite {
     // s9's candidate set (own bucket + all Hamming-1 probes) is a strict
     // superset of s2's (own bucket), so for each query, recall@k vs the
     // brute-force truth can only improve.
+    val truth = Ann.s1BruteTopK(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).cache()
     def hitsPerQuery(df: org.apache.spark.sql.DataFrame) =
-      Ann.s1BruteTopK(spark, sf)
-        .select(col("query_id"), col("neighbor_id"))
+      truth
         .join(df.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))

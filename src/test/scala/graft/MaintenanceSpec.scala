@@ -47,8 +47,9 @@ class MaintenanceSpec extends AnyFunSuite {
       Files.writeString(d.toPath.resolve("x.parquet"), "stub")
     }
     new java.io.File(s"$root/not_a_snapshot").mkdirs() // must be untouched
-    val deleted = Maintenance.retainSnapshots(root, keep = 2)
+    val (deleted, kept) = Maintenance.retainSnapshots(root, keep = 2)
     assert(deleted == Seq("activity_20010101_000000"))
+    assert(kept == Seq("activity_20010102_000000", "activity_20010103_000000"))
     val remaining = new java.io.File(root).listFiles().map(_.getName).sorted
     assert(remaining.toSeq ==
       Seq("activity_20010102_000000", "activity_20010103_000000", "not_a_snapshot"))
