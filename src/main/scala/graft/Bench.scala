@@ -71,6 +71,10 @@ object Bench {
     // maintenance pool is quiesced and the stack never prints.
     val out = java.nio.file.Paths.get("target", "bench_result.json")
     java.nio.file.Files.createDirectories(out.getParent)
+    // Defense (1) write happens NOW, before any shutdown step: if
+    // spark.stop() hangs or dies fatally, the full result line already
+    // survives on disk (it is re-written with the compact twin below).
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.streams.active.foreach { q =>
       scala.util.Try(q.stop())
       scala.util.Try(q.awaitTermination(30000))

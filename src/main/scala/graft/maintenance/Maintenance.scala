@@ -35,11 +35,15 @@ object Maintenance {
       .unionByName(updates)
 
   /** Small-file compaction with atomic-ish swap (write aside, then
-    * replace) — never overwrites the directory it is reading. */
-  def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long): Unit = {
+    * replace) — never overwrites the directory it is reading.
+    * `maxFiles` caps the output file count regardless of row count, so
+    * a caller can hold an SF-independent layout bound (mt9's audit). */
+  def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long,
+      maxFiles: Int = Int.MaxValue): Unit = {
     val df = Snapshot.readZone(spark, dir)
     val n = df.count()
-    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    val files = math.min(maxFiles,
+      math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt))
     val tmp = dir + ".compact_tmp"
     val old = dir + ".compact_old"
     df.repartition(files).write.mode(SaveMode.Overwrite).format(Snapshot.ZoneFormat).save(tmp)
@@ -307,7 +311,9 @@ object Maintenance {
       .repartition(64) // fragment: 64 tiny files, the micro-batch smell
       .write.mode(SaveMode.Overwrite).format(Snapshot.ZoneFormat).save(zone)
     val (filesBefore, _) = fileStats(zone)
-    compact(s, zone, CompactRowsPerFile)
+    // maxFiles holds the audit bound at EVERY SF: past ~1.6M rows the
+    // row budget alone would exceed ClusterFiles files
+    compact(s, zone, CompactRowsPerFile, maxFiles = ClusterFiles)
     val (filesAfter, _) = fileStats(zone)
     Snapshot.readZone(s, zone).agg(
       count(lit(1)).as("n_rows"),
@@ -321,7 +327,8 @@ object Maintenance {
 
   /** Row budget per compacted file for MT-9: 200k rows ≈ one healthy
     * parquet file at this row width; sf0.1's 600k-row lineitem lands in
-    * 3 files, every smaller SF in 1 — always ≤ `ClusterFiles`. */
+    * 3 files, every smaller SF in 1. Beyond ~1.6M rows the audit bound
+    * is held by compact's maxFiles cap, not the row budget. */
   val CompactRowsPerFile = 200000L
 
   /** MT-10 — snapshot retention through the gate: the raw zone's

@@ -156,9 +156,11 @@ object Binary {
     * stages downstream. Oracle = the expected values stated
     * relationally over `documents` (same bytes, same names). */
   def m6BinaryFileSource(s: SparkSession, dir: String): DataFrame = {
-    val work = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_m6_bin")
-    work.mkdirs()
+    // fresh fixture dir per invocation (the mt5-mt8 idiom): a fixed
+    // shared path would let concurrent runs — or a prior run on a
+    // different dataset — overwrite files under this run's lazy scan
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_m6_").toFile
     Tables.documents(s, dir).filter($"doc_id" < 20)
       .select($"doc_id", $"text").collect() // 20-row fixture gen only
       .foreach { r =>

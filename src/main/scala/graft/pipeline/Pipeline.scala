@@ -270,9 +270,6 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "p4_curation_pipeline" -> {
-      def b(seed: String, k: String) =
-        s"""((strpos('0123456789abcdef', substr(md5('$seed' || $k), 1, 1)) - 1) * 16
-           + (strpos('0123456789abcdef', substr(md5('$seed' || $k), 2, 1)) - 1))"""
       s"""WITH ${graft.text.TextOps.qualityMaskCtes},
           kept AS (SELECT d.doc_id AS doc_id, d.source AS source,
                           d.n_chars AS n_chars, d.text AS text
@@ -282,9 +279,7 @@ object Pipeline {
                         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
                  FROM kept),
           sp AS (SELECT doc_id, source, n_chars,
-                        CASE WHEN ${b("split:", "doc_id")} < 230 THEN 'train'
-                             WHEN ${b("split:", "doc_id")} < 243 THEN 'val'
-                             ELSE 'test' END AS split
+                        ${graft.text.TextOps.splitCaseSql("doc_id")} AS split
                  FROM dd WHERE doc_id = keep_id)
           SELECT source, split, count(*) AS n_docs,
                  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -313,9 +308,6 @@ object Pipeline {
                  CAST(sum(doc_id) AS BIGINT) AS id_checksum
           FROM final GROUP BY 1 ORDER BY source""",
     "p2_training_corpus" -> {
-      def b(seed: String, k: String) =
-        s"""((strpos('0123456789abcdef', substr(md5('$seed' || $k), 1, 1)) - 1) * 16
-           + (strpos('0123456789abcdef', substr(md5('$seed' || $k), 2, 1)) - 1))"""
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
           sh AS (
             SELECT doc_id, unnest(
@@ -334,10 +326,9 @@ object Pipeline {
                    WHERE doc_id = keep_id AND doc_id % 50 <> 0
                      AND doc_id NOT IN (SELECT doc_id FROM contam)),
           samp AS (SELECT * FROM surv
-                   WHERE ${b("samp:", "doc_id")} < 16 + ${b("rate:", "source")} % 64),
-          sp AS (SELECT *, CASE WHEN ${b("split:", "doc_id")} < 230 THEN 'train'
-                                WHEN ${b("split:", "doc_id")} < 243 THEN 'val'
-                                ELSE 'test' END AS split
+                   WHERE ${graft.text.TextOps.bucketSqlOf("samp:", "doc_id")}
+                         < 16 + ${graft.text.TextOps.bucketSqlOf("rate:", "source")} % 64),
+          sp AS (SELECT *, ${graft.text.TextOps.splitCaseSql("doc_id")} AS split
                  FROM samp)
           SELECT source, split, count(*) AS n_docs,
                  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

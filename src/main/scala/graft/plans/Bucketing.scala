@@ -34,12 +34,19 @@ object Bucketing {
   /** Drop catalog entries left by PRIOR invocations (the result frame is
     * lazy, so an invocation can't drop its own tables — the consumer
     * hasn't collected yet). Run alongside the temp-dir sweep so the
-    * catalog never accumulates and never dangles past the data sweep. */
-  private def sweepOldTables(s: SparkSession): Unit =
+    * catalog never accumulates and never dangles past the data sweep.
+    * Tables still referenced by the layout memo are EXEMPT: a cached
+    * pair for another (session, dir) key may back a lazy frame the
+    * caller has not collected yet — sweeping by name prefix alone would
+    * pull the data out from under it. */
+  private def sweepOldTables(s: SparkSession): Unit = {
+    val live = layoutCache.values.flatMap { case (o, l) => Seq(o, l) }.toSet
     s.catalog.listTables().collect()
       .map(_.name)
       .filter(n => n.startsWith("x9_orders_") || n.startsWith("x9_lineitem_"))
+      .filterNot(live)
       .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
+  }
 
   /** Layout memo: "pay layout once, amortize over every join" is the
     * POINT of bucketing, so repeated invocations on the same session ×

@@ -283,6 +283,20 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** DuckDB twin of the seeded md5 bucket (0..255) behind
+    * [[splitAssign]]/[[sampleKeep]] — ONE definition shared by the
+    * t7, p2 and p4 oracles so the hash family can never diverge
+    * engine-side vs oracle-side in only some entries. */
+  private[graft] def bucketSqlOf(seed: String, k: String): String =
+    s"""((strpos('0123456789abcdef', substr(md5('$seed' || $k), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5('$seed' || $k), 2, 1)) - 1))"""
+
+  /** DuckDB twin of [[splitAssign]]'s full train/val/test CASE. */
+  private[graft] def splitCaseSql(k: String): String =
+    s"""CASE WHEN ${bucketSqlOf("split:", k)} < 230 THEN 'train'
+             WHEN ${bucketSqlOf("split:", k)} < 243 THEN 'val'
+             ELSE 'test' END"""
+
   val oracles: Map[String, String] = Map(
     "t13_normalize" ->
       """WITH n AS (
@@ -503,15 +517,9 @@ object TextOps {
            FROM scored)
          WHERE rn <= 3 ORDER BY doc_id, score_micro DESC, tok""",
     "t7_train_split" ->
-      """WITH b AS (
-           SELECT doc_id, n_chars,
-                  (strpos('0123456789abcdef', substr(md5('split:' || doc_id), 1, 1)) - 1) * 16
-                + (strpos('0123456789abcdef', substr(md5('split:' || doc_id), 2, 1)) - 1) AS bucket
-           FROM documents)
-         SELECT CASE WHEN bucket < 230 THEN 'train'
-                     WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split,
-                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM b GROUP BY 1 ORDER BY split""",
+      s"""SELECT ${splitCaseSql("doc_id")} AS split,
+                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY 1 ORDER BY split""",
     "t8_pii_scrub" ->
       """WITH inj AS (
            SELECT doc_id,
