@@ -35,6 +35,38 @@ object OpQueries {
     Cleaning.normalizeColumns(parsed).filter($"id_col".isNotNull).orderBy($"id_col")
   }
 
+  /** O-34 — CSV DIALECT round-trip: the quoting/escaping edge o1's
+    * permissive reader never exercises. Fields are made adversarial
+    * (embedded commas, double quotes, newlines), written RFC-4180
+    * style (quoteAll + doubled-quote escaping), and read back with
+    * `multiLine`; the audit aggregates (row count, char volume,
+    * distinct content digests, id checksum) must equal the same
+    * aggregates computed directly from the source table — any quoting
+    * loss changes a digest. Scale note: `multiLine` makes CSV files
+    * unsplittable (a record may cross any byte offset), so at 100 TB
+    * embedded newlines belong in ESCAPED single-line CSV or a columnar
+    * format; this entry is the correctness edge, not the scale path. */
+  def o34CsvDialect(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_o34_").toString
+    val tricky = Tables.documents(s, dir).select($"doc_id",
+      concat(lit("\"start\", "),
+        regexp_replace(substring($"text", 1, 80), " ", ",\n")).as("field"))
+    tricky.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("header", "true").option("quoteAll", "true").option("escape", "\"")
+      // the WRITER trims value whitespace by default — that silently
+      // eats field-trailing newlines; a round-trip must write verbatim
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(s"$work/t")
+    s.read.option("header", "true").option("multiLine", "true").option("escape", "\"")
+      .schema("doc_id LONG, field STRING").csv(s"$work/t")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length($"field")).as("sum_chars"),
+        countDistinct(md5($"field")).as("n_digests"),
+        sum($"doc_id").as("id_checksum"))
+  }
+
   /** O-5/O-6 — object-store reader + tz-normalizing table reader: scan
     * with projection/filter pushed into parquet (`PushedFilters`). */
   def o5PushdownScan(s: SparkSession, dir: String): DataFrame =
@@ -229,6 +261,17 @@ object OpQueries {
       """SELECT CAST(id_col AS INT) AS id_col, CAST(total_val AS DOUBLE) AS total_val
          FROM (VALUES (1, 10.5), (2, 20.25), (3, 30.75)) AS t(id_col, total_val)
          ORDER BY id_col""",
+    "o34_csv_dialect" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  '"start", ' || replace(substr(text, 1, 80), ' ', ',' || chr(10))
+                    AS field
+           FROM documents)
+         SELECT count(*) AS n_rows,
+                CAST(sum(length(field)) AS BIGINT) AS sum_chars,
+                count(DISTINCT md5(field)) AS n_digests,
+                CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         FROM f""",
     "o5_pushdown_scan" ->
       """SELECT l_orderkey, l_extendedprice FROM lineitem
          WHERE l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
@@ -324,6 +367,7 @@ object OpQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o1_csv_source" -> o1CsvSource _,
+    "o34_csv_dialect" -> o34CsvDialect _,
     "o5_pushdown_scan" -> o5PushdownScan _,
     "o13_latest_snapshot" -> o13LatestSnapshot _,
     "o14_normalize" -> o14Normalize _,
