@@ -78,6 +78,24 @@ object Tables {
       org.apache.spark.sql.types.StructField("props",
         org.apache.spark.sql.types.StringType)))
 
+  val documentsStreamSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", LongType)))
+
+  /** Documents as a file-source stream (the ingest feed a curation
+    * pipeline consumes) — same drained-replay protocol as
+    * [[eventsStream]]. */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsStreamSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsStreamSchema)

@@ -350,7 +350,50 @@ object Stream {
     drainAppend(s, plan, "graft_st12_").orderBy($"user_id", $"session_start")
   }
 
+  /** ST-15 — streaming curation admission: the documents feed drained
+    * through the t18 quality gate per micro-batch, survivors appended
+    * to the admitted zone, then a per-source audit of the zone. The
+    * t18 rules are per-document independent, which is exactly what
+    * makes them STREAMABLE — batch boundaries cannot change a verdict
+    * (corpus-level ops like d1/d6 need the incremental-index shape,
+    * p3/d13, instead). foreachBatch is the st7 idiom: the gate's two
+    * aggregations are legal there where a chained streaming groupBy is
+    * not. At 100 TB this is the admission loop at the ingest edge —
+    * each arrival interval pays gate cost ∝ batch, never corpus. */
+  def st15StreamCuration(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_st15_").toString
+    val admitted = s"$work/admitted"
+    withDrainPartitions(s) {
+      val q = graft.io.Tables.documentsStream(s, dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val keep = graft.text.TextOps.qualityVerdict(batch)
+            .filter(col("keep") === 1).select(col("doc_id"))
+          batch.join(keep, Seq("doc_id"), "left_semi")
+            .write.mode("append").format(Snapshot.ZoneFormat).save(admitted)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    Snapshot.readZone(s, admitted)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        sum($"doc_id").as("id_checksum"))
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "st15_stream_curation" ->
+      s"""WITH ${graft.text.TextOps.qualityMaskCtes}
+          SELECT d.source AS source, count(*) AS n_docs,
+                 CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+                 CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+          FROM documents d JOIN qmask q ON d.doc_id = q.doc_id
+          WHERE q.reason_mask = 0
+          GROUP BY 1 ORDER BY source""",
     // st12: q40's batch sessions, restricted to sessions CLOSED under
     // the final watermark (session end = last event + gap).
     "st12_session_window" ->
@@ -496,6 +539,7 @@ object Stream {
     "st1_stream_hourly" -> st1StreamHourly _,
     "st14_stream_topk" -> st14StreamTopK _,
     "st13_stream_anti_join" -> st13StreamAntiJoin _,
+    "st15_stream_curation" -> st15StreamCuration _,
     "st4_watermark_append" -> st4WatermarkAppend _,
     "st5_sliding_watermark" -> st5SlidingWatermark _,
     "st6_stream_dedup" -> st6StreamDedup _,

@@ -723,8 +723,13 @@ object TextOps {
     * token-frequency aggregation, so the gate is bit-exact and the
     * whole stage is two map-side-combined shuffles (doc,tok → doc). At
     * 100 TB this replaces five separate filter scans with one pass. */
-  def t18QualityGate(s: SparkSession, dir: String): DataFrame = {
-    val tf = tokens(s, dir)
+  /** The t18 rule set over an arbitrary (doc_id, text) frame — per-doc
+    * independent, so it applies unchanged to a streaming micro-batch
+    * (st15) or the full table (t18). */
+  def qualityVerdict(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
     val agg = tf.groupBy($"doc_id").agg(
       sum($"c").as("n_tokens"), max($"c").as("top_c"),
@@ -738,8 +743,10 @@ object TextOps {
       when($"stop_hits" < 2, 16).otherwise(0)
     agg.select($"doc_id", $"n_tokens", mask.cast("int").as("reason_mask"))
       .withColumn("keep", ($"reason_mask" === 0).cast("int"))
-      .orderBy($"doc_id")
   }
+
+  def t18QualityGate(s: SparkSession, dir: String): DataFrame =
+    qualityVerdict(Tables.documents(s, dir)).orderBy($"doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t18_quality_gate" -> t18QualityGate _,
