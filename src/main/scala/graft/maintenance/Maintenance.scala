@@ -42,8 +42,10 @@ object Maintenance {
       maxFiles: Int = Int.MaxValue): Unit = {
     val df = Snapshot.readZone(spark, dir)
     val n = df.count()
-    val files = math.min(maxFiles,
-      math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt))
+    // floor OUTERMOST: a non-positive maxFiles clamps to 1 instead of
+    // producing repartition(0)
+    val files = math.max(1,
+      math.min(maxFiles, math.ceil(n.toDouble / targetRowsPerFile).toInt))
     val tmp = dir + ".compact_tmp"
     val old = dir + ".compact_old"
     df.repartition(files).write.mode(SaveMode.Overwrite).format(Snapshot.ZoneFormat).save(tmp)

@@ -40,6 +40,14 @@ object Bucketing {
     * caller has not collected yet — sweeping by name prefix alone would
     * pull the data out from under it. */
   private def sweepOldTables(s: SparkSession): Unit = {
+    // prune memo entries whose backing data is gone FIRST (the x9
+    // tables are metastore-shared, so any session can check them):
+    // a dead entry must not shield its dangling catalog tables from
+    // the sweep, or cache+catalog grow unboundedly across sessions
+    layoutCache.filterInPlace { case (_, (o, l)) =>
+      Seq(o, l).forall(t => s.catalog.tableExists(t) &&
+        scala.util.Try(s.table(t).inputFiles.nonEmpty).getOrElse(false))
+    }
     val live = layoutCache.values.flatMap { case (o, l) => Seq(o, l) }.toSet
     s.catalog.listTables().collect()
       .map(_.name)

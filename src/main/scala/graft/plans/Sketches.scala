@@ -192,6 +192,12 @@ object Sketches {
           exprs(0), exprs(1)), "scala_udf")
   }
 
+  /** Dim-side cardinality memo for x8's sketch sizing: constant per
+    * (session, dataset), so the eager sizing count runs once — repeated
+    * invocations (bench warmup + reps) must not re-scan the dim. */
+  private val dimCountCache =
+    new scala.collection.concurrent.TrieMap[(Int, String), Long]()
+
   /** X-8 — bloom-filter semi-join pre-reduction: the manual form of the
     * runtime filter a 100 TB shuffle join lives or dies by. The
     * selective dim side (urgent orders) folds into a ~100 KB bloom
@@ -202,12 +208,6 @@ object Sketches {
     * nothing driver-side. The final LEFT SEMI join removes bloom false
     * positives, so the RESULT is exactly the plain semi-join (= the
     * oracle); the bloom only changes how many rows reach the shuffle. */
-  /** Dim-side cardinality memo for x8's sketch sizing: constant per
-    * (session, dataset), so the eager sizing count runs once — repeated
-    * invocations (bench warmup + reps) must not re-scan the dim. */
-  private val dimCountCache =
-    new scala.collection.concurrent.TrieMap[(Int, String), Long]()
-
   def x8BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
     registerBloom(s)
     Tables.registerViews(s, dir)

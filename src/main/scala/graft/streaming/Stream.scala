@@ -368,16 +368,25 @@ object Stream {
       val q = graft.io.Tables.documentsStream(s, dir)
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$work/chk")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val keep = graft.text.TextOps.qualityVerdict(batch)
             .filter(col("keep") === 1).select(col("doc_id"))
+          // one OVERWRITTEN partition-style dir per batch id: a batch
+          // replayed after a crash-before-checkpoint lands on the same
+          // path instead of appending twice — the write is idempotent
+          // per batch, which is what makes the blind zone append safe
           batch.join(keep, Seq("doc_id"), "left_semi")
-            .write.mode("append").format(Snapshot.ZoneFormat).save(admitted)
+            .write.mode("overwrite").format(Snapshot.ZoneFormat)
+            .save(s"$admitted/b=$batchId")
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination() finally q.stop()
     }
+    // loud guard: a source dir with no documents.parquet drains zero
+    // batches — surface THAT, not a PATH_NOT_FOUND on the temp dir
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(admitted)),
+      s"st15: no documents micro-batch arrived from $dir (pathGlobFilter=documents.parquet)")
     Snapshot.readZone(s, admitted)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),

@@ -36,10 +36,16 @@ object TextOps {
   val BoilerShingle = 5
   val BoilerMinDocs = 5
 
-  private def tokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+  /** THE tokenization rule (split on single space, drop empties) over
+    * an arbitrary frame carrying `text` — one definition shared by the
+    * whole t-family and the streaming gate; `keep` selects the columns
+    * carried alongside each token. */
+  private def tokensOf(docs: DataFrame, keep: Column*): DataFrame =
+    docs.select(keep :+ explode(split($"text", " ")).as("tok"): _*)
       .filter($"tok" =!= "")
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    tokensOf(Tables.documents(s, dir), $"doc_id", $"lang")
 
   /** T-1 — language ID: score each doc's tokens against the per-language
     * profiles; prediction = argmax with a fixed tie-break order (profile
@@ -727,9 +733,7 @@ object TextOps {
     * independent, so it applies unchanged to a streaming micro-batch
     * (st15) or the full table (t18). */
   def qualityVerdict(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .filter($"tok" =!= "")
+    val tf = tokensOf(docs, $"doc_id")
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
     val agg = tf.groupBy($"doc_id").agg(
       sum($"c").as("n_tokens"), max($"c").as("top_c"),
