@@ -61,6 +61,38 @@ class StorageSpec extends AnyFunSuite {
     q.collect() // and it must still produce correct rows
   }
 
+  test("CBO: ANALYZE TABLE stats drive an unhinted broadcast join") {
+    // The stats-driven planner path a 1000-executor cluster leans on:
+    // with table+column stats from ANALYZE, a dim under the broadcast
+    // threshold broadcasts WITHOUT a hint — the catalog, not the code,
+    // carries the size knowledge. (Enrich.scala hints explicitly as a
+    // defense-in-depth policy; this proves the stats path also works.)
+    spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    spark.sql("DROP TABLE IF EXISTS cbo_nation")
+    graft.io.Tables.orders(spark, sf).write.mode("overwrite").saveAsTable("cbo_orders")
+    graft.io.Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").saveAsTable("cbo_nation")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR ALL COLUMNS")
+      val j = spark.table("cbo_orders")
+        .join(spark.table("cbo_nation"),
+          col("o_custkey") % 25 === col("n_nationkey")) // no broadcast() hint
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"stats-known small dim should broadcast unhinted:\n${plan.take(2500)}")
+      assert(j.collect().map(_.getLong(1)).sum > 0)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.sql("DROP TABLE IF EXISTS cbo_orders")
+      spark.sql("DROP TABLE IF EXISTS cbo_nation")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // default warehouse (./spark-warehouse, gitignored) — warehouse.dir
     // is a static conf and cannot be set per-test
