@@ -360,6 +360,46 @@ object Ann {
       .orderBy($"query_id")
   }
 
+  /** S-10 — int8-quantized retrieval recall: rank neighbors by the
+    * QUANTIZED cosine (integer dot of s5's int8 codes, normalized by
+    * the exact integer self-dots) and measure recall@k against the
+    * float ground truth (S-1) — the eval that decides whether a
+    * deployment can serve from 1-byte codes (4× memory, SIMD dot) at
+    * all. All pair arithmetic is exact BIGINT; the only float ops are
+    * one IEEE divide + sqrt from exact integers per pair, which is
+    * bit-identical cross-engine (unlike accumulated float sums). At
+    * 100 TB the int8 corpus is the RESIDENT index (the float vectors
+    * stay in cold storage) and this recall audit runs on a query
+    * sample after every index rebuild. */
+  def s10QuantRecall(s: SparkSession, dir: String): DataFrame = {
+    val qz = graft.io.Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        expr("array_max(transform(embedding, x -> abs(cast(x AS double))))").as("amax"))
+      .select($"vec_id", $"embedding",
+        (expr("nullif(amax, 0.0d)") / 127.0).as("scale"))
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(floor(cast(x AS double) / scale + 0.5d) AS bigint))").as("q"))
+      .withColumn("qq", expr("aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x)"))
+    val queries = qz.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"q".as("qa"), $"qq".as("qqa"))
+    val scored = qz.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (expr(s"aggregate(sequence(0, ${Dim - 1}), 0L, (a, i) -> a + q[i] * qa[i])")
+          / sqrt(($"qq" * $"qqa").cast("double"))).as("cosq"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosq".desc, $"neighbor_id")
+    val qtop = scored.withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
+      .select($"query_id", $"neighbor_id", lit(1).as("hit"))
+    s1BruteTopK(s, dir).select($"query_id", $"neighbor_id")
+      .join(qtop, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0))).as("n_hit"))
+      .select($"query_id", $"k".cast("int").as("k"),
+        $"n_hit".cast("int").as("n_hit"),
+        round($"n_hit" / $"k", 4).as("recall_at_k"))
+      .orderBy($"query_id")
+  }
+
   /** PQ geometry: 4 subspaces × 16 dims; codebook per subspace = the
     * sub-vectors of the same [[Cells]] deterministic corpus vectors S-4
     * uses (at production scale a trained per-subspace k-means — the
@@ -501,6 +541,39 @@ object Ann {
           FROM brute b LEFT JOIN lsh l
             ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
           GROUP BY 1 ORDER BY query_id""",
+    "s10_quant_recall" ->
+      s"""WITH brute AS ($oracleS1),
+          c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          sc AS (SELECT vec_id, v,
+                        nullif(list_max(list_transform(v, y -> abs(y))), 0) / 127.0
+                          AS scale
+                 FROM c),
+          qz AS (SELECT vec_id,
+                        [CAST(floor(x / scale + 0.5) AS BIGINT) for x in v] AS q
+                 FROM sc),
+          qn AS (SELECT vec_id, q,
+                        CAST(list_sum([x * x for x in q]) AS BIGINT) AS qq
+                 FROM qz),
+          qs AS (SELECT vec_id AS query_id, q AS qa, qq AS qqa
+                 FROM qn WHERE vec_id % 100 = 0),
+          scored AS (
+            SELECT qs.query_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(list_sum([b.q[i] * qs.qa[i]
+                                  for i in range(1, $Dim + 1)]) AS BIGINT) /
+                     sqrt(CAST(b.qq * qs.qqa AS DOUBLE)) AS cosq
+            FROM qn b CROSS JOIN qs WHERE b.vec_id <> qs.query_id),
+          rk AS (SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosq DESC, neighbor_id) AS rank
+                 FROM scored),
+          qtop AS (SELECT query_id, neighbor_id FROM rk WHERE rank <= $TopK)
+          SELECT b.query_id AS query_id, CAST(count(*) AS INT) AS k,
+                 CAST(count(t.neighbor_id) AS INT) AS n_hit,
+                 round(count(t.neighbor_id) / CAST(count(*) AS DOUBLE), 4)
+                   AS recall_at_k
+          FROM brute b LEFT JOIN qtop t
+            ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+          GROUP BY 1 ORDER BY query_id""",
     "s5_quantize" ->
       """WITH s AS (
            SELECT vec_id, label, embedding,
@@ -595,6 +668,7 @@ object Ann {
     "s8_ann_ivf_persisted" -> s8IvfPersisted _,
     "s5_quantize" -> s5Quantize _,
     "s6_ann_recall" -> s6AnnRecall _,
+    "s10_quant_recall" -> s10QuantRecall _,
     "s7_pq_code" -> s7PqCode _,
   )
 }
