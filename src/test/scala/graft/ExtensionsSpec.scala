@@ -74,6 +74,22 @@ class ExtensionsSpec extends AnyFunSuite {
       "a query lost recall going from single-bucket to multi-probe")
   }
 
+  test("containment dominates jaccard on every sampled pair") {
+    // |A∩B|/|A| ≥ |A∩B|/|A∪B| always (|A| ≤ |A∪B|); both entries run
+    // on the SAME anchor pair sample, so the comparison is row-for-row.
+    val j = Dedup.d4NgramJaccard(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val c = Dedup.d16Containment(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("contain_a"), col("contain_b"))
+    val both = j.join(c, Seq("doc_a", "doc_b"))
+    assert(both.count() > 0)
+    // rounding to 4dp on both sides can flip an equality by at most 1e-4
+    val bad = both.filter(
+      col("contain_a") < col("jaccard") - 0.0001 ||
+      col("contain_b") < col("jaccard") - 0.0001)
+    assert(bad.count() == 0, "containment must dominate jaccard")
+  }
+
   test("jaccard is 1.0 for identical docs and within [0,1] everywhere") {
     val j = Dedup.d4NgramJaccard(spark, sf).collect()
     assert(j.nonEmpty)
