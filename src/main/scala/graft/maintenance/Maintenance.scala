@@ -367,7 +367,113 @@ object Maintenance {
         $"n_rows", $"sum_price_c")
   }
 
+  /** MT-11 — orphan-file VACUUM through the gate: failed/interrupted
+    * writers leave non-data debris in a zone (staging temp files, crc
+    * sidecars, `_started_*` markers); the vacuum identifies everything
+    * that is not a live data file or a `_SUCCESS` marker, quarantines
+    * it, and the audit proves (a) the expected orphan count was
+    * removed, (b) not one data row or cent moved. On plain parquet the
+    * manifest is implicit (part-* naming + _SUCCESS); on a table
+    * format the same op diffs the file listing against the
+    * transaction-log manifest — the seam is the `isDataFile`
+    * predicate, nothing else. At 100 TB vacuum is a pure LISTING
+    * operation (no data read) and each removal is one object delete. */
+  def mt11VacuumOrphans(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_mt11_").toString
+    val zone = s"$work/t"
+    Tables.orders(s, dir)
+      .select($"o_orderkey", round($"o_totalprice" * 100).cast("bigint").as("price_c"))
+      .write.mode(SaveMode.Overwrite).format(Snapshot.ZoneFormat).save(zone)
+    // plant deterministic debris: a staging temp, an orphan crc, a
+    // half-finished writer marker
+    val debris = Seq("_started_0001", ".part-orphan.snappy.parquet.crc",
+      "_temporary_stage.parquet.tmp")
+    debris.foreach { n =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(zone, n), "junk".getBytes("UTF-8"))
+    }
+    def isDataFile(n: String): Boolean =
+      n.startsWith("part-") && n.endsWith(".parquet")
+    val all = Option(new java.io.File(zone).listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getName)
+    val live = all.filter(n => isDataFile(n) || n == "_SUCCESS").toSet
+    // a checksum sidecar (.X.crc) is live iff its base file X is live —
+    // the planted .part-orphan crc has no base file, so it IS an orphan
+    def isLiveSidecar(n: String): Boolean =
+      n.startsWith(".") && n.endsWith(".crc") &&
+        live.contains(n.stripPrefix(".").stripSuffix(".crc"))
+    val orphans = all.filterNot(n => live.contains(n) || isLiveSidecar(n))
+    orphans.foreach(n => java.nio.file.Files.delete(java.nio.file.Paths.get(zone, n)))
+    Snapshot.readZone(s, zone).agg(
+      count(lit(1)).as("n_rows"), sum($"price_c").as("sum_price_c"))
+      .select(
+        lit(orphans.length).cast("int").as("n_orphans_removed"),
+        $"n_rows", $"sum_price_c")
+  }
+
+  /** MT-12 — snapshot DIFF audit (the reconciliation op between two
+    * zone versions): classify every key as unchanged / changed /
+    * added / removed via ONE full-outer join on the key, with exact
+    * cents equality deciding "changed". This is how a backfill or
+    * vendor re-delivery is accepted into a lakehouse — the diff
+    * summary is reviewed before the swap. The patch here is
+    * deterministic and data-derived (re-price every 7th key, drop
+    * every 31st, add synthetic keys) so the audit is reproducible at
+    * every SF. At 100 TB the join shuffles once on the key and the
+    * summary is group-cardinality-sized; with both snapshots bucketed
+    * on the key it is exchange-free. */
+  def mt12SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select($"o_orderkey".as("k"), round($"o_totalprice" * 100).cast("bigint").as("c"))
+    val next = base
+      .filter($"k" % 31 =!= 0)                                // removals
+      .select($"k", when($"k" % 7 === 0, $"c" * 2).otherwise($"c").as("c")) // changes
+      .unionByName(s.range(1, 6).select(
+        (lit(8000000L) + $"id").as("k"), lit(100L).as("c")))  // additions
+    base.select($"k", $"c".as("ca")).join(
+        next.select($"k", $"c".as("cb")), Seq("k"), "full_outer")
+      .select(
+        when($"ca".isNull, "added")
+          .when($"cb".isNull, "removed")
+          .when($"ca" === $"cb", "unchanged")
+          .otherwise("changed").as("verdict"),
+        coalesce($"cb", lit(0L)).as("cb"), $"k")
+      .groupBy($"verdict")
+      .agg(count(lit(1)).as("n_keys"), sum($"cb").as("sum_next_c"),
+        sum($"k").as("key_checksum"))
+      .orderBy($"verdict")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mt11_vacuum_orphans" ->
+      """SELECT CAST(3 AS INT) AS n_orphans_removed,
+                count(*) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_price_c
+         FROM orders""",
+    "mt12_snapshot_diff" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+         next AS (
+           SELECT k, CASE WHEN k % 7 = 0 THEN c * 2 ELSE c END AS c
+           FROM base WHERE k % 31 <> 0
+           UNION ALL
+           SELECT 8000000 + i AS k, 100 AS c FROM generate_series(1, 5) t(i)),
+         d AS (
+           SELECT coalesce(b.k, n.k) AS k,
+                  CASE WHEN b.k IS NULL THEN 'added'
+                       WHEN n.k IS NULL THEN 'removed'
+                       WHEN b.c = n.c THEN 'unchanged'
+                       ELSE 'changed' END AS verdict,
+                  coalesce(n.c, 0) AS cb
+           FROM base b FULL OUTER JOIN next n ON b.k = n.k)
+         SELECT verdict, count(*) AS n_keys,
+                CAST(sum(cb) AS BIGINT) AS sum_next_c,
+                CAST(sum(k) AS BIGINT) AS key_checksum
+         FROM d GROUP BY 1 ORDER BY verdict""",
     "mt9_compact_small_files" ->
       """SELECT count(*) AS n_rows,
                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
@@ -474,5 +580,7 @@ object Maintenance {
     "mt8_orc_roundtrip" -> mt8OrcRoundtrip _,
     "mt9_compact_small_files" -> mt9CompactSmallFiles _,
     "mt10_snapshot_retention" -> mt10SnapshotRetention _,
+    "mt11_vacuum_orphans" -> mt11VacuumOrphans _,
+    "mt12_snapshot_diff" -> mt12SnapshotDiff _,
   )
 }
