@@ -38,6 +38,7 @@ object SparkEntry {
       Binary.queries ++ Stream.queries ++ Stateful.queries ++ Pipeline.queries ++
       AsOfJoin.queries ++ Sketches.queries ++ graft.plans.RangeJoin.queries ++
       graft.plans.Bucketing.queries ++ graft.plans.TopK.queries ++
+      graft.plans.Dpp.queries ++
       Advanced.queries ++ SetOps.queries ++
       Maintenance.queries ++ Wide.queries ++ Cohort.queries ++ Map(
       "o30_prescriptive" -> ((s: SparkSession, dir: String) => Scoring.hygieneScore(s, dir)),
@@ -52,6 +53,7 @@ object SparkEntry {
       Binary.oracles ++ Stream.oracles ++ Stateful.oracles ++ Pipeline.oracles ++
       AsOfJoin.oracles ++ Sketches.oracles ++ graft.plans.RangeJoin.oracles ++
       graft.plans.Bucketing.oracles ++ graft.plans.TopK.oracles ++
+      graft.plans.Dpp.oracles ++
       Advanced.oracles ++ SetOps.oracles ++
       Maintenance.oracles ++ Wide.oracles ++ Cohort.oracles ++ Map(
       "o30_prescriptive" -> Scoring.oracleSql,

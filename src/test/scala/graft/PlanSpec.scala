@@ -32,6 +32,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x12 fact scan is dynamically partition-pruned off the dim filter") {
+    val df = graft.plans.Dpp.dppJoinRaw(spark, sf)
+    val p = plan(df)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "fact scan lost its runtime partition filter:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"),
+      "dim side must broadcast (pruning rides the broadcast):\n" + p.take(2000))
+  }
+
   test("group-by aggregates have map-side partial aggregation") {
     val p = plan(Queries.q6Trend(spark, sf))
     // two HashAggregates around the exchange = partial + final
