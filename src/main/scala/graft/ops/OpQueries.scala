@@ -256,7 +256,45 @@ object OpQueries {
     Enrich.jsonField(Tables.events(s, dir), "props", "k", "k")
       .agg(sum($"k").as("sum_k"), count($"k").as("n_k"))
 
+  /** O-35 — raw text-line source (`spark.read.text`): the log-file
+    * ingestion shape. Lines land as one `value` column; a codegen'd
+    * regexp projection structures them and a null-guard drops
+    * unparseable lines (the DROPMALFORMED analogue for free-form
+    * text). At 100 TB: text scans split by line on block boundaries so
+    * the parse is embarrassingly parallel, and regexp_extract runs
+    * inside whole-stage codegen — no UDF in the hot path. */
+  def o35TextSource(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_o35_").toString
+    val lines = Seq(
+      "10.0.0.1 GET /index.html 200 5120",
+      "10.0.0.2 GET /img/logo.png 200 814",
+      "10.0.0.1 POST /api/login 401 98",
+      "#comment: not a log line",
+      "10.0.0.3 GET /index.html 304 0")
+    java.nio.file.Files.write(java.nio.file.Paths.get(work, "access.log"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val re = "^(\\S+) (GET|POST|PUT|DELETE) (\\S+) (\\d{3}) (\\d+)$"
+    s.read.text(s"$work/access.log").select(
+      regexp_extract($"value", re, 1).as("host"),
+      regexp_extract($"value", re, 2).as("method"),
+      regexp_extract($"value", re, 3).as("path"),
+      regexp_extract($"value", re, 4).cast("int").as("status"),
+      regexp_extract($"value", re, 5).cast("bigint").as("bytes"))
+      .filter($"host" =!= "")
+      .orderBy($"host", $"path")
+  }
+
   val oracles: Map[String, String] = Map(
+    "o35_text_source" ->
+      """SELECT host, method, path, CAST(status AS INT) AS status,
+                CAST(bytes AS BIGINT) AS bytes
+         FROM (VALUES ('10.0.0.1', 'GET', '/index.html', 200, 5120),
+                      ('10.0.0.1', 'POST', '/api/login', 401, 98),
+                      ('10.0.0.2', 'GET', '/img/logo.png', 200, 814),
+                      ('10.0.0.3', 'GET', '/index.html', 304, 0))
+           AS t(host, method, path, status, bytes)
+         ORDER BY host, path""",
     "o1_csv_source" ->
       """SELECT CAST(id_col AS INT) AS id_col, CAST(total_val AS DOUBLE) AS total_val
          FROM (VALUES (1, 10.5), (2, 20.25), (3, 30.75)) AS t(id_col, total_val)
@@ -368,6 +406,7 @@ object OpQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o1_csv_source" -> o1CsvSource _,
     "o34_csv_dialect" -> o34CsvDialect _,
+    "o35_text_source" -> o35TextSource _,
     "o5_pushdown_scan" -> o5PushdownScan _,
     "o13_latest_snapshot" -> o13LatestSnapshot _,
     "o14_normalize" -> o14Normalize _,
