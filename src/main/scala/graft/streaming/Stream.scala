@@ -394,7 +394,46 @@ object Stream {
       .orderBy($"source")
   }
 
+  /** ST-16 — state-store READER (`spark.read.format("statestore")`):
+    * streaming-state observability as a batch query. The checkpoint of
+    * st4's watermarked hourly agg is opened AFTER the drain and the
+    * retained state inspected directly — exactly the windows the
+    * watermark has NOT yet released (end > max(ts) - 2h), i.e. the
+    * complement of st4's emitted output. At 100 TB this is the
+    * debugging/ops surface for stateful pipelines: state-size audits,
+    * skewed-key hunts, and state forensics run as plain parquet-speed
+    * batch reads over the checkpoint — no code inside the streaming
+    * query, no stopping it. The read is partition-parallel (one state
+    * file per shuffle partition) and the agg buffer comes back as typed
+    * columns (count/sum), so the same oracle discipline applies as for
+    * any batch entry. */
+  def st16StateStoreRead(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_st16_").toString
+    withDrainPartitions(s) {
+      val q = st4Plan(s, dir).writeStream
+        .outputMode("append").format(Snapshot.ZoneFormat)
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    s.read.format("statestore").load(s"$work/chk")
+      .select($"key.window.start".as("wstart"),
+        $"key.event_type".as("event_type"),
+        $"value.count".as("n"), $"value.sum".as("sum_value_c"))
+      .orderBy($"wstart", $"event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "st16_statestore_read" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+         SELECT date_trunc('hour', ts) AS wstart, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM events, wm
+         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > w
+         GROUP BY 1, 2 ORDER BY wstart, event_type""",
     "st15_stream_curation" ->
       s"""WITH ${graft.text.TextOps.qualityMaskCtes}
           SELECT d.source AS source, count(*) AS n_docs,
@@ -550,6 +589,7 @@ object Stream {
     "st13_stream_anti_join" -> st13StreamAntiJoin _,
     "st15_stream_curation" -> st15StreamCuration _,
     "st4_watermark_append" -> st4WatermarkAppend _,
+    "st16_statestore_read" -> st16StateStoreRead _,
     "st5_sliding_watermark" -> st5SlidingWatermark _,
     "st6_stream_dedup" -> st6StreamDedup _,
     "st7_foreachbatch_upsert" -> st7ForeachBatchUpsert _,
