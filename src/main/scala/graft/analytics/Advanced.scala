@@ -74,6 +74,56 @@ object Advanced {
       .orderBy($"event_type", $"bucket")
   }
 
+  /** Q-47 — VALUE-range window frame: for each order, the count/total
+    * of the same customer's orders priced within $500 BELOW it (`RANGE
+    * BETWEEN 50000 PRECEDING AND CURRENT ROW` over integer cents).
+    * Q-21 frames by row offsets and Q-30 by the time axis; this is the
+    * third frame kind — defined on the VALUE axis, so equal-priced
+    * orders share a frame and the result is deterministic under any
+    * partition order with no tie-pinning needed. One window shuffle on
+    * the customer key; output digested per priority class. */
+  def q47ValueRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"cents")
+      .rangeBetween(-50000L, Window.currentRow)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("bigint").as("cents"))
+      .select($"o_orderpriority",
+        count(lit(1)).over(w).as("n_sim"),
+        sum($"cents").over(w).as("sum_sim"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"n_sim").as("sum_n_sim"),
+        sum($"sum_sim").as("sum_sim_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Q-48 — IGNORE NULLS last-observation-carried-forward: `k` is
+    * treated as a telemetry reading only VIEW events report; every
+    * other event inherits the user's last reported value (`last(obs,
+    * ignoreNulls)` over a rows frame — the LOCF idiom, and the
+    * windowed cousin of X-1's as-of join). Order is made total by
+    * (µs timestamp, event_id) so both engines fill identically; one
+    * window shuffle on the user key; per-user audit output (rows,
+    * observations, filled rows, exact filled sum). */
+  def q48LocfIgnoreNulls(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts"), $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "view",
+          get_json_object($"props", "$.k").try_cast("bigint")).as("obs"))
+      .select($"user_id", $"obs",
+        last($"obs", ignoreNulls = true).over(w).as("locf"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        count($"obs").as("n_obs"),
+        sum(($"obs".isNull && $"locf".isNotNull).cast("bigint")).as("n_filled"),
+        sum($"locf").as("sum_locf"))
+      .orderBy($"user_id")
+  }
+
   def q21RunningWindow(s: SparkSession, dir: String): DataFrame = {
     // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
     // sort key ends with rev_c4: remaining ties are between identical
@@ -214,6 +264,40 @@ object Advanced {
          SELECT 'without_orders', count(*) FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          ORDER BY grp""",
+    "q47_value_range_frame" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         f AS (
+           SELECT o_orderpriority,
+                  count(*) OVER w AS n_sim,
+                  CAST(sum(cents) OVER w AS BIGINT) AS sum_sim
+           FROM o
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
+                        RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW))
+         SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(n_sim) AS BIGINT) AS sum_n_sim,
+                CAST(sum(sum_sim) AS BIGINT) AS sum_sim_cents
+         FROM f GROUP BY 1 ORDER BY o_orderpriority""",
+    "q48_locf_ignore_nulls" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                  CASE WHEN event_type = 'view'
+                       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  END AS obs
+           FROM events),
+         f AS (
+           SELECT user_id, obs,
+                  last_value(obs IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+           FROM e)
+         SELECT user_id, count(*) AS n, count(obs) AS n_obs,
+                CAST(sum(CASE WHEN obs IS NULL AND locf IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+                CAST(sum(locf) AS BIGINT) AS sum_locf
+         FROM f GROUP BY 1 ORDER BY user_id""",
     "q30_moving_range" ->
       """WITH e AS (
            SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
@@ -307,6 +391,8 @@ object Advanced {
     "q20_semi_anti" -> q20SemiAnti _,
     "q21_running_window" -> q21RunningWindow _,
     "q30_moving_range" -> q30MovingRange _,
+    "q47_value_range_frame" -> q47ValueRangeFrame _,
+    "q48_locf_ignore_nulls" -> q48LocfIgnoreNulls _,
     "q22_sessionize" -> q22Sessionize _,
     "q23_approx_sketches" -> q23ApproxSketches _,
     "q42_exact_moments" -> q42ExactMoments _,
