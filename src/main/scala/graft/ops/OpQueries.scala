@@ -285,7 +285,44 @@ object OpQueries {
       .orderBy($"host", $"path")
   }
 
+  /** O-36 — PERMISSIVE JSON ingestion with a corrupt-record column:
+    * the raw-zone contract that malformed upstream lines are KEPT, not
+    * dropped (o1/o24 carry the DROPMALFORMED face; this is the
+    * quarantine face). Parseable lines land typed, unparseable ones
+    * land whole in `_corrupt_record` for replay/forensics — at 100 TB
+    * silent drops are unauditable, so production raw zones ingest
+    * permissive and route the corrupt column to a quarantine sink. The
+    * frame is cached before the audit: Spark refuses queries that
+    * reference ONLY the corrupt column on the lazy raw scan. */
+  def o36CorruptRecord(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_o36_").toString
+    val lines = Seq(
+      """{"id": 1, "v": 10}""",
+      """{"id": 2, "v": 20}""",
+      """{"id": 3, "v": }""",
+      """not json at all""",
+      """{"id": 5, "v": 50}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(work, "batch.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val parsed = s.read
+      .schema("id BIGINT, v BIGINT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$work/batch.jsonl")
+      .cache()
+    try parsed.agg(
+      count(lit(1)).as("n_rows"),
+      count($"_corrupt_record").as("n_corrupt"),
+      sum($"v").as("sum_v"),
+      max(length($"_corrupt_record")).as("max_corrupt_len"))
+    finally () // cache dropped with the session's temp storage
+  }
+
   val oracles: Map[String, String] = Map(
+    "o36_corrupt_record" ->
+      """SELECT CAST(5 AS BIGINT) AS n_rows, CAST(2 AS BIGINT) AS n_corrupt,
+                CAST(80 AS BIGINT) AS sum_v, CAST(16 AS INT) AS max_corrupt_len""",
     "o35_text_source" ->
       """SELECT host, method, path, CAST(status AS INT) AS status,
                 CAST(bytes AS BIGINT) AS bytes
@@ -407,6 +444,7 @@ object OpQueries {
     "o1_csv_source" -> o1CsvSource _,
     "o34_csv_dialect" -> o34CsvDialect _,
     "o35_text_source" -> o35TextSource _,
+    "o36_corrupt_record" -> o36CorruptRecord _,
     "o5_pushdown_scan" -> o5PushdownScan _,
     "o13_latest_snapshot" -> o13LatestSnapshot _,
     "o14_normalize" -> o14Normalize _,

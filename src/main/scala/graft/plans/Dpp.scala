@@ -59,8 +59,47 @@ object Dpp {
       .agg(count(lit(1)).as("n_events"), sum($"value_c").as("sum_value_c"))
       .orderBy($"day")
 
+  /** Replication factor for X-13's salted join: the hot key's rows
+    * spread over this many shuffle partitions instead of one. */
+  val SaltR = 8
+
+  /** X-13 — salted SKEW join (the join-side twin of X-3's salted agg):
+    * when one join key holds a disproportionate share of the fact rows,
+    * a plain hash join lands that entire key on ONE reducer and the
+    * stage runs at straggler speed. Salting dilutes it: the fact side
+    * appends a deterministic salt in [0, R), the dim side replicates
+    * each row R times (one per salt value), and the join runs on
+    * (key, salt) — the hot key now spreads over R partitions at the
+    * cost of an R× dim-side blowup, which is the right trade exactly
+    * when the dim is small and the fact is skewed (the 100 TB norm;
+    * AQE's skew-join handles sort-merge cases adaptively, salting is
+    * the portable form that also covers aggregates-after-join). Result
+    * is provably the plain join — the oracle IS the plain join — and
+    * exact integer cents keep the reassociated sums bit-equal. */
+  private[graft] def saltedJoinRaw(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(s, dir)
+      .select($"user_id", $"event_id",
+        round($"value" * 100).cast("bigint").as("cents"))
+      .withColumn("salt", pmod($"event_id", lit(SaltR)).cast("int"))
+    val dim = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment")
+      .withColumn("salt", explode(expr(s"sequence(0, ${SaltR - 1})")))
+    // shuffle_hash pins the shuffled form: at toy SF the replicated dim
+    // would broadcast (where salting is moot — broadcast has no reducer
+    // hotspot); at 100 TB a 10 GB dim can't broadcast and THIS is the plan
+    fact.join(dim.hint("shuffle_hash"), fact("user_id") === dim("c_custkey") &&
+      fact("salt") === dim("salt"))
+  }
+
+  def x13SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    saltedJoinRaw(s, dir)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      .orderBy($"c_mktsegment")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x12_dpp" -> (x12Dpp _),
+    "x13_salted_join" -> (x13SaltedJoin _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -72,5 +111,11 @@ object Dpp {
          WHERE isodow(CAST(ts AS DATE)) = 1
          GROUP BY 1
          ORDER BY 1""",
+    "x13_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1
+         ORDER BY c_mktsegment""",
   )
 }

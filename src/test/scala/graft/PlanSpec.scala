@@ -41,6 +41,14 @@ class PlanSpec extends AnyFunSuite {
       "dim side must broadcast (pruning rides the broadcast):\n" + p.take(2000))
   }
 
+  test("x13 skew join shuffles on (key, salt), not the bare key") {
+    val p = plan(graft.plans.Dpp.saltedJoinRaw(spark, sf))
+    assert(!p.contains("BroadcastHashJoin"),
+      "salted join must demonstrate the shuffled form:\n" + p.take(2000))
+    assert(p.contains("salt"),
+      "join-side shuffle lost the salt key:\n" + p.take(2000))
+  }
+
   test("group-by aggregates have map-side partial aggregation") {
     val p = plan(Queries.q6Trend(spark, sf))
     // two HashAggregates around the exchange = partial + final
