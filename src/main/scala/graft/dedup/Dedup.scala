@@ -636,7 +636,52 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** D-17 — cross-SOURCE overlap matrix: the corpus-provenance audit.
+    * Dedup (d1–d16) asks "which documents repeat"; this asks "which
+    * SOURCES feed us the same text" — mirror sites, re-crawls, and
+    * licensed-set leakage show up as source pairs with high shingle
+    * intersection long before per-doc dedup runs. Each source folds to
+    * its DISTINCT word-3-gram set (corpus-sublinear — the same shingle
+    * table the MinHash family builds, keyed by source instead of doc),
+    * pair counts come from ONE equi-join on the shingle, and the
+    * matrix is |sources|² at most — metadata-sized however big the
+    * corpus. A shingle shared by k sources contributes C(k,2) pairs;
+    * ubiquitous boilerplate shingles are exactly what t17 strips
+    * upstream of this audit at scale. */
+  def d17CrossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select($"source", split($"text", " ").as("arr"))
+      .select($"source", explode(expr(
+        """CASE WHEN size(arr) >= 3
+             THEN transform(sequence(0, size(arr)-3), i -> concat(arr[i],' ',arr[i+1],' ',arr[i+2]))
+             ELSE array() END""")).as("shingle"))
+      .distinct()
+    val counts = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(counts.select($"source".as("src_a"), $"n".as("n_a")), "src_a")
+      .join(counts.select($"source".as("src_b"), $"n".as("n_b")), "src_b")
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_inter")
+      .orderBy($"src_a", $"src_b")
+  }
+
   val oracles: Map[String, String] = Map(
+    "d17_source_overlap" ->
+      """WITH sh AS (
+           SELECT DISTINCT source, shingle FROM (
+             SELECT source, unnest([arr[i]||' '||arr[i+1]||' '||arr[i+2]
+                                    for i in range(1, greatest(len(arr)-1, 1))]) AS shingle
+             FROM (SELECT source, string_split(text, ' ') AS arr FROM documents))),
+         c AS (SELECT source, count(*) AS n FROM sh GROUP BY 1)
+         SELECT a.source AS src_a, b.source AS src_b, ca.n AS n_a, cb.n AS n_b,
+                count(*) AS n_inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+         JOIN c ca ON ca.source = a.source
+         JOIN c cb ON cb.source = b.source
+         GROUP BY 1, 2, 3, 4
+         ORDER BY src_a, src_b""",
     "d14_dedup_verdict" -> {
       def dotSql(x: String, y: String) =
         s"list_sum([$x[i] * $y[i] for i in range(1, len($x) + 1)])"
@@ -865,6 +910,7 @@ object Dedup {
     "d3_lsh_pairs" -> d3LshPairs _,
     "d4_ngram_jaccard" -> d4NgramJaccard _,
     "d16_containment" -> d16Containment _,
+    "d17_source_overlap" -> d17CrossSourceOverlap _,
     "d5_simhash" -> d5Simhash _,
     "d6_dup_clusters" -> d6DupClusters _,
     "d8_lsh_jaccard" -> d8LshJaccard _,

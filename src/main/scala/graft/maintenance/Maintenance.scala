@@ -445,7 +445,68 @@ object Maintenance {
       .orderBy($"verdict")
   }
 
+  /** MT-13 — write-audit-publish (WAP): no batch reaches the served
+    * table without passing its audit ON THE STAGED COPY. A candidate
+    * snapshot is written aside, audited where readers can't see it
+    * (key completeness, value sanity, non-emptiness), and only a clean
+    * audit triggers the atomic publish swap; a dirty batch is
+    * quarantined and the live table never observes it. The entry runs
+    * one good batch (prices restated ×2 — publishes) and one poisoned
+    * batch (nulled keys, negative cents — rejected), then proves the
+    * served state is exactly the good version. At 100 TB this is the
+    * standard ingestion contract (Iceberg/Delta WAP branches): the
+    * audit reads only the staged batch, the swap is a metadata commit,
+    * and a bad upstream delivery costs a quarantined directory instead
+    * of a corrupted serving zone + backfill. */
+  def mt13Wap(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_mt13_").toString
+    val live = s"$work/t"
+    val base = Tables.orders(s, dir).select($"o_orderkey", $"o_orderstatus",
+      round($"o_totalprice" * 100).cast("bigint").as("price_c"))
+    base.write.mode(SaveMode.Overwrite).format(Snapshot.ZoneFormat).save(live)
+
+    var stagedSeq = 0
+    /** Stage → audit → publish-or-quarantine. Returns true iff published. */
+    def wap(candidate: DataFrame): Boolean = {
+      stagedSeq += 1
+      val staging = s"$work/staging_$stagedSeq"
+      candidate.write.mode(SaveMode.Overwrite).format(Snapshot.ZoneFormat).save(staging)
+      val staged = Snapshot.readZone(s, staging)
+      val Row0 = staged.agg(
+        count(lit(1)).as("n"),
+        sum(($"o_orderkey".isNull || $"price_c" < 0).cast("bigint")).as("bad"))
+        .collect()(0)
+      val clean = Row0.getLong(0) > 0 && Row0.getLong(1) == 0
+      if (clean) {
+        val old = s"$work/old_$stagedSeq"
+        java.nio.file.Files.move(java.nio.file.Paths.get(live),
+          java.nio.file.Paths.get(old))
+        java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+          java.nio.file.Paths.get(live))
+      } // else: staging stays as the quarantine dir for forensics
+      clean
+    }
+
+    val goodPublished = wap(base.select($"o_orderkey", $"o_orderstatus",
+      ($"price_c" * 2).as("price_c")))
+    val badRejected = !wap(base.select(
+      when($"o_orderkey" % 100 === 0, lit(null)).otherwise($"o_orderkey").as("o_orderkey"),
+      $"o_orderstatus", ($"price_c" * -1).as("price_c")))
+    Snapshot.readZone(s, live).agg(
+      count(lit(1)).as("n_rows"), sum($"price_c").as("sum_price_c"))
+      .select($"n_rows", $"sum_price_c",
+        lit(goodPublished).cast("int").as("good_published"),
+        lit(badRejected).cast("int").as("bad_rejected"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "mt13_wap" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(2 * CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_price_c,
+                CAST(1 AS INT) AS good_published, CAST(1 AS INT) AS bad_rejected
+         FROM orders""",
     "mt11_vacuum_orphans" ->
       """SELECT CAST(3 AS INT) AS n_orphans_removed,
                 count(*) AS n_rows,
@@ -582,5 +643,6 @@ object Maintenance {
     "mt10_snapshot_retention" -> mt10SnapshotRetention _,
     "mt11_vacuum_orphans" -> mt11VacuumOrphans _,
     "mt12_snapshot_diff" -> mt12SnapshotDiff _,
+    "mt13_wap" -> mt13Wap _,
   )
 }
