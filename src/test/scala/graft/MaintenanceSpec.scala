@@ -85,4 +85,17 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(back == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 99L),
       s"patched table wrong: $back")
   }
+
+  test("mt13 WAP quarantines the poisoned batch and serves only the audited one") {
+    val row = graft.maintenance.Maintenance
+      .mt13Wap(spark, "/root/testdata/sf0.001").collect()(0)
+    assert(row.getAs[Int]("good_published") == 1, "clean batch failed to publish")
+    assert(row.getAs[Int]("bad_rejected") == 1, "poisoned batch reached the table")
+    // the rejected batch must survive as a quarantine dir for forensics
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val quarantines = tmp.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_mt13_"))
+      .flatMap(_.listFiles().filter(_.getName.startsWith("staging_")))
+    assert(quarantines.nonEmpty, "rejected batch was not quarantined")
+  }
 }
