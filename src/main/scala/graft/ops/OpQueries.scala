@@ -67,6 +67,42 @@ object OpQueries {
         sum($"doc_id").as("id_checksum"))
   }
 
+  /** O-37 — XML source round-trip over Spark 4's NATIVE StAX datasource
+    * (`org.apache.spark.sql.execution.datasources.xml`, the spark-xml
+    * package folded into core — no extra jar). Exercises the two
+    * XML-specific mappings a columnar round-trip never touches:
+    * attribute↔struct-field (`_nation` ↔ `nation="…"` via the default
+    * `attributePrefix`) and element-text↔`_VALUE`, plus entity
+    * escaping — the text is prefixed with `<tag> & "quoted"` so every
+    * row forces `&lt;`/`&amp;`/`&quot;` encoding on write and decoding
+    * on read; any escaping loss breaks the value compare. Text is
+    * trimmed on both sides (the reader's `ignoreSurroundingSpaces`
+    * default) so the gate pins parser semantics, not whitespace.
+    * Scale note: XML rows parse per-file via StAX — fine for ingest
+    * of many modest files; rewrite to parquet before heavy reuse. */
+  def o37XmlSource(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_o37_").toString
+    Tables.supplier(s, dir).select(
+        $"s_suppkey".cast("long").as("s_key"),
+        struct(
+          $"s_nationkey".cast("long").as("_nation"),
+          concat(lit("<tag> & \"quoted\" "), $"s_name").as("_VALUE")).as("annotation"),
+        $"s_acctbal")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("rowTag", "supplier").option("rootTag", "suppliers")
+      .format("xml").save(s"$work/t")
+    s.read
+      .option("rowTag", "supplier")
+      .schema("s_key LONG, annotation STRUCT<_VALUE: STRING, _nation: LONG>, s_acctbal DOUBLE")
+      .format("xml").load(s"$work/t")
+      .select($"s_key",
+        $"annotation._nation".as("nation_attr"),
+        trim($"annotation._VALUE").as("name_text"),
+        $"s_acctbal")
+      .orderBy($"s_key")
+  }
+
   /** O-5/O-6 — object-store reader + tz-normalizing table reader: scan
     * with projection/filter pushed into parquet (`PushedFilters`). */
   def o5PushdownScan(s: SparkSession, dir: String): DataFrame =
@@ -347,6 +383,12 @@ object OpQueries {
                 count(DISTINCT md5(field)) AS n_digests,
                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
          FROM f""",
+    "o37_xml_source" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_key,
+                CAST(s_nationkey AS BIGINT) AS nation_attr,
+                trim('<tag> & "quoted" ' || s_name) AS name_text,
+                s_acctbal
+         FROM supplier ORDER BY s_key""",
     "o5_pushdown_scan" ->
       """SELECT l_orderkey, l_extendedprice FROM lineitem
          WHERE l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
@@ -444,6 +486,7 @@ object OpQueries {
     "o1_csv_source" -> o1CsvSource _,
     "o34_csv_dialect" -> o34CsvDialect _,
     "o35_text_source" -> o35TextSource _,
+    "o37_xml_source" -> o37XmlSource _,
     "o36_corrupt_record" -> o36CorruptRecord _,
     "o5_pushdown_scan" -> o5PushdownScan _,
     "o13_latest_snapshot" -> o13LatestSnapshot _,

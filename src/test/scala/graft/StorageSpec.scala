@@ -143,6 +143,22 @@ class StorageSpec extends AnyFunSuite {
     assert(persisted.nonEmpty)
   }
 
+  test("O-37 XML: attribute/_VALUE mapping and entity escaping survive the round-trip") {
+    val out = graft.ops.OpQueries.o37XmlSource(spark, sf)
+    val rows = out.collect()
+    val src = graft.io.Tables.supplier(spark, sf)
+      .orderBy(col("s_suppkey")).collect()
+    assert(rows.length == src.length && rows.nonEmpty)
+    // the hostile prefix (<, &, ") must come back decoded on every row
+    assert(rows.forall(_.getAs[String]("name_text").startsWith("<tag> & \"quoted\" ")))
+    // attribute round-trip: nation attr equals the source nation key, row-for-row
+    rows.zip(src).foreach { case (r, sr) =>
+      assert(r.getAs[Long]("nation_attr") == sr.getAs[Number]("s_nationkey").longValue())
+      // doubles cross XML text bit-exactly (Double.toString ↔ parse)
+      assert(r.getAs[Double]("s_acctbal") == sr.getAs[Double]("s_acctbal"))
+    }
+  }
+
   test("O-2 JDBC: partitioned read-back splits into range partitions; empty guard skips") {
     val work = Files.createTempDirectory("graft_pipeline_derbyspec_")
     System.setProperty("derby.stream.error.file",
