@@ -97,9 +97,80 @@ object Dpp {
       .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
       .orderBy($"c_mktsegment")
 
+  /** Scoped confs for X-14's AQE skew-split demo. Thresholds are lowered
+    * from their cluster defaults (256 MB / 64 MB) so AQE sees the toy
+    * SF's hot partition as skewed — at 100 TB the DEFAULTS fire on the
+    * same shape, so only these numbers change, not the query. Runtime
+    * SMJ→broadcast demotion is disabled for the scope: the demo is the
+    * reducer-side split, and a runtime broadcast would dissolve the
+    * shuffle it splits. Set/restore runs in a try/finally; body must
+    * EXECUTE (not just plan) inside the scope because AQE reads these
+    * at execution time. */
+  private[graft] def withSkewConfs[A](s: SparkSession,
+      threshold: String = "64KB", advisory: String = "64KB",
+      filesMax: String = "1MB")(body: => A): A = {
+    val pairs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> threshold,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory,
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // one scan bin per file: default 4 MB open-cost packing would fold
+      // the 16-file fact into one mapper, leaving AQE nothing to split on
+      "spark.sql.files.maxPartitionBytes" -> filesMax,
+      "spark.sql.files.openCostInBytes" -> "0")
+    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** X-14 raw join — 80 % of fact rows remapped onto ONE hot key, then a
+    * forced sort-merge join against the customer dim (the skew shape a
+    * plain hash-partitioned join handles worst). The fact side lands as
+    * 16 parquet files first: AQE splits a skewed reducer partition
+    * along MAPPER-block boundaries, so a single-file scan (one mapper)
+    * is unsplittable no matter how skewed — at 100 TB thousands of
+    * mappers exist naturally, at toy SF the 16-file layout stands in
+    * for them. Shared by the gate entry and the PlanSpec assertion. */
+  private[graft] def skewJoinRaw(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_x14_").toString
+    Tables.events(s, dir).select(
+        when(pmod($"event_id", lit(10)) < 8, lit(1L)).otherwise($"user_id").as("k"),
+        round($"value" * 100).cast("bigint").as("cents"))
+      .repartition(16)
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/fact")
+    val fact = s.read.parquet(s"$work/fact")
+    val dim = Tables.customer(s, dir).select($"c_custkey".as("k"), $"c_mktsegment")
+    fact.join(dim.hint("merge"), Seq("k"))
+  }
+
+  /** X-14 — AQE skew-join split: the RUNTIME twin of X-13's salting.
+    * Where X-13 pre-spreads a known hot key by rewriting the plan, AQE
+    * measures the actual shuffle-partition sizes after the map stage and
+    * splits any reducer partition larger than max(threshold, factor ×
+    * median) into advisory-sized slices, replicating the matching dim
+    * partition — no query rewrite, which is exactly what saves the 90 %
+    * of skew nobody predicted at authoring time. The heavy join runs
+    * eagerly inside the conf scope (AQE reads confs at execution); only
+    * the segment-cardinality summary (≤ 5 rows) crosses the driver. */
+  def x14AqeSkew(s: SparkSession, dir: String): DataFrame = withSkewConfs(s) {
+    val summary = skewJoinRaw(s, dir)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      .orderBy($"c_mktsegment")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    import s.implicits._
+    summary.toDF("c_mktsegment", "n", "sum_cents")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x12_dpp" -> (x12Dpp _),
     "x13_salted_join" -> (x13SaltedJoin _),
+    "x14_aqe_skew" -> (x14AqeSkew _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -115,6 +186,16 @@ object Dpp {
       """SELECT c_mktsegment, count(*) AS n,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1
+         ORDER BY c_mktsegment""",
+    "x14_aqe_skew" ->
+      """WITH f AS (
+           SELECT CASE WHEN event_id % 10 < 8 THEN 1 ELSE user_id END AS k,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+         SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM f JOIN customer ON k = c_custkey
          GROUP BY 1
          ORDER BY c_mktsegment""",
   )

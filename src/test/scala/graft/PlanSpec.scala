@@ -49,6 +49,25 @@ class PlanSpec extends AnyFunSuite {
       "join-side shuffle lost the salt key:\n" + p.take(2000))
   }
 
+  test("x14 AQE splits the hot reducer partition (skew=true shuffle read)") {
+    // sf0.001's hot partition is ~tens of KB, so the spec scope tightens
+    // the thresholds further than the gate entry's defaults
+    // thresholds sized to sf0.001's COMPRESSED shuffle blocks (MapStatus
+    // reports compressed sizes; the constant hot key compresses hard)
+    graft.plans.Dpp.withSkewConfs(spark, threshold = "1KB", advisory = "1KB",
+        filesMax = "16KB") {
+      val df = graft.plans.Dpp.skewJoinRaw(spark, sf)
+      // AQE decides skew handling at EXECUTION; materialize first, then
+      // read the final adaptive plan off the same query execution
+      df.queryExecution.toRdd.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE never split the skewed partition:\n" + p.take(3000))
+      assert(p.contains("SortMergeJoin"),
+        "skew demo requires the shuffled sort-merge form:\n" + p.take(3000))
+    }
+  }
+
   test("group-by aggregates have map-side partial aggregation") {
     val p = plan(Queries.q6Trend(spark, sf))
     // two HashAggregates around the exchange = partial + final
