@@ -262,12 +262,17 @@ object Dedup {
       .select($"doc_id",
         (0 until bits).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
-      .orderBy($"doc_id")
+    // NO trailing sort here: d11/d11b band-join this table next, and a
+    // fingerprint-table orderBy survives Catalyst as a corpus-sized
+    // range-exchange + sort on BOTH self-join sides (seen in PLANS.md
+    // before r6) that the band shuffle immediately destroys. Ordered
+    // consumers sort at their own boundary (d5's gate entry below).
   }
 
-  /** D-5 — the 16-bit gate configuration (brute-forceable oracle). */
+  /** D-5 — the 16-bit gate configuration (brute-forceable oracle; the
+    * orderBy matches the oracle's ORDER BY at the entry boundary). */
   def d5Simhash(s: SparkSession, dir: String): DataFrame =
-    simhashFingerprint(s, dir, bits = 16)
+    simhashFingerprint(s, dir, bits = 16).orderBy($"doc_id")
 
   /** D-8 — the near-dup verdict: exact Jaccard on the LSH candidate
     * pairs (the real pipeline stage between candidate generation and
@@ -476,7 +481,8 @@ object Dedup {
     * degeneracy, not by plan shape. */
   def d11SimhashNeardup(s: SparkSession, dir: String): DataFrame =
     simhashNeardupPairs(
-      d5Simhash(s, dir).select($"doc_id", $"simhash").filter($"doc_id" % 5 === 0),
+      simhashFingerprint(s, dir, bits = 16)
+        .select($"doc_id", $"simhash").filter($"doc_id" % 5 === 0),
       bits = 16, bands = 4)
 
   /** D-11b — the PRODUCTION width: 64-bit fingerprint, 4 × 16-bit bands
@@ -610,7 +616,7 @@ object Dedup {
       .join(sh.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"shingle"), Seq("doc_b", "shingle"))
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
-    val sim = d5Simhash(s, dir)
+    val sim = simhashFingerprint(s, dir, bits = 16)
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(call_function("dot_f64", $"v", $"v")))
