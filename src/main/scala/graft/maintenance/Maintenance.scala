@@ -47,15 +47,19 @@ object Maintenance {
     val files = math.max(1,
       math.min(maxFiles, math.ceil(n.toDouble / targetRowsPerFile).toInt))
     val tmp = dir + ".compact_tmp"
-    val old = dir + ".compact_old"
     df.repartition(files).write.mode(SaveMode.Overwrite).format(Snapshot.ZoneFormat).save(tmp)
-    // crash-safe order: old aside -> new in -> drop old. A failure
-    // between the two moves leaves the data recoverable at `old`,
-    // never a window with no table at the published path.
-    deleteRecursively(Paths.get(old))
-    Files.move(Paths.get(dir), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(dir))
-    deleteRecursively(Paths.get(old))
+    publishSwap(tmp, dir, dir + ".compact_old")
+  }
+
+  /** Crash-safe publish: old aside -> new in -> drop old. A failure
+    * between the two moves leaves the previous copy recoverable at
+    * `oldAside`, never a window with no table at `live`. Shared by
+    * compact() and mt13's write-audit-publish. */
+  private def publishSwap(newData: String, live: String, oldAside: String): Unit = {
+    deleteRecursively(Paths.get(oldAside))
+    Files.move(Paths.get(live), Paths.get(oldAside))
+    Files.move(Paths.get(newData), Paths.get(live))
+    deleteRecursively(Paths.get(oldAside))
   }
 
   /** Keep the newest K timestamped snapshot objects under a prefix
@@ -460,7 +464,13 @@ object Maintenance {
     * of a corrupted serving zone + backfill. */
   def mt13Wap(s: SparkSession, dir: String): DataFrame = {
     graft.pipeline.Pipeline.sweepOldWorkDirs()
-    val work = java.nio.file.Files.createTempDirectory("graft_mt13_").toString
+    mt13WapAt(s, dir, java.nio.file.Files.createTempDirectory("graft_mt13_").toString)
+  }
+
+  /** mt13 against a caller-owned work dir, so tests can inspect the
+    * quarantine/publish layout of THIS run rather than scanning the
+    * global tmpdir for any prior run's leftovers. */
+  def mt13WapAt(s: SparkSession, dir: String, work: String): DataFrame = {
     val live = s"$work/t"
     val base = Tables.orders(s, dir).select($"o_orderkey", $"o_orderstatus",
       round($"o_totalprice" * 100).cast("bigint").as("price_c"))
@@ -478,13 +488,8 @@ object Maintenance {
         sum(($"o_orderkey".isNull || $"price_c" < 0).cast("bigint")).as("bad"))
         .collect()(0)
       val clean = Row0.getLong(0) > 0 && Row0.getLong(1) == 0
-      if (clean) {
-        val old = s"$work/old_$stagedSeq"
-        java.nio.file.Files.move(java.nio.file.Paths.get(live),
-          java.nio.file.Paths.get(old))
-        java.nio.file.Files.move(java.nio.file.Paths.get(staging),
-          java.nio.file.Paths.get(live))
-      } // else: staging stays as the quarantine dir for forensics
+      if (clean) publishSwap(staging, live, s"$work/old_$stagedSeq")
+      // else: staging stays as the quarantine dir for forensics
       clean
     }
 

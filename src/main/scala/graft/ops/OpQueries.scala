@@ -346,13 +346,11 @@ object OpQueries {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(s"$work/batch.jsonl")
-      .cache()
-    try parsed.agg(
+    parsed.agg(
       count(lit(1)).as("n_rows"),
       count($"_corrupt_record").as("n_corrupt"),
       sum($"v").as("sum_v"),
       max(length($"_corrupt_record")).as("max_corrupt_len"))
-    finally () // cache dropped with the session's temp storage
   }
 
   val oracles: Map[String, String] = Map(

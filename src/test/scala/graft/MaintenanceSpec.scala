@@ -87,15 +87,18 @@ class MaintenanceSpec extends AnyFunSuite {
   }
 
   test("mt13 WAP quarantines the poisoned batch and serves only the audited one") {
+    // caller-owned work dir: the assertions see THIS run's layout only,
+    // never a prior run's leftovers in the global tmpdir
+    val work = java.nio.file.Files.createTempDirectory("graft_mt13_spec_").toString
     val row = graft.maintenance.Maintenance
-      .mt13Wap(spark, "/root/testdata/sf0.001").collect()(0)
+      .mt13WapAt(spark, "/root/testdata/sf0.001", work).collect()(0)
     assert(row.getAs[Int]("good_published") == 1, "clean batch failed to publish")
     assert(row.getAs[Int]("bad_rejected") == 1, "poisoned batch reached the table")
-    // the rejected batch must survive as a quarantine dir for forensics
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val quarantines = tmp.listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_mt13_"))
-      .flatMap(_.listFiles().filter(_.getName.startsWith("staging_")))
-    assert(quarantines.nonEmpty, "rejected batch was not quarantined")
+    val names = new java.io.File(work).listFiles().map(_.getName).toSet
+    // rejected batch (#2) survives as its quarantine dir for forensics;
+    // the published batch (#1) leaves neither staging nor old-snapshot copies
+    assert(names.contains("staging_2"), s"rejected batch was not quarantined: $names")
+    assert(!names.contains("staging_1"), s"published batch left its staging dir: $names")
+    assert(!names.exists(_.startsWith("old_")), s"publish left old snapshot copies: $names")
   }
 }

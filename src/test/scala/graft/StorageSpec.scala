@@ -61,35 +61,53 @@ class StorageSpec extends AnyFunSuite {
     q.collect() // and it must still produce correct rows
   }
 
-  test("CBO: ANALYZE TABLE stats drive an unhinted broadcast join") {
-    // The stats-driven planner path a 1000-executor cluster leans on:
-    // with table+column stats from ANALYZE, a dim under the broadcast
-    // threshold broadcasts WITHOUT a hint — the catalog, not the code,
-    // carries the size knowledge. (Enrich.scala hints explicitly as a
-    // defense-in-depth policy; this proves the stats path also works.)
-    spark.sql("DROP TABLE IF EXISTS cbo_orders")
-    spark.sql("DROP TABLE IF EXISTS cbo_nation")
-    graft.io.Tables.orders(spark, sf).write.mode("overwrite").saveAsTable("cbo_orders")
-    graft.io.Tables.nation(spark, sf)
-      .select(col("n_nationkey"), col("n_name"))
-      .write.mode("overwrite").saveAsTable("cbo_nation")
+  test("CBO: ANALYZE column stats drive an unhinted broadcast join") {
+    // The stats-driven planner path a 1000-executor cluster leans on.
+    // Without CBO, a Filter does NOT shrink a relation's sizeInBytes
+    // estimate, so a dim whose FILE size exceeds the broadcast threshold
+    // sort-merge-joins even when the filtered slice is tiny. With
+    // cbo.enabled + ANALYZE column stats, FilterEstimation scales the
+    // size by 1/ndv(key) and the planner broadcasts unhinted — the
+    // catalog, not the code, carries the size knowledge. The xxhash64
+    // padding columns are incompressible, keeping the parquet file (and
+    // thus the no-CBO estimate) above the threshold, so BOTH directions
+    // of the assertion can fail if the stats path regresses.
+    spark.sql("DROP TABLE IF EXISTS cbo_fact")
+    spark.sql("DROP TABLE IF EXISTS cbo_dim")
+    // both sides generated with incompressible padding so neither side's
+    // FILE-size estimate fits the threshold (sf0.001 orders would itself
+    // broadcast, inverting the join under test)
+    spark.range(500000)
+      .select((col("id") % 50).as("fk"), xxhash64(col("id")).as("fp1"),
+        xxhash64(col("id") + 1).as("fp2"), xxhash64(col("id") + 2).as("fp3"))
+      .write.mode("overwrite").saveAsTable("cbo_fact")
+    spark.range(50000)
+      .select((col("id") % 50).as("k"), xxhash64(col("id")).as("p1"),
+        xxhash64(col("id") + 1).as("p2"), xxhash64(col("id") + 2).as("p3"))
+      .write.mode("overwrite").saveAsTable("cbo_dim")
     val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def planStr: String = spark.table("cbo_fact")
+      .join(spark.table("cbo_dim").filter(col("k") === 7),
+        col("fk") === col("k")) // no broadcast() hint
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
     try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (128 * 1024).toString)
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      assert(!planStr.contains("BroadcastHashJoin"),
+        "precondition: without CBO the filtered dim's estimate must stay " +
+          s"above the threshold (file-size stats), got:\n${planStr.take(2500)}")
       spark.conf.set("spark.sql.cbo.enabled", "true")
-      spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS")
-      spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR ALL COLUMNS")
-      val j = spark.table("cbo_orders")
-        .join(spark.table("cbo_nation"),
-          col("o_custkey") % 25 === col("n_nationkey")) // no broadcast() hint
-        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
-      val plan = j.queryExecution.executedPlan.toString
+      spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+      val plan = planStr
       assert(plan.contains("BroadcastHashJoin"),
-        s"stats-known small dim should broadcast unhinted:\n${plan.take(2500)}")
-      assert(j.collect().map(_.getLong(1)).sum > 0)
+        s"stats-known small filtered dim should broadcast unhinted:\n${plan.take(2500)}")
     } finally {
       spark.conf.set("spark.sql.cbo.enabled", prevCbo)
-      spark.sql("DROP TABLE IF EXISTS cbo_orders")
-      spark.sql("DROP TABLE IF EXISTS cbo_nation")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      spark.sql("DROP TABLE IF EXISTS cbo_fact")
+      spark.sql("DROP TABLE IF EXISTS cbo_dim")
     }
   }
 
