@@ -148,7 +148,10 @@ object Dedup {
     banded(s, dir)
       .groupBy($"band", $"sig").agg(collect_set($"doc_id").as("ids0"))
       .filter(size($"ids0") > 1)
-      .observe("d3_bucket_cap",
+      // invocation-unique suffix: two LSH plans meeting in one query
+      // (e.g. d18 joined against d6 in a spec) must not collide on
+      // DUPLICATED_METRICS_NAME
+      .observe(s"d3_bucket_cap_i${metricSeq.getAndIncrement()}",
         sum(when(size($"ids0") > BucketCap, size($"ids0") - BucketCap).otherwise(0))
           .as("dropped_doc_slots"),
         max(size($"ids0")).as("max_bucket_size"))
@@ -304,7 +307,12 @@ object Dedup {
     * near-dup components are tiny, so it converges in 2-3 rounds).
     * The driver loop only checks a scalar convergence count — the data
     * never leaves the cluster. Oracle: DuckDB recursive CTE. */
-  def d6DupClusters(s: SparkSession, dir: String): DataFrame = {
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0) // uniquifies observe() names
+
+  /** Unsorted (doc_id, cluster_id, is_kept) assignment — the d6 body,
+    * shared with d18 so its join does not inherit a pointless range
+    * exchange from d6's output sort. */
+  private def clusterTable(s: SparkSession, dir: String): DataFrame = {
     val pairs = d3LshPairs(s, dir)
     val sym = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
@@ -322,7 +330,12 @@ object Dedup {
       // recovers each doc's previous label (labels holds exactly one
       // row per doc), and the changed-count rides the materialization
       // job as an observe metric instead of a second action.
-      val obs = org.apache.spark.sql.Observation(s"d6_round_$rounds")
+      // invocation-unique metric name: the observe node stays in the
+      // returned plan's lineage, and two cluster plans meeting in ONE
+      // query (d18's spec joins d18 against d6) must not collide on
+      // DUPLICATED_METRICS_NAME
+      val obs = org.apache.spark.sql.Observation(
+        s"d6_i${metricSeq.getAndIncrement()}_round_$rounds")
       val tagged = labels.select($"doc_id", $"label", lit(1).as("own"))
         .unionAll(viaNeighbors.select($"doc_id", $"label", lit(0).as("own")))
       val next = tagged.groupBy($"doc_id")
@@ -346,7 +359,36 @@ object Dedup {
       .select($"doc_id",
         coalesce($"cluster", $"doc_id").as("cluster_id"),
         ($"doc_id" === coalesce($"cluster", $"doc_id")).cast("int").as("is_kept"))
-      .orderBy($"doc_id")
+  }
+
+  def d6DupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterTable(s, dir).orderBy($"doc_id")
+
+  /** D-18 — canonical-copy selection: dedup (d1–d6) decides which
+    * documents REPEAT; this decides which copy to KEEP. Within each
+    * near-dup cluster (d6's transitive closure over LSH candidate
+    * pairs) the longest member wins (ties to the lowest doc_id) — the
+    * "most complete copy" rule a crawl pipeline applies when mirror
+    * pages differ by truncation or chrome. Output is one row per
+    * multi-member cluster: the canonical doc and the characters the
+    * drop saves. Cost beyond d6 itself: one join to pick up n_chars and
+    * one groupBy(cluster) — cluster sizes are bounded by the dedup
+    * radius, so the per-cluster window never sees a skewed partition
+    * at 100 TB. */
+  def d18Canonical(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = clusterTable(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"n_chars"), "doc_id")
+    val rk = row_number().over(
+      Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id"))
+    sized.withColumn("rk", rk)
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when($"rk" === 1, $"doc_id")).as("canonical_id"),
+        sum(when($"rk" === 1, $"n_chars")).as("canonical_chars"),
+        sum(when($"rk" =!= 1, $"n_chars")).as("dropped_chars"))
+      .filter($"n_members" >= 2)
+      .orderBy($"cluster_id")
   }
 
   /** Shared SQL fragment: word-3-gram shingles (1-based DuckDB lists). */
@@ -375,6 +417,19 @@ object Dedup {
             AND y.doc_id > x.doc_id AND y.doc_id <= x.doc_id + 3
           WHERE x.doc_id % 100 = 0
           GROUP BY 1, 2)"""
+
+  /** Shared recursive CTE chain: LSH pairs → symmetric edges →
+    * transitive reach → per-doc min-label component (`comp`). Callers
+    * prepend WITH RECURSIVE. Twin of [[clusterTable]]. */
+  private lazy val clusterCtes: String =
+    s"""$lshPairsCtes,
+        sym(a, b) AS (SELECT doc_a, doc_b FROM lsh_pairs
+                      UNION SELECT doc_b, doc_a FROM lsh_pairs),
+        reach(doc, label) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.a, r.label FROM reach r JOIN sym s ON s.b = r.doc),
+        comp AS (SELECT doc, min(label) AS cluster FROM reach GROUP BY doc)"""
 
   private[graft] lazy val lshPairsCtes: String = {
     val rows = NumHashes / Bands
@@ -811,19 +866,26 @@ object Dedup {
       s"""WITH $lshPairsCtes
           SELECT doc_a, doc_b FROM lsh_pairs ORDER BY doc_a, doc_b""",
     "d6_dup_clusters" ->
-      s"""WITH RECURSIVE $lshPairsCtes,
-          sym(a, b) AS (SELECT doc_a, doc_b FROM lsh_pairs
-                        UNION SELECT doc_b, doc_a FROM lsh_pairs),
-          reach(doc, label) AS (
-            SELECT a, a FROM sym
-            UNION
-            SELECT s.a, r.label FROM reach r JOIN sym s ON s.b = r.doc),
-          comp AS (SELECT doc, min(label) AS cluster FROM reach GROUP BY doc)
+      s"""WITH RECURSIVE $clusterCtes
           SELECT d.doc_id AS doc_id,
                  coalesce(c.cluster, d.doc_id) AS cluster_id,
                  CAST(d.doc_id = coalesce(c.cluster, d.doc_id) AS INT) AS is_kept
           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
           ORDER BY doc_id""",
+    "d18_canonical" ->
+      s"""WITH RECURSIVE $clusterCtes,
+          mem AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster_id,
+                         d.n_chars
+                  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) AS rk FROM mem)
+          SELECT cluster_id,
+                 CAST(count(*) AS BIGINT) AS n_members,
+                 CAST(sum(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS canonical_id,
+                 CAST(sum(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS canonical_chars,
+                 CAST(sum(CASE WHEN rk <> 1 THEN n_chars END) AS BIGINT) AS dropped_chars
+          FROM rk GROUP BY cluster_id HAVING count(*) >= 2
+          ORDER BY cluster_id""",
     "d4_ngram_jaccard" ->
       s"""WITH $anchorPairCtes
           SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
@@ -919,6 +981,7 @@ object Dedup {
     "d17_source_overlap" -> d17CrossSourceOverlap _,
     "d5_simhash" -> d5Simhash _,
     "d6_dup_clusters" -> d6DupClusters _,
+    "d18_canonical" -> d18Canonical _,
     "d8_lsh_jaccard" -> d8LshJaccard _,
     "d9_decontaminate" -> d9Decontaminate _,
     "d10_purge" -> d10Purge _,

@@ -425,7 +425,60 @@ object Stream {
       .orderBy($"wstart", $"event_type")
   }
 
+  /** ST-17 — rate-limited backlog drain: `maxFilesPerTrigger` is the
+    * file source's admission control, the knob that keeps a catch-up
+    * backlog (re-bootstrap, burst, long outage) from entering as ONE
+    * unbounded micro-batch whose shuffle and sink write are sized by
+    * the backlog instead of the configured rate. The corpus is laid
+    * out as 8 single-file buckets (doc_id % 8); the drain runs
+    * AvailableNow with maxFilesPerTrigger=2 — AvailableNow honors the
+    * cap (unlike the retired Trigger.Once), so the backlog enters in
+    * ceil(8/2)=4 bounded batches with checkpointed progress between
+    * them. foreachBatch appends one aggregate row per batch; the gate
+    * pins the batch count, per-batch file granularity (each batch saw
+    * exactly 2 whole buckets — files are never split mid-batch), and
+    * exact totals vs the batch read of the same table. At 100 TB the
+    * same two lines bound every recovery drain to cluster-sized
+    * batches. */
+  def st17RateLimitedDrain(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_st17_").toString
+    graft.io.Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars", ($"doc_id" % 8).as("pb"))
+      .repartition($"pb").write.partitionBy("pb")
+      .mode("overwrite").parquet(s"$work/in")
+    withDrainPartitions(s) {
+      val src = s.readStream
+        .schema("doc_id BIGINT, n_chars BIGINT, pb BIGINT")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$work/in")
+      val q = src.writeStream
+        .option("checkpointLocation", s"$work/chk")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("sum_chars"),
+              countDistinct($"pb").as("n_buckets"))
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(s"$work/agg")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    s.read.parquet(s"$work/agg").agg(
+      count(lit(1)).as("n_batches"),
+      sum($"n_rows").as("n_rows"),
+      sum($"sum_chars").as("sum_chars"),
+      min($"n_buckets").as("min_buckets"),
+      max($"n_buckets").as("max_buckets"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "st17_rate_limited" ->
+      """SELECT CAST(4 AS BIGINT) AS n_batches, count(*) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                CAST(2 AS BIGINT) AS min_buckets,
+                CAST(2 AS BIGINT) AS max_buckets
+         FROM documents""",
     "st16_statestore_read" ->
       """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
          SELECT date_trunc('hour', ts) AS wstart, event_type,
@@ -590,6 +643,7 @@ object Stream {
     "st15_stream_curation" -> st15StreamCuration _,
     "st4_watermark_append" -> st4WatermarkAppend _,
     "st16_statestore_read" -> st16StateStoreRead _,
+    "st17_rate_limited" -> st17RateLimitedDrain _,
     "st5_sliding_watermark" -> st5SlidingWatermark _,
     "st6_stream_dedup" -> st6StreamDedup _,
     "st7_foreachbatch_upsert" -> st7ForeachBatchUpsert _,

@@ -244,6 +244,35 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** T-19 — source-mix rebalancing: a training corpus is rarely served
+    * as-crawled — over-represented sources are downsampled to a target
+    * mix. Here every source is capped at the SMALLEST source's size (a
+    * uniform mix), keeping each source's lowest-hash documents: rank by
+    * a salted md5 of doc_id within source and keep rank <= cap, so the
+    * selection is deterministic, seedable (the salt), and re-runs pick
+    * the SAME documents — the property that lets a 100 TB rebalance be
+    * resumed or audited. One count aggregate + one rank shuffle by
+    * source; at scale the rank's skewed giant-source partition is cut
+    * by pre-filtering on the same hash to ~cap survivors per source (a
+    * prefix of the rank order, so the result is identical — see
+    * SCALING.md) before ranking. */
+  def t19SourceMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    val counts = d.groupBy($"source").agg(count(lit(1)).as("n_total"))
+    val cap = counts.agg(min($"n_total").as("cap"))
+    val ranked = d.select($"doc_id", $"source",
+        md5(concat(lit("mix:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
+    ranked.join(broadcast(cap)).filter($"rk" <= $"cap")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("kept_id_sum"))
+      .join(counts, "source")
+      .select($"source", $"n_total", $"n_kept", $"kept_id_sum")
+      .orderBy($"source")
+  }
+
   /** T-12 — hashing-trick feature vectors: each token is hashed into a
     * fixed 16-bucket space (two-hex-digit md5 % 16 — the portable
     * family) and per-doc bucket counts form the feature vector; the
@@ -335,6 +364,19 @@ object TextOps {
                  md5($cat) AS vec_md5
           FROM v ORDER BY doc_id"""
     },
+    "t19_source_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
+         cap AS (SELECT min(n_total) AS cap FROM c),
+         r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY md5('mix:' || doc_id), doc_id) AS rk
+               FROM documents)
+         SELECT r.source AS source, c.n_total AS n_total,
+                count(*) AS n_kept,
+                CAST(sum(r.doc_id) AS BIGINT) AS kept_id_sum
+         FROM r JOIN c ON r.source = c.source, cap
+         WHERE r.rk <= cap.cap
+         GROUP BY 1, 2 ORDER BY source""",
     "t11_stratified_sample" ->
       """WITH hx AS (
            SELECT doc_id, source,
@@ -767,6 +809,7 @@ object TextOps {
     "t9_repetition" -> t9Repetition _,
     "t10_seq_pack" -> t10SeqPack _,
     "t11_stratified_sample" -> t11StratifiedSample _,
+    "t19_source_mix" -> t19SourceMix _,
     "t12_hash_features" -> t12HashFeatures _,
     "t13_normalize" -> t13Normalize _,
   )

@@ -136,6 +136,45 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(badClusters == 0)
   }
 
+  test("d18 canonical pick is each cluster's longest member, ties to lowest id") {
+    val canon = Dedup.d18Canonical(spark, sf)
+    // recompute the argmax straight from d6 + documents and compare
+    val members = Dedup.d6DupClusters(spark, sf)
+      .join(graft.io.Tables.documents(spark, sf).select(col("doc_id"), col("n_chars")), "doc_id")
+    val expect = members.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("n_chars"), col("doc_id") * -1)).as("top"))
+      .filter(col("n") >= 2)
+      .select(col("cluster_id"), (col("top.col2") * -1).as("canonical_id"))
+    val joined = canon.select(col("cluster_id"), col("canonical_id")).join(
+      expect, Seq("cluster_id"), "full")
+    assert(joined.filter(
+      canon("canonical_id").isNull || expect("canonical_id").isNull ||
+        canon("canonical_id") =!= expect("canonical_id")).count() == 0)
+  }
+
+  test("t19 rebalance caps every source at the smallest source's size, deterministically") {
+    val mix1 = TextOps.t19SourceMix(spark, sf).collect()
+    val minTotal = mix1.map(_.getAs[Long]("n_total")).min
+    mix1.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == minTotal,
+        s"source ${r.getAs[String]("source")} kept ${r.getAs[Long]("n_kept")} != cap $minTotal")
+    }
+    // salted-hash ranking: a re-run must select the SAME documents
+    val mix2 = TextOps.t19SourceMix(spark, sf).collect()
+    assert(mix1.map(_.getAs[Long]("kept_id_sum")).toSeq ==
+      mix2.map(_.getAs[Long]("kept_id_sum")).toSeq)
+  }
+
+  test("st17 drains the 8-file backlog as 4 file-granular batches with exact totals") {
+    val r = Stream.st17RateLimitedDrain(spark, sf).collect().head
+    assert(r.getAs[Long]("n_batches") == 4, s"batches: $r")
+    assert(r.getAs[Long]("min_buckets") == 2 && r.getAs[Long]("max_buckets") == 2,
+      s"a micro-batch split or merged files: $r")
+    assert(r.getAs[Long]("n_rows") ==
+      graft.io.Tables.documents(spark, sf).count())
+  }
+
   test("approx sketches land within tolerance of exact") {
     val r = graft.analytics.Advanced.q23ApproxSketches(spark, sfBig).collect().head
     assert(r.getAs[Long]("exact_parts") > 0)
