@@ -17,19 +17,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The driver's events.parquet stores `ts` as INT64 TIMESTAMP(NANOS),
-    * which vanilla Spark refuses ([PARQUET_TYPE_ILLEGAL]). We read nanos
-    * as long (legacy conf) and convert to TimestampType (micros) — the
+  /** The driver's events.parquet has shipped `ts` under two encodings:
+    * INT64 TIMESTAMP(NANOS) (rounds 1–5; vanilla Spark refuses it —
+    * [PARQUET_TYPE_ILLEGAL] — so we read nanos as long and convert) and
+    * plain TIMESTAMP(MICROS) without tz (round 6+; Spark infers
+    * TIMESTAMP_NTZ, which watermarks and unix_micros reject). Both are
+    * normalized HERE, the single batch seam, to TimestampType — the
     * same tz-normalization step the reference performs on every read
-    * (`prescriptive_logic.py:43-46`). Conversion is a pure projection:
+    * (`prescriptive_logic.py:43-46`). The session tz is UTC, so the
+    * NTZ→TZ cast is value-preserving. Conversion is a pure projection:
     * pushdown/pruning on other columns is unaffected.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 
@@ -63,13 +71,18 @@ object Tables {
       }
     }
 
-  /** Streaming reader for the events table — the single home of the
-    * TIMESTAMP(NANOS) policy on the streaming path (schema reads ts as
-    * long, converted to TimestampType in the first projection). */
-  val eventsStreamSchema: org.apache.spark.sql.types.StructType =
+  /** Streaming reader schema for the events table — the single home of
+    * the ts-encoding policy on the streaming path. The driver's testdata
+    * has shipped `ts` as both INT64 TIMESTAMP(NANOS) (rounds 1–5) and
+    * plain TIMESTAMP(MICROS) (round 6+), so the stream schema's ts type
+    * is taken from the actual file footer (one cheap batch footer read)
+    * rather than hardcoded: a streaming source needs its schema declared
+    * up front, but nothing says it must be declared blind. */
+  def eventsStreamSchema(tsType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", LongType),
-      org.apache.spark.sql.types.StructField("ts", LongType),
+      org.apache.spark.sql.types.StructField("ts", tsType),
       org.apache.spark.sql.types.StructField("user_id", LongType),
       org.apache.spark.sql.types.StructField("event_type",
         org.apache.spark.sql.types.StringType),
@@ -98,8 +111,20 @@ object Tables {
 
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsStreamSchema)
+    // Footer read decides the ts encoding; mirrors the batch reader's
+    // LongType match so batch and stream always agree on semantics.
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream.schema(eventsStreamSchema(tsType))
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Watermarks demand TIMESTAMP (with tz); session tz is UTC so
+        // the NTZ→TZ cast is value-preserving.
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }
