@@ -291,6 +291,7 @@ class PlanSpec extends AnyFunSuite {
       "q44_sketch_rollup", // 1-row merged-sketch x 1-row exact-total
       "t14_tfidf",         // 1-row corpus-size N broadcast into the idf
       "t16_zipf_profile",  // 1-row totals x 1-row head-mass x 1-row slope fit
+      "t19_source_mix",    // 1-row min-source-size cap broadcast into the rank filter
       // bounded-small-side products by design (not scalars, still O(n)):
       "mt4_fk_audit",  // 1-row child-count x 1-row orphan-count per edge
       "s1_ann_brute",  // the documented brute-force BASELINE: query side broadcast
