@@ -472,7 +472,74 @@ object Stream {
       max($"n_buckets").as("max_buckets"))
   }
 
+  /** ST-18 — checkpoint recovery across a restart: the SAME
+    * checkpoint + file sink serve TWO separate query starts, with the
+    * second half of the backlog arriving between them (an outage and
+    * its catch-up). Drain 1 sees the first two ts-range chunks,
+    * aggregates, closes every window under its watermark, and stops;
+    * drain 2 starts a NEW query on the same checkpoint — the source
+    * resumes from the offset log (chunks 1–2 are never re-read), the
+    * watermark and the still-open windows are recovered from the
+    * state store, and the late chunks close the rest. The file sink's
+    * own commit log (_spark_metadata) makes the union exactly-once:
+    * the result must equal st4's single-drain aggregation bit for
+    * bit. Chunk files are ts-range partitioned with mod times pinned
+    * ascending (the file source replays in mod-time order — the
+    * replay-chunking spec's proven protocol), so no event is ever
+    * below the recovered watermark of its own batch. This is the
+    * property a 100 TB pipeline actually banks on: any drain can die
+    * and restart without reprocessing or double-counting. */
+  def st18CheckpointRecovery(s: SparkSession, dir: String): DataFrame = {
+    graft.pipeline.Pipeline.sweepOldWorkDirs()
+    val work = java.nio.file.Files.createTempDirectory("graft_st18_").toString
+    val ev = graft.io.Tables.events(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    ev.repartitionByRange(4, $"ts").write.parquet(s"$work/stage")
+    val parts = new java.io.File(s"$work/stage").listFiles
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/src"))
+    def publish(files: Array[java.io.File], t0: Long): Unit =
+      files.zipWithIndex.foreach { case (f, i) =>
+        val dst = java.nio.file.Paths.get(s"$work/src/${f.getName}")
+        java.nio.file.Files.move(f.toPath, dst)
+        dst.toFile.setLastModified(t0 + i * 60000L)
+      }
+    // Capture the schema BEFORE the publishes empty the stage dir.
+    val srcSchema = s.read.parquet(s"$work/stage").schema
+    def drainOnce(): Unit = withDrainPartitions(s) {
+      val plan = s.readStream
+        .schema(srcSchema)
+        .parquet(s"$work/src")
+        .withWatermark("ts", "2 hours")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
+        .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value_c")
+      val q = plan.writeStream
+        .outputMode("append").format(Snapshot.ZoneFormat)
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // The outage script: half the backlog, drain, the rest, drain
+    // again on the same checkpoint.
+    publish(parts.take(2), 1700000000000L)
+    drainOnce()
+    publish(parts.drop(2), 1700003600000L)
+    drainOnce()
+    Snapshot.readZone(s, s"$work/out").orderBy($"wstart", $"event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "st18_checkpoint_recovery" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+         SELECT date_trunc('hour', ts) AS wstart, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM events, wm
+         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+         GROUP BY 1, 2 ORDER BY wstart, event_type""",
     "st17_rate_limited" ->
       """SELECT CAST(4 AS BIGINT) AS n_batches, count(*) AS n_rows,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -644,6 +711,7 @@ object Stream {
     "st4_watermark_append" -> st4WatermarkAppend _,
     "st16_statestore_read" -> st16StateStoreRead _,
     "st17_rate_limited" -> st17RateLimitedDrain _,
+    "st18_checkpoint_recovery" -> st18CheckpointRecovery _,
     "st5_sliding_watermark" -> st5SlidingWatermark _,
     "st6_stream_dedup" -> st6StreamDedup _,
     "st7_foreachbatch_upsert" -> st7ForeachBatchUpsert _,

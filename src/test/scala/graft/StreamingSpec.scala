@@ -64,6 +64,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st18: restart on the same checkpoint never re-reads a committed chunk (exactly-once)") {
+    // Mini two-drain recovery at sf0.001, mirroring st18CheckpointRecovery,
+    // with the checkpoint's file-source log cracked open afterwards: the
+    // union of per-batch file lists must cover all 4 chunks with ZERO
+    // duplicates — a restart that re-read chunk 1-2 (reprocessing) or
+    // reset the offset log (double counting in a non-idempotent sink)
+    // fails this on the spot. At least one batch must also come from
+    // each drain (the second start RESUMED, it didn't start over).
+    val sf = "/root/testdata/sf0.001"
+    val work = java.nio.file.Files.createTempDirectory("graft_st18spec_").toString
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    ev.repartitionByRange(4, col("ts")).write.parquet(s"$work/stage")
+    val parts = new java.io.File(s"$work/stage").listFiles
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/src"))
+    def publish(fs: Array[java.io.File], t0: Long): Unit =
+      fs.zipWithIndex.foreach { case (f, i) =>
+        val dst = java.nio.file.Paths.get(s"$work/src/${f.getName}")
+        java.nio.file.Files.move(f.toPath, dst)
+        dst.toFile.setLastModified(t0 + i * 60000L)
+      }
+    val srcSchema = spark.read.parquet(s"$work/stage").schema
+    def drainOnce(): Unit = {
+      val plan = spark.readStream.schema(srcSchema).parquet(s"$work/src")
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = plan.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    publish(parts.take(2), 1700000000000L)
+    drainOnce()
+    def sourceBatchLogs() = new java.io.File(s"$work/chk/sources/0").listFiles
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val batchesAfterFirst = sourceBatchLogs().length
+    publish(parts.drop(2), 1700003600000L)
+    drainOnce()
+    val logFiles = sourceBatchLogs()
+    val pathRe = """"path":"([^"]+)"""".r
+    val logged = logFiles.flatMap(f =>
+      pathRe.findAllMatchIn(java.nio.file.Files.readString(f.toPath))
+        .map(_.group(1)).toSeq)
+    assert(logged.length == 4 && logged.distinct.length == 4,
+      s"file-source log must cover the 4 chunks exactly once, got: ${logged.mkString("\n")}")
+    assert(batchesAfterFirst >= 1 && logFiles.length > batchesAfterFirst,
+      "second drain must APPEND source batches to the same checkpoint, not restart it")
+  }
+
   test("watermarked agg result is invariant to replay chunking (maxFilesPerTrigger=1)") {
     // the same data replayed as FOUR time-ordered micro-batches must
     // produce exactly the single-batch drain's output: watermarks
