@@ -167,10 +167,69 @@ object Dpp {
     summary.toDF("c_mktsegment", "n", "sum_cents")
   }
 
+  /** Scoped confs for X-15's runtime bloom-filter demo. The cluster
+    * default only builds a bloom filter when the application side scans
+    * > 10 GB (below that the filter costs more than the shuffle it
+    * saves) — at toy SF that threshold is lowered to 0 so the SAME
+    * query shape fires; at 100 TB the DEFAULT fires on it. Broadcast
+    * is disabled in-scope because the rule targets shuffle joins (a
+    * broadcast join already filters at the probe side for free). */
+  private[graft] def withBloomConfs[A](s: SparkSession)(body: => A): A = {
+    val pairs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** X-15 raw join — fact ⋈ selectively-filtered dim, forced to
+    * sort-merge. Catalyst's InjectRuntimeFilter sees the selective dim
+    * predicate, builds a bloom filter over the dim's join keys in a
+    * scalar subquery, and injects `might_contain(key)` on the FACT side
+    * BEFORE its shuffle — the manual x8 bloom semi-join, produced
+    * automatically. Shared by the gate entry and PlanSpec (which
+    * asserts the injected filter is actually in the optimized plan). */
+  private[graft] def bloomJoinRaw(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(s, dir)
+      .select($"user_id", round($"value" * 100).cast("bigint").as("cents"))
+    val dim = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING" && pmod($"c_custkey", lit(7)) === 3)
+      .select($"c_custkey", $"c_nationkey")
+    fact.join(dim.hint("merge"), fact("user_id") === dim("c_custkey"))
+  }
+
+  /** X-15 — runtime bloom-filter join (the automatic twin of X-8's
+    * hand-built bloom semi-join, and the row-level sibling of X-12's
+    * partition-level DPP): where DPP prunes whole partitions via the
+    * dim's broadcast, the runtime bloom filter cuts non-qualifying ROWS
+    * of an unpartitioned fact before the join shuffle — at 100 TB the
+    * shuffle write is sized by surviving rows, which for a selective
+    * dim predicate is the difference between shuffling the corpus and
+    * shuffling the answer. Executes inside the conf scope (the rule
+    * runs at optimization, which happens at the action). */
+  def x15RuntimeBloom(s: SparkSession, dir: String): DataFrame =
+    withBloomConfs(s) {
+      val summary = bloomJoinRaw(s, dir)
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+        .orderBy($"c_nationkey")
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      import s.implicits._
+      summary.toDF("c_nationkey", "n", "sum_cents")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x12_dpp" -> (x12Dpp _),
     "x13_salted_join" -> (x13SaltedJoin _),
     "x14_aqe_skew" -> (x14AqeSkew _),
+    "x15_runtime_bloom" -> (x15RuntimeBloom _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -188,6 +247,13 @@ object Dpp {
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1
          ORDER BY c_mktsegment""",
+    "x15_runtime_bloom" ->
+      """SELECT c_nationkey, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events JOIN customer ON user_id = c_custkey
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey % 7 = 3
+         GROUP BY 1
+         ORDER BY c_nationkey""",
     "x14_aqe_skew" ->
       """WITH f AS (
            SELECT CASE WHEN event_id % 10 < 8 THEN 1 ELSE user_id END AS k,

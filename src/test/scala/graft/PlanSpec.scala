@@ -68,6 +68,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x15 optimizer injects a bloom filter on the fact side of the shuffle join") {
+    graft.plans.Dpp.withBloomConfs(spark) {
+      val df = graft.plans.Dpp.bloomJoinRaw(spark, sf)
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        "InjectRuntimeFilter never fired on the fact side:\n" + p.take(3000))
+      assert(p.contains("bloom_filter_agg"),
+        "bloom build subquery missing from the optimized plan:\n" + p.take(3000))
+    }
+  }
+
   test("group-by aggregates have map-side partial aggregation") {
     val p = plan(Queries.q6Trend(spark, sf))
     // two HashAggregates around the exchange = partial + final
