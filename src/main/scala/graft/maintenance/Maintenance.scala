@@ -505,7 +505,77 @@ object Maintenance {
         lit(badRejected).cast("int").as("bad_rejected"))
   }
 
+  /** Bit-interleave of two 4-bit buckets as portable integer arithmetic
+    * (no `<<`/`&`, which the two engines spell differently): the 8-bit
+    * Morton/Z value with x in the odd bit positions. `divTok` is the
+    * integer-division token (`div` in Spark SQL, `//` in DuckDB). */
+  private[graft] def zInterleaveSql(x: String, y: String, divTok: String): String =
+    (3 to 0 by -1).flatMap { i =>
+      val px = 1 << (2 * i + 1); val py = 1 << (2 * i)
+      Seq(s"(($x $divTok ${1 << i}) % 2) * $px",
+          s"(($y $divTok ${1 << i}) % 2) * $py")
+    }.mkString(" + ")
+
+  /** The bucketed events projection shared by the mt14 gate entry and
+    * the physical-layout spec: 4-bit x (user shard) and y (cents mod
+    * 16) buckets plus the 16-way z-file id (top 4 interleaved bits =
+    * the 4×4 spatial quadrant grid). */
+  private[graft] def zorderBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+        expr("CAST(user_id % 16 AS INT)").as("xb"),
+        expr("CAST(CAST(round(value * 100) AS BIGINT) % 16 AS INT)").as("yb"))
+      .withColumn("zb", expr(s"CAST((${zInterleaveSql("xb", "yb", "div")}) div 16 AS INT)"))
+
+  /** MT-14 — Z-ORDER clustering audit (mt6's multi-dimensional
+    * sibling): mt6's range-cluster on ONE key makes single-key lookups
+    * cheap but leaves every OTHER predicate scanning all files; a
+    * Z-order layout interleaves the bits of two filter columns so file
+    * id = z-quadrant, and a 2-D box (or either 1-D slice) touches only
+    * the quadrants it overlaps. The entry computes, from the bucketing
+    * math alone (all integer, bit-reproducible), how many of the 16
+    * files each layout would read: the x-linear layout needs 4/16 files
+    * for the 2-D box and ALL 16 for a y-only slice; the z layout needs
+    * 1/16 and 4/16 — the asymmetry that justifies the rewrite whenever
+    * queries filter on more than one column. At 100 TB this is a
+    * rewrite-side op (repartition on zb + min/max stats, mt6's
+    * machinery); MaintenanceSpec proves the physical form — a
+    * zb-partitioned table answers the box from exactly the predicted
+    * file set. */
+  def mt14Zorder(s: SparkSession, dir: String): DataFrame = {
+    val b = zorderBuckets(s, dir)
+    val box = $"xb".between(4, 7) && $"yb".between(4, 7)
+    val yonly = $"yb".between(4, 7)
+    b.agg(
+      sum(box.cast("bigint")).as("n_box"),
+      countDistinct(when(box, $"xb")).as("files_linear_box"),
+      countDistinct(when(box, $"zb")).as("files_z_box"),
+      sum(yonly.cast("bigint")).as("n_yonly"),
+      countDistinct(when(yonly, $"xb")).as("files_linear_yonly"),
+      countDistinct(when(yonly, $"zb")).as("files_z_yonly"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "mt14_zorder" -> {
+      val z = zInterleaveSql("xb", "yb", "//")
+      s"""WITH b AS (
+            SELECT CAST(user_id % 16 AS INT) AS xb,
+                   CAST(CAST(round(value * 100) AS BIGINT) % 16 AS INT) AS yb
+            FROM events),
+          zb AS (SELECT xb, yb, ($z) // 16 AS zb FROM b)
+          SELECT CAST(sum(CASE WHEN xb BETWEEN 4 AND 7 AND yb BETWEEN 4 AND 7
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_box,
+                 count(DISTINCT CASE WHEN xb BETWEEN 4 AND 7 AND yb BETWEEN 4 AND 7
+                                     THEN xb END) AS files_linear_box,
+                 count(DISTINCT CASE WHEN xb BETWEEN 4 AND 7 AND yb BETWEEN 4 AND 7
+                                     THEN zb END) AS files_z_box,
+                 CAST(sum(CASE WHEN yb BETWEEN 4 AND 7 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_yonly,
+                 count(DISTINCT CASE WHEN yb BETWEEN 4 AND 7 THEN xb END)
+                   AS files_linear_yonly,
+                 count(DISTINCT CASE WHEN yb BETWEEN 4 AND 7 THEN zb END)
+                   AS files_z_yonly
+          FROM zb"""
+    },
     "mt13_wap" ->
       """SELECT count(*) AS n_rows,
                 CAST(sum(2 * CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -649,5 +719,6 @@ object Maintenance {
     "mt11_vacuum_orphans" -> mt11VacuumOrphans _,
     "mt12_snapshot_diff" -> mt12SnapshotDiff _,
     "mt13_wap" -> mt13Wap _,
+    "mt14_zorder" -> mt14Zorder _,
   )
 }

@@ -101,4 +101,37 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!names.contains("staging_1"), s"published batch left its staging dir: $names")
     assert(!names.exists(_.startsWith("old_")), s"publish left old snapshot copies: $names")
   }
+
+  test("mt14: a zb-partitioned table answers the 2-D box from exactly the predicted file set") {
+    val work = Files.createTempDirectory("graft_mt14spec_").toString
+    val b = Maintenance.zorderBuckets(spark, sf)
+    b.write.partitionBy("zb").parquet(s"$work/z")
+    val table = spark.read.parquet(s"$work/z")
+    val box = col("xb").between(4, 7) && col("yb").between(4, 7)
+    // the z-buckets the box CAN touch, from the bucketing math alone
+    val predicted = b.filter(box).select("zb").distinct()
+      .collect().map(_.getInt(0)).toSet
+    // a real engine derives zb ranges from the box and adds the
+    // partition predicate; partition pruning then skips the rest
+    val pruned = table.filter(col("zb").isin(predicted.toSeq: _*) && box)
+    // inputFiles ignores filters; the pruning evidence is the executed
+    // scan's own "partitions read" metric — which only populates on the
+    // queryExecution that actually RAN, so drive toRdd on it directly
+    def runAndCount(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val rows = df.queryExecution.toRdd.count()
+      val scan = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      (rows, scan.metrics("numPartitions").value)
+    }
+    val (nPruned, partsPruned) = runAndCount(pruned)
+    assert(partsPruned == predicted.size.toLong,
+      s"box scan read $partsPruned partitions, predicted ${predicted.size}")
+    val (nFull, partsFull) = runAndCount(table.filter(box))
+    assert(partsFull > predicted.size.toLong,
+      "control scan without the zb predicate should touch more partitions")
+    // and pruning changed no answers
+    assert(nPruned == nFull && nPruned == b.filter(box).count(),
+      "partition-pruned box disagrees with the unpartitioned scan")
+  }
 }
