@@ -124,6 +124,46 @@ object Advanced {
       .orderBy($"user_id")
   }
 
+  /** Q-49 — exact MEDIAN + deterministic MODE per group: q18/q23 take
+    * the approximate sketch route; this is the exact form a reporting
+    * surface asks for on modest group counts. `percentile(value, 0.5)`
+    * is the same linear-interpolated quantile as DuckDB's
+    * quantile_cont (rounded in-query per the fp convention); mode ties
+    * are pinned to the SMALLEST key via a (count desc, key asc)
+    * row_number — never engine-dependent hash order. Exact percentile
+    * sorts within each (small) group; at 100 TB per-key cardinalities
+    * are the q28 trade: groups are the scale axis, not group size. */
+  def q49MedianMode(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val med = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("med_value"))
+    val mode = ev.groupBy($"event_type", $"user_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"cnt".desc, $"user_id".asc)))
+      .filter($"rk" === 1)
+      .select($"event_type", $"user_id".as("mode_user"), $"cnt".as("mode_n"))
+    med.join(mode, "event_type")
+      .select($"event_type", $"n", $"med_value", $"mode_user", $"mode_n")
+      .orderBy($"event_type")
+  }
+
+  /** Q-50 — order-pinned string aggregation (LISTAGG): the reporting
+    * op every dashboard asks for ("which shards?" as a label), made
+    * deterministic by sorting the DISTINCT set numerically BEFORE
+    * joining and bounding the list (3 smallest) so the output never
+    * grows with the corpus. collect_set → array_sort → slice →
+    * array_join is the portable spelling; the oracle's string_agg
+    * carries an explicit ORDER BY — unordered listagg is
+    * nondeterministic in every engine and has no place in a gate. */
+  def q50StringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+        array_join(transform(slice(array_sort(collect_set($"user_id")), 1, 3),
+          c => c.cast("string")), ",").as("first_users"))
+      .orderBy($"event_type")
+
   def q21RunningWindow(s: SparkSession, dir: String): DataFrame = {
     // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
     // sort key ends with rev_c4: remaining ties are between identical
@@ -264,6 +304,38 @@ object Advanced {
          SELECT 'without_orders', count(*) FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          ORDER BY grp""",
+    "q49_median_mode" ->
+      """WITH med AS (
+           SELECT event_type, count(*) AS n,
+                  round(quantile_cont(value, 0.5), 4) AS med_value
+           FROM events GROUP BY 1),
+         cnts AS (
+           SELECT event_type, user_id, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         md AS (
+           SELECT event_type, user_id AS mode_user, cnt AS mode_n,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY cnt DESC, user_id ASC) AS rk
+           FROM cnts)
+         SELECT m.event_type AS event_type, m.n AS n, m.med_value AS med_value,
+                d.mode_user AS mode_user, d.mode_n AS mode_n
+         FROM med m JOIN md d ON m.event_type = d.event_type AND d.rk = 1
+         ORDER BY event_type""",
+    "q50_string_agg" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+         nu AS (SELECT event_type, count(*) AS n_users FROM d GROUP BY 1),
+         r AS (SELECT event_type, user_id,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY user_id ASC) AS rk
+               FROM d),
+         fu AS (SELECT event_type,
+                       string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id)
+                         AS first_users
+                FROM r WHERE rk <= 3 GROUP BY 1)
+         SELECT nu.event_type AS event_type, nu.n_users AS n_users,
+                fu.first_users AS first_users
+         FROM nu JOIN fu ON nu.event_type = fu.event_type
+         ORDER BY event_type""",
     "q47_value_range_frame" ->
       """WITH o AS (
            SELECT o_custkey, o_orderpriority,
@@ -392,6 +464,8 @@ object Advanced {
     "q21_running_window" -> q21RunningWindow _,
     "q30_moving_range" -> q30MovingRange _,
     "q47_value_range_frame" -> q47ValueRangeFrame _,
+    "q49_median_mode" -> q49MedianMode _,
+    "q50_string_agg" -> q50StringAgg _,
     "q48_locf_ignore_nulls" -> q48LocfIgnoreNulls _,
     "q22_sessionize" -> q22Sessionize _,
     "q23_approx_sketches" -> q23ApproxSketches _,
