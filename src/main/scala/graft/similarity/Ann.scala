@@ -400,6 +400,56 @@ object Ann {
       .orderBy($"query_id")
   }
 
+  /** Rerank pool for S-11's two-stage retrieval: the Hamming stage
+    * keeps this many candidates per query before the exact rerank. */
+  val HammingPool = 12
+
+  /** Per-dim sign bit over dims [lo, hi) packed into one BIGINT word
+    * (bit i-lo set iff v[i] > 0). Spelled as 32 when-terms, not an HOF
+    * fold — stays inside whole-stage codegen (the same reason dot_f64
+    * exists). Two 32-bit words per 64-dim vector keep every shift
+    * below the sign bit, so no engine's overflow rules are in play. */
+  private def signWord(v: Column, lo: Int, hi: Int): Column =
+    (lo until hi).map { i =>
+      when(element_at(v, i + 1) > 0d, lit(1L << (i - lo))).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** S-11 — binary-sign sketch retrieval with exact rerank: the 1-BIT
+    * rung of the quantization ladder (float 256 B → int8 64 B (s5) →
+    * PQ ~2 B (s7) → sign sketch 16 B). Stage 1 ranks by Hamming
+    * distance over two packed sign words — XOR + popcount, the
+    * cheapest possible candidate metric, and the corpus the stage
+    * scans is 16 B/vector, so at 100 TB the sketch index is the only
+    * thing that needs to be resident (and the same prefix trick as
+    * s2's buckets shards it when even that must partition). Stage 2
+    * reranks the [[HammingPool]] survivors with exact float cosine —
+    * the two-stage shape (cheap wide recall, exact narrow precision)
+    * every production retrieval system runs. All stage-1 arithmetic
+    * is integer → bit-reproducible; stage-2 reuses the s1 cosine. */
+  def s11HammingRerank(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+      .withColumn("w0", signWord($"v", 0, 32))
+      .withColumn("w1", signWord($"v", 32, Dim))
+    val q = c.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        $"w0".as("qw0"), $"w1".as("qw1"))
+    val ham = (call_function("bit_count", $"w0".bitwiseXOR($"qw0")) +
+      call_function("bit_count", $"w1".bitwiseXOR($"qw1"))).cast("int")
+    val wR = Window.partitionBy($"query_id").orderBy($"hamming".asc, $"neighbor_id")
+    val wF = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    c.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), ham.as("hamming"),
+        $"qv", $"qnrm", $"v", $"nrm")
+      .withColumn("rrank", row_number().over(wR)).filter($"rrank" <= HammingPool)
+      .select($"query_id", $"neighbor_id", $"hamming",
+        cosine($"qv", $"v", $"qnrm", $"nrm").as("cos"))
+      .withColumn("rank", row_number().over(wF)).filter($"rank" <= TopK)
+      .select($"query_id", $"rank", $"neighbor_id", $"hamming",
+        round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** PQ geometry: 4 subspaces × 16 dims; codebook per subspace = the
     * sub-vectors of the same [[Cells]] deterministic corpus vectors S-4
     * uses (at production scale a trained per-subspace k-means — the
@@ -622,6 +672,39 @@ object Ann {
           FROM cellstats s LEFT JOIN dropstats d ON s.cell_id = d.cell_id
           ORDER BY cell_id""",
     "s1_ann_brute" -> oracleS1,
+    "s11_hamming_rerank" ->
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          w AS (SELECT vec_id, v,
+                  list_sum([CASE WHEN v[i] > 0 THEN 1::BIGINT << (i-1) ELSE 0 END
+                            for i in range(1, 33)]) AS w0,
+                  list_sum([CASE WHEN v[i+32] > 0 THEN 1::BIGINT << (i-1) ELSE 0 END
+                            for i in range(1, 33)]) AS w1
+                FROM c),
+          q AS (SELECT vec_id AS query_id, v AS qv, w0 AS qw0, w1 AS qw1
+                FROM w WHERE vec_id % 100 = 0),
+          cand AS (
+            SELECT q.query_id AS query_id, a.vec_id AS neighbor_id,
+                   CAST(bit_count(xor(a.w0, q.qw0)) +
+                        bit_count(xor(a.w1, q.qw1)) AS INT) AS hamming,
+                   a.v AS v, q.qv AS qv
+            FROM w a, q WHERE a.vec_id <> q.query_id),
+          pool AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY hamming, neighbor_id) AS rrank
+            FROM cand),
+          sc AS (
+            SELECT query_id, neighbor_id, hamming,
+                   list_sum([qv[i]*v[i] for i in range(1, len(v)+1)]) /
+                   (sqrt(list_sum([qv[i]*qv[i] for i in range(1, len(qv)+1)])) *
+                    sqrt(list_sum([v[i]*v[i] for i in range(1, len(v)+1)]))) AS cos
+            FROM pool WHERE rrank <= $HammingPool),
+          f AS (
+            SELECT query_id, neighbor_id, hamming, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM sc)
+          SELECT query_id, rank, neighbor_id, hamming, round(cos, 4) AS cosine
+          FROM f WHERE rank <= $TopK ORDER BY query_id, rank""",
     "s2_ann_lsh" -> oracleS2,
     "s9_ann_multiprobe" ->
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -669,6 +752,7 @@ object Ann {
     "s5_quantize" -> s5Quantize _,
     "s6_ann_recall" -> s6AnnRecall _,
     "s10_quant_recall" -> s10QuantRecall _,
+    "s11_hamming_rerank" -> s11HammingRerank _,
     "s7_pq_code" -> s7PqCode _,
   )
 }

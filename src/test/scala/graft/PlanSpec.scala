@@ -307,6 +307,7 @@ class PlanSpec extends AnyFunSuite {
       "mt4_fk_audit",  // 1-row child-count x 1-row orphan-count per edge
       "s1_ann_brute",  // the documented brute-force BASELINE: query side broadcast
       "s10_quant_recall", // s1's truth set + the same query-broadcast eval scan
+      "s11_hamming_rerank", // same query-broadcast shape; stage-1 scans 16 B/vector sketches
       "s4_ann_ivf",    // corpus x |codebook|=8 centroid assignment
       "d15_semantic_dedup", // same s4 centroid assignment feeds the cells
       "mt6_clustered_layout", // per-file stat table (<=ClusterFiles rows) range-overlap self-join
