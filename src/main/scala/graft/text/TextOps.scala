@@ -273,6 +273,33 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** T-20 — split-LEAKAGE audit: near-duplicate pairs that STRADDLE the
+    * t7 train/val/test split are evaluation contamination — the model
+    * is tested on paraphrases of its training data and the benchmark
+    * silently inflates. The pair source is d3's LSH candidates (the
+    * corpus-sublinear near-dup surface — never all-pairs), each side
+    * joined to its deterministic split; output is the (split_a,
+    * split_b) pair matrix with a leak flag and an id checksum pinning
+    * the exact pair set. At 100 TB this audit is two broadcast-scale
+    * joins on top of the dedup pipeline's EXISTING candidate pairs —
+    * effectively free — and its nonzero leak rows are the list a
+    * pipeline either re-splits around (cluster-aware splitting: assign
+    * d6 clusters, not documents, to splits) or purges (d10). */
+  def t20SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.d3LshPairs(s, dir)
+    val splits = Tables.documents(s, dir)
+      .select($"doc_id", splitAssign($"doc_id").as("split"))
+    pairs
+      .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+      .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"doc_a" + $"doc_b").as("pair_checksum"))
+      .select($"split_a", $"split_b", $"n_pairs", $"pair_checksum",
+        ($"split_a" =!= $"split_b").cast("int").as("leak"))
+      .orderBy($"split_a", $"split_b")
+  }
+
   /** T-12 — hashing-trick feature vectors: each token is hashed into a
     * fixed 16-bucket space (two-hex-digit md5 % 16 — the portable
     * family) and per-doc bucket counts form the feature vector; the
@@ -363,6 +390,19 @@ object TextOps {
                  CAST($nnz AS INT) AS nnz, CAST($l1 AS BIGINT) AS l1,
                  md5($cat) AS vec_md5
           FROM v ORDER BY doc_id"""
+    },
+    "t20_split_leakage" -> {
+      s"""WITH ${graft.dedup.Dedup.lshPairsCtes},
+          sp AS (SELECT doc_id, ${splitCaseSql("doc_id")} AS split FROM documents)
+          SELECT a.split AS split_a, b.split AS split_b,
+                 count(*) AS n_pairs,
+                 CAST(sum(p.doc_a + p.doc_b) AS BIGINT) AS pair_checksum,
+                 CAST(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END AS INT) AS leak
+          FROM lsh_pairs p
+          JOIN sp a ON p.doc_a = a.doc_id
+          JOIN sp b ON p.doc_b = b.doc_id
+          GROUP BY a.split, b.split
+          ORDER BY split_a, split_b"""
     },
     "t19_source_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
@@ -810,6 +850,7 @@ object TextOps {
     "t10_seq_pack" -> t10SeqPack _,
     "t11_stratified_sample" -> t11StratifiedSample _,
     "t19_source_mix" -> t19SourceMix _,
+    "t20_split_leakage" -> t20SplitLeakage _,
     "t12_hash_features" -> t12HashFeatures _,
     "t13_normalize" -> t13Normalize _,
   )
