@@ -64,6 +64,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked aggregation DROPS a row arriving below the watermark (late-data accounting)") {
+    // The watermark's other half: st4..st18 replay in time order, where
+    // the watermark only closes windows. Here a controlled MemoryStream
+    // delivers a row BELOW the advanced watermark: it must neither
+    // create a window nor resurrect a closed one, and the drop must be
+    // visible in stateOperators.numRowsDroppedByWatermark — the counter
+    // a production pipeline watches, because every drop is silent data
+    // loss otherwise. (A gate entry over quartile-shuffled file replays
+    // was tried and abandoned: the metric counts post-shuffle aggregate
+    // groups and the watermark application lags one batch, both too
+    // version-specific for a cross-engine oracle. The SEMANTICS pinned
+    // here are the stable, documented contract.)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = input.toDF().toDF("v", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("v") % 2)
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_drop_out").start()
+    try {
+      // batch 1: two 09:xx rows; batch 2: a 12:00 row advances the
+      // watermark to 11:50, closing and emitting the 09:00 window
+      input.addData((1L, ts("2024-01-01 09:05:00")), (2L, ts("2024-01-01 09:10:00")))
+      q.processAllAvailable()
+      input.addData((3L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("late_drop_out").count() == 2,
+        "the two 09:00 windows must close once the watermark passes them")
+      // batch 3: a 09:20 row — same closed window, now below the
+      // watermark: dropped, never re-emitted, counted
+      input.addData((1L, ts("2024-01-01 09:20:00")))
+      q.processAllAvailable()
+      val dropped = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(spark.table("late_drop_out").count() == 2,
+        "a below-watermark row must not resurrect a closed window")
+      assert(dropped >= 1L,
+        s"the late row must be counted in numRowsDroppedByWatermark, got $dropped")
+    } finally q.stop()
+  }
+
   test("st18: restart on the same checkpoint never re-reads a committed chunk (exactly-once)") {
     // Mini two-drain recovery at sf0.001, mirroring st18CheckpointRecovery,
     // with the checkpoint's file-source log cracked open afterwards: the
