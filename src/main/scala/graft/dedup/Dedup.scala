@@ -364,6 +364,39 @@ object Dedup {
   def d6DupClusters(s: SparkSession, dir: String): DataFrame =
     clusterTable(s, dir).orderBy($"doc_id")
 
+  /** D-19 — CLUSTER-aware train/val/test split: the remedy T-20's
+    * leakage audit feeds. Documents are split by the md5 of their d6
+    * CLUSTER id (singletons: their own id), so an entire near-dup
+    * cluster lands in one split and no LSH candidate pair can straddle
+    * the train/test boundary BY CONSTRUCTION — t20 finds leaks,
+    * d19 makes them structurally impossible, at the cost of moving
+    * whole clusters (split sizes wobble by cluster size, which the
+    * per-split doc counts here let a pipeline monitor). Output per
+    * split: size, id checksum, within-split candidate pairs, and the
+    * straddling count the gate pins to ZERO. At 100 TB the extra cost
+    * over t20 is one broadcast-scale join against the cluster map the
+    * dedup pipeline already maintains. */
+  def d19ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val splits = clusterTable(s, dir)
+      .select($"doc_id", graft.text.TextOps.splitAssign($"cluster_id").as("split"))
+    val tagged = d3LshPairs(s, dir)
+      .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+      .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+    val sizes = splits.groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_checksum"))
+    val within = tagged.filter($"split_a" === $"split_b")
+      .groupBy($"split_a".as("split")).agg(count(lit(1)).as("n_pairs_within"))
+    val strays = tagged.filter($"split_a" =!= $"split_b")
+      .select($"split_a".as("split"))
+      .unionAll(tagged.filter($"split_a" =!= $"split_b").select($"split_b".as("split")))
+      .groupBy($"split").agg(count(lit(1)).as("n_pairs_straddling"))
+    sizes.join(within, Seq("split"), "left").join(strays, Seq("split"), "left")
+      .select($"split", $"n_docs", $"id_checksum",
+        coalesce($"n_pairs_within", lit(0L)).as("n_pairs_within"),
+        coalesce($"n_pairs_straddling", lit(0L)).as("n_pairs_straddling"))
+      .orderBy($"split")
+  }
+
   /** D-18 — canonical-copy selection: dedup (d1–d6) decides which
     * documents REPEAT; this decides which copy to KEEP. Within each
     * near-dup cluster (d6's transitive closure over LSH candidate
@@ -872,6 +905,34 @@ object Dedup {
                  CAST(d.doc_id = coalesce(c.cluster, d.doc_id) AS INT) AS is_kept
           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
           ORDER BY doc_id""",
+    "d19_cluster_split" ->
+      s"""WITH RECURSIVE $clusterCtes,
+          cl AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster_id
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc),
+          sp AS (SELECT doc_id,
+                        ${graft.text.TextOps.splitCaseSql("cluster_id")} AS split
+                 FROM cl),
+          w AS (SELECT a.split AS sa, b.split AS sb
+                FROM lsh_pairs p
+                JOIN sp a ON p.doc_a = a.doc_id
+                JOIN sp b ON p.doc_b = b.doc_id),
+          sizes AS (SELECT split, count(*) AS n_docs,
+                           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+                    FROM sp GROUP BY 1),
+          wi AS (SELECT sa AS split, count(*) AS n_pairs_within
+                 FROM w WHERE sa = sb GROUP BY 1),
+          st AS (SELECT split, count(*) AS n_straddling FROM (
+                   SELECT sa AS split FROM w WHERE sa <> sb
+                   UNION ALL SELECT sb FROM w WHERE sa <> sb)
+                 GROUP BY 1)
+          SELECT s.split AS split, s.n_docs AS n_docs,
+                 s.id_checksum AS id_checksum,
+                 CAST(coalesce(wi.n_pairs_within, 0) AS BIGINT) AS n_pairs_within,
+                 CAST(coalesce(st.n_straddling, 0) AS BIGINT) AS n_pairs_straddling
+          FROM sizes s
+          LEFT JOIN wi ON s.split = wi.split
+          LEFT JOIN st ON s.split = st.split
+          ORDER BY split""",
     "d18_canonical" ->
       s"""WITH RECURSIVE $clusterCtes,
           mem AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster_id,
@@ -981,6 +1042,7 @@ object Dedup {
     "d17_source_overlap" -> d17CrossSourceOverlap _,
     "d5_simhash" -> d5Simhash _,
     "d6_dup_clusters" -> d6DupClusters _,
+    "d19_cluster_split" -> d19ClusterSplit _,
     "d18_canonical" -> d18Canonical _,
     "d8_lsh_jaccard" -> d8LshJaccard _,
     "d9_decontaminate" -> d9Decontaminate _,
