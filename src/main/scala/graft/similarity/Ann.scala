@@ -437,11 +437,18 @@ object Ann {
       call_function("bit_count", $"w1".bitwiseXOR($"qw1"))).cast("int")
     val wR = Window.partitionBy($"query_id").orderBy($"hamming".asc, $"neighbor_id")
     val wF = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    c.crossJoin(broadcast(q))
+    // Stage 1 shuffles ONLY (query_id, neighbor_id, hamming) through the
+    // pool window — the float vectors (the 32× heavier payload) are
+    // joined back for just the |Q|·HammingPool rerank rows. At 100 TB
+    // the ranking shuffle is sized by the sketch, never the vectors.
+    val pool = c.select($"vec_id", $"w0", $"w1").crossJoin(
+        broadcast(q.select($"query_id", $"qw0", $"qw1")))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"), ham.as("hamming"),
-        $"qv", $"qnrm", $"v", $"nrm")
+      .select($"query_id", $"vec_id".as("neighbor_id"), ham.as("hamming"))
       .withColumn("rrank", row_number().over(wR)).filter($"rrank" <= HammingPool)
+    pool
+      .join(c.select($"vec_id".as("neighbor_id"), $"v", $"nrm"), "neighbor_id")
+      .join(broadcast(q.select($"query_id", $"qv", $"qnrm")), "query_id")
       .select($"query_id", $"neighbor_id", $"hamming",
         cosine($"qv", $"v", $"qnrm", $"nrm").as("cos"))
       .withColumn("rank", row_number().over(wF)).filter($"rank" <= TopK)
