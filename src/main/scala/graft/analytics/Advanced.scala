@@ -164,6 +164,35 @@ object Advanced {
           c => c.cast("string")), ",").as("first_users"))
       .orderBy($"event_type")
 
+  /** Q-51 — RUNNING DISTINCT COUNT, the window op Spark doesn't have:
+    * `COUNT(DISTINCT x) OVER (...)` is unsupported (and the naive
+    * `size(collect_set() OVER ...)` spelling carries the whole set in
+    * every frame — O(n·d) state). The scalable rewrite: a row
+    * contributes iff it is the FIRST occurrence of its user within the
+    * partition (row_number over (type, user) = 1), and the running
+    * distinct count is the running SUM of that 0/1 flag — two ordinary
+    * windows, O(1) per-row state, exactly the plan you'd want at
+    * 100 TB. The oracle runs DuckDB's NATIVE count(DISTINCT) OVER, so
+    * the gate proves the rewrite IS the semantic, not just a
+    * convention shared by both sides. Order is total (µs ts,
+    * event_id), making every intermediate row deterministic. */
+  def q51RunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    val firstW = Window.partitionBy($"event_type", $"user_id")
+      .orderBy(unix_micros($"ts"), $"event_id")
+    val runW = Window.partitionBy($"event_type")
+      .orderBy(unix_micros($"ts"), $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"event_type", $"ts", $"event_id", $"user_id")
+      .withColumn("is_first", (row_number().over(firstW) === 1).cast("bigint"))
+      .withColumn("run_dist", sum($"is_first").over(runW))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        max($"run_dist").as("final_distinct"),
+        sum($"run_dist").as("sum_running_distinct"))
+      .orderBy($"event_type")
+  }
+
   def q21RunningWindow(s: SparkSession, dir: String): DataFrame = {
     // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
     // sort key ends with rev_c4: remaining ties are between identical
@@ -304,6 +333,17 @@ object Advanced {
          SELECT 'without_orders', count(*) FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          ORDER BY grp""",
+    "q51_running_distinct" ->
+      """WITH r AS (
+           SELECT event_type,
+                  count(DISTINCT user_id) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rd
+           FROM events)
+         SELECT event_type, count(*) AS n,
+                CAST(max(rd) AS BIGINT) AS final_distinct,
+                CAST(sum(rd) AS BIGINT) AS sum_running_distinct
+         FROM r GROUP BY 1 ORDER BY event_type""",
     "q49_median_mode" ->
       """WITH med AS (
            SELECT event_type, count(*) AS n,
@@ -466,6 +506,7 @@ object Advanced {
     "q47_value_range_frame" -> q47ValueRangeFrame _,
     "q49_median_mode" -> q49MedianMode _,
     "q50_string_agg" -> q50StringAgg _,
+    "q51_running_distinct" -> q51RunningDistinct _,
     "q48_locf_ignore_nulls" -> q48LocfIgnoreNulls _,
     "q22_sessionize" -> q22Sessionize _,
     "q23_approx_sketches" -> q23ApproxSketches _,

@@ -303,6 +303,34 @@ object Stream {
       .orderBy($"user_id")
   }
 
+  /** ST-20 — stream-stream LEFT SEMI join (st9's sides and interval
+    * condition, semi semantics): "views that converted" — each view
+    * emits AT MOST ONCE, when its first matching purchase arrives, and
+    * carries no purchase columns. Completes the streaming join matrix
+    * (st9 inner, st11 left-outer, st13 stream-static anti): semi is
+    * the shape for flagging/filtering against another stream without
+    * duplicating the left side per match — at 100 TB the output is
+    * bounded by the VIEW stream, not the match cardinality. Both sides
+    * watermarked → both buffers bounded; matched views emit eagerly
+    * (like inner), so the oracle is the plain batch EXISTS. */
+  def st20StreamSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, tag: String) =
+      graft.io.Tables.eventsStream(s, dir)
+        .filter($"event_type" === tpe)
+        .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
+          $"event_id".as(s"${tag}_id"))
+        .withWatermark(s"${tag}_ts", "2 hours")
+    val joined = side("view", "v").join(side("purchase", "p"),
+      $"v_user" === $"p_user" &&
+        $"p_ts" >= $"v_ts" && $"p_ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"),
+      "left_semi")
+    drainAppend(s, joined, "graft_st20_")
+      .groupBy($"v_user".as("user_id"))
+      .agg(count(lit(1)).as("n_converted_views"),
+        sum($"v_id").as("view_id_checksum"))
+      .orderBy($"user_id")
+  }
+
   /** ST-11 — stream-stream LEFT OUTER join (st9's sides and range):
     * unmatched `view`s must NOT be emitted when first seen — a match
     * could still arrive — so Spark holds them in state and emits the
@@ -608,6 +636,18 @@ object Stream {
                           AND v_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
                          THEN 1 ELSE 0 END) > 0
          ORDER BY user_id""",
+    // st20: semi emits each matched view once, eagerly -> oracle is the
+    // plain batch EXISTS over the same interval condition.
+    "st20_stream_semi_join" ->
+      """SELECT v.user_id AS user_id,
+                count(*) AS n_converted_views,
+                CAST(sum(v.event_id) AS BIGINT) AS view_id_checksum
+         FROM events v
+         WHERE v.event_type = 'view' AND EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+             AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+         GROUP BY 1 ORDER BY user_id""",
     // st9: inner stream-stream join emits every match during the drain
     // (watermarks bound state, not the inner-join result) -> oracle is
     // the plain batch interval join.
@@ -718,6 +758,7 @@ object Stream {
     "st8_stream_static_join" -> st8StreamStaticJoin _,
     "st9_stream_stream_join" -> st9StreamStreamJoin _,
     "st11_stream_outer_join" -> st11StreamOuterJoin _,
+    "st20_stream_semi_join" -> st20StreamSemiJoin _,
     "st12_session_window" -> st12SessionWindow _,
   )
 }
