@@ -268,7 +268,97 @@ object Pipeline {
       .orderBy($"source", $"split")
   }
 
+  /** P-5 — the STREAMING training-data ingest loop, end to end: the
+    * batch curation ops composed on the streaming path. The corpus
+    * arrives as 8 single-file buckets (doc_id % 8, mod times pinned
+    * ascending) drained under maxFilesPerTrigger=2 — st17's admission
+    * control — so it enters as 4 bounded micro-batches. Each batch runs
+    * the t18 quality gate (per-doc rules — streamable, batch
+    * boundaries can't change a verdict), then INCREMENTAL exact dedup:
+    * first-in-batch by content hash, then an anti join against the
+    * accumulated seen-hash set (d13's cost-∝-batch shape — the corpus
+    * is never re-scanned). Admitted docs and their hashes land in
+    * batch-id-keyed dirs (idempotent per batch — the st15 crash-replay
+    * contract). Arrival order is pinned, so "first arrival wins" is
+    * deterministic and the DuckDB oracle replays it as
+    * row_number() OVER (PARTITION BY md5(text)
+    *                    ORDER BY (doc_id%8)//2, doc_id) = 1.
+    * At 100 TB each arrival interval pays gate + hash-join cost
+    * proportional to the batch, and the seen-set is the dim-sized
+    * artifact the pipeline maintains (the bloom form is x8). */
+  def p5StreamingCuration(s: SparkSession, dir: String): DataFrame = {
+    sweepOldWorkDirs()
+    val work = Files.createTempDirectory("graft_p5_").toString
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", $"source", $"n_chars", ($"doc_id" % 8).as("pb"))
+      .repartition($"pb").write.partitionBy("pb")
+      .mode(SaveMode.Overwrite).parquet(s"$work/in")
+    // one file per bucket; mod times ascending with pb so the file
+    // source admits buckets in order (batch i = buckets {2i, 2i+1})
+    val bucketFiles = new java.io.File(s"$work/in").listFiles
+      .filter(_.getName.startsWith("pb=")).sortBy(_.getName.stripPrefix("pb=").toInt)
+      .flatMap(_.listFiles.filter(_.getName.startsWith("part-")))
+    bucketFiles.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L) }
+    val admitted = s"$work/admitted"
+    val seen = s"$work/seen"
+    graft.streaming.Stream.withDrainPartitions(s) {
+      val q = s.readStream
+        .schema("doc_id BIGINT, text STRING, source STRING, n_chars BIGINT, pb BIGINT")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$work/in")
+        .writeStream
+        .option("checkpointLocation", s"$work/chk")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val keep = graft.text.TextOps.qualityVerdict(batch)
+            .filter(col("keep") === 1).select(col("doc_id"))
+          val gated = batch.join(keep, Seq("doc_id"), "left_semi")
+            .withColumn("h", md5(col("text")))
+          val firstInBatch = gated.withColumn("rk",
+              org.apache.spark.sql.functions.row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("h")).orderBy(col("doc_id"))))
+            .filter(col("rk") === 1).drop("rk")
+          val seenDir = new java.io.File(seen)
+          val fresh =
+            if (seenDir.exists && seenDir.listFiles.exists(_.getName.startsWith("b=")))
+              firstInBatch.join(
+                s.read.schema("h STRING").parquet(s"$seen/b=*"),
+                Seq("h"), "left_anti")
+            else firstInBatch
+          fresh.drop("pb").write.mode("overwrite")
+            .format(graft.ops.Snapshot.ZoneFormat).save(s"$admitted/b=$batchId")
+          fresh.select(col("h")).write.mode("overwrite")
+            .format(graft.ops.Snapshot.ZoneFormat).save(s"$seen/b=$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    graft.ops.Snapshot.readZone(s, admitted)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        sum($"doc_id").as("id_checksum"))
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p5_stream_curation" -> {
+      s"""WITH ${graft.text.TextOps.qualityMaskCtes},
+          kept AS (SELECT d.doc_id AS doc_id, d.source AS source,
+                          d.n_chars AS n_chars, d.text AS text
+                   FROM documents d JOIN qmask q ON d.doc_id = q.doc_id
+                   WHERE q.reason_mask = 0),
+          dd AS (SELECT doc_id, source, n_chars,
+                        row_number() OVER (PARTITION BY md5(text)
+                          ORDER BY (doc_id % 8) // 2, doc_id) AS arrival_rk
+                 FROM kept)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
+          FROM dd WHERE arrival_rk = 1
+          GROUP BY 1 ORDER BY source"""
+    },
     "p4_curation_pipeline" -> {
       s"""WITH ${graft.text.TextOps.qualityMaskCtes},
           kept AS (SELECT d.doc_id AS doc_id, d.source AS source,
@@ -348,6 +438,7 @@ object Pipeline {
     "p2_training_corpus" -> p2TrainingCorpus _,
     "p3_incremental_ingest" -> p3IncrementalIngest _,
     "p4_curation_pipeline" -> p4CurationPipeline _,
+    "p5_stream_curation" -> p5StreamingCuration _,
     "o8_json_raw" -> o8JsonRaw _,
   )
 }

@@ -315,8 +315,8 @@ class PlanSpec extends AnyFunSuite {
     // Streaming drains / external-side-effect mains are exercised by their
     // own specs and the gate; their DataFrames are post-sink reads.
     def skip(n: String) =
-      n.startsWith("st") || Set("p1_pipeline_e2e", "o8_json_raw",
-        "o2_jdbc_roundtrip", "o1_csv_source").contains(n)
+      n.startsWith("st") || Set("p1_pipeline_e2e", "p5_stream_curation",
+        "o8_json_raw", "o2_jdbc_roundtrip", "o1_csv_source").contains(n)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
       val p = plan(SparkEntry.queries(name)(spark, sf))
       val cartesian = p.contains("CartesianProduct")
