@@ -554,7 +554,38 @@ object Maintenance {
       countDistinct(when(yonly, $"zb")).as("files_z_yonly"))
   }
 
+  /** MT-15 — declarative CONSTRAINT audit (the data-quality face of
+    * mt4's FK audit): primary-key uniqueness and nullability, domain
+    * membership, and value-range checks over the orders table, all in
+    * ONE aggregate pass — uniqueness via n_rows − countDistinct(key)
+    * (no self-join, no groupBy-then-filter second shuffle), the rest
+    * as conditional counts fused into the same HashAggregate. This is
+    * the CHECK-constraint surface a lakehouse table format declares
+    * (Delta CHECK / Iceberg validation) executed as a scan: at 100 TB
+    * one pass over the table produces the full violation report, and
+    * the same expression set gates a WAP audit (mt13) before publish. */
+  def mt15ConstraintAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("n_dup_key_rows"),
+      sum($"o_orderkey".isNull.cast("bigint")).as("n_null_key"),
+      sum((!$"o_orderstatus".isin("F", "O", "P")).cast("bigint")).as("n_bad_status"),
+      sum(($"o_totalprice" <= 0.0).cast("bigint")).as("n_nonpositive_price"),
+      sum($"o_custkey".isNull.cast("bigint")).as("n_null_custkey"))
+
   val oracles: Map[String, String] = Map(
+    "mt15_constraint_audit" ->
+      """SELECT count(*) AS n_rows,
+                CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_key_rows,
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_null_key,
+                CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+                CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_nonpositive_price,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_null_custkey
+         FROM orders""",
     "mt14_zorder" -> {
       val z = zInterleaveSql("xb", "yb", "//")
       s"""WITH b AS (
@@ -720,5 +751,6 @@ object Maintenance {
     "mt12_snapshot_diff" -> mt12SnapshotDiff _,
     "mt13_wap" -> mt13Wap _,
     "mt14_zorder" -> mt14Zorder _,
+    "mt15_constraint_audit" -> mt15ConstraintAudit _,
   )
 }

@@ -222,7 +222,36 @@ object Binary {
       .orderBy($"asset_id")
   }
 
+  /** M-8 — multimodal MANIFEST coverage audit: before any ANN or
+    * embedding-gated stage runs, every document must have its vector
+    * (and every vector its document — orphan vectors mean the upstream
+    * embed job wrote rows the corpus later purged). One full-outer
+    * join on the id, conditional counts fused into one aggregate; at
+    * 100 TB this is the cheapest join in the pipeline (two id+source
+    * columns) and the report that decides whether s1–s11 are even
+    * runnable. The d10-purge / p3-ingest pair is what keeps these
+    * counts at zero in steady state. */
+  def m8ManifestAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select($"doc_id")
+    val vecs = Tables.embeddings(s, dir).select($"vec_id")
+    docs.join(vecs, docs("doc_id") === vecs("vec_id"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_entities"),
+        sum(($"doc_id".isNotNull && $"vec_id".isNotNull).cast("bigint")).as("n_paired"),
+        sum($"vec_id".isNull.cast("bigint")).as("n_docs_without_vec"),
+        sum($"doc_id".isNull.cast("bigint")).as("n_vecs_without_doc"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "m8_manifest_audit" ->
+      """SELECT count(*) AS n_entities,
+                CAST(sum(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_paired,
+                CAST(sum(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_docs_without_vec,
+                CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_vecs_without_doc
+         FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id""",
     "m7_perceptual_neardup" ->
       s"""WITH d AS (SELECT doc_id AS asset_id, text, length(text) AS n,
                             CAST(ceil(length(text) / $PhashBits.0) AS INT) AS seg_len
@@ -314,6 +343,7 @@ object Binary {
     "m5_asset_dedup" -> m5AssetDedup _,
     "m6_binaryfile_source" -> m6BinaryFileSource _,
     "m7_perceptual_neardup" -> m7PerceptualNearDup _,
+    "m8_manifest_audit" -> m8ManifestAudit _,
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_decode_features" -> m2DecodeFeatures _,
     "m3_frame_sample" -> m3FrameSample _,
