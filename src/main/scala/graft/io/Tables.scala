@@ -28,18 +28,31 @@ object Tables {
     * NTZ→TZ cast is value-preserving. Conversion is a pure projection:
     * pushdown/pruning on other columns is unaffected.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(LongType) =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
-        df.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
-    }
-  }
+  /** Memo of constructed table DataFrames per (session, dir, name).
+    * `spark.read.parquet` lists files and reads a footer to infer the
+    * schema on EVERY call — a constant metadata tax paid by all ~200
+    * gate entries (round-7 advice). The testdata dirs are immutable for
+    * a session's lifetime, so the logical plan (file index + schema +
+    * ts normalization) is reusable verbatim; execution still re-scans
+    * file CONTENT each run, exactly like a catalog table's cached
+    * metadata in production. Keyed by session so a restarted session
+    * (new file-index invalidation rules) never sees a stale entry. */
+  private val tableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableMemo.computeIfAbsent((spark, dir, name), { _ =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+        case Some(LongType) =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
+    })
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
@@ -109,14 +122,20 @@ object Tables {
     spark.readStream.schema(documentsStreamSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
 
+  private val rawTsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.DataType]()
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Footer read decides the ts encoding; mirrors the batch reader's
     // LongType match so batch and stream always agree on semantics.
-    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-    val raw = spark.readStream.schema(eventsStreamSchema(tsType))
+    // Memoized per (session, dir): a streaming source needs its schema
+    // declared up front, but the footer only needs reading once.
+    val rawTsType = rawTsMemo.computeIfAbsent((spark, dir),
+      _ => spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
+    val raw = spark.readStream.schema(eventsStreamSchema(rawTsType))
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    tsType match {
+    rawTsType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
@@ -124,7 +143,13 @@ object Tables {
         // the NTZ→TZ cast is value-preserving.
         raw.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // A new encoding (INT96, tz-annotated nanos, …) must fail loudly
+        // at this seam, not propagate unnormalized into watermark logic.
+        sys.error(
+          s"events.parquet ts has unsupported encoding $other; " +
+          "extend Tables.eventsStream/table to normalize it")
     }
   }
 }

@@ -567,7 +567,10 @@ object Maintenance {
   def mt15ConstraintAudit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).agg(
       count(lit(1)).as("n_rows"),
-      (count(lit(1)) - countDistinct($"o_orderkey")).as("n_dup_key_rows"),
+      // uniqueness over NON-NULL keys only: count(col) skips NULLs, so
+      // NULL-keyed rows land solely in n_null_key, not double-counted
+      // here as PK duplicates.
+      (count($"o_orderkey") - countDistinct($"o_orderkey")).as("n_dup_key_rows"),
       sum($"o_orderkey".isNull.cast("bigint")).as("n_null_key"),
       sum((!$"o_orderstatus".isin("F", "O", "P")).cast("bigint")).as("n_bad_status"),
       sum(($"o_totalprice" <= 0.0).cast("bigint")).as("n_nonpositive_price"),
@@ -576,7 +579,8 @@ object Maintenance {
   val oracles: Map[String, String] = Map(
     "mt15_constraint_audit" ->
       """SELECT count(*) AS n_rows,
-                CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_key_rows,
+                CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+                  AS n_dup_key_rows,
                 CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_null_key,
                 CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')

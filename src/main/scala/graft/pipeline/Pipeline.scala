@@ -286,6 +286,21 @@ object Pipeline {
     * At 100 TB each arrival interval pays gate + hash-join cost
     * proportional to the batch, and the seen-set is the dim-sized
     * artifact the pipeline maintains (the bloom form is x8). */
+  /** Seen-hash dirs from batches STRICTLY BEFORE `batchId`. A replayed
+    * batch (crash between the seen write and the checkpoint commit)
+    * finds its own failed-attempt `b=$batchId` dir on disk; anti-joining
+    * against it would filter out the whole replay and overwrite the
+    * admitted dir with an empty set. Ordering by id is the idempotency
+    * contract: batch i's dedup verdict depends only on batches < i. */
+  private[graft] def priorSeenDirs(seenRoot: String, batchId: Long): Seq[String] = {
+    val d = new java.io.File(seenRoot)
+    if (!d.exists) Seq.empty
+    else d.listFiles.map(_.getName)
+      .filter(_.startsWith("b="))
+      .filter(_.stripPrefix("b=").toLong < batchId)
+      .sorted.map(n => s"$seenRoot/$n").toSeq
+  }
+
   def p5StreamingCuration(s: SparkSession, dir: String): DataFrame = {
     sweepOldWorkDirs()
     val work = Files.createTempDirectory("graft_p5_").toString
@@ -319,11 +334,18 @@ object Pipeline {
                 org.apache.spark.sql.expressions.Window
                   .partitionBy(col("h")).orderBy(col("doc_id"))))
             .filter(col("rk") === 1).drop("rk")
-          val seenDir = new java.io.File(seen)
+          // Replay safety (the st15 crash-replay contract): a crash
+          // between the seen-hash write and the checkpoint commit makes
+          // the engine re-run this batchId, and a naive `b=*` glob would
+          // then anti-join the batch against its OWN failed-attempt
+          // hashes, emptying the replay. Only dirs with i < batchId are
+          // prior batches; the current id's dir (if present) is the
+          // failed attempt and must be ignored so overwrite repairs it.
+          val priorDirs = priorSeenDirs(seen, batchId)
           val fresh =
-            if (seenDir.exists && seenDir.listFiles.exists(_.getName.startsWith("b=")))
+            if (priorDirs.nonEmpty)
               firstInBatch.join(
-                s.read.schema("h STRING").parquet(s"$seen/b=*"),
+                s.read.schema("h STRING").parquet(priorDirs: _*),
                 Seq("h"), "left_anti")
             else firstInBatch
           fresh.drop("pb").write.mode("overwrite")

@@ -271,4 +271,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(after == emitted.length, "too-late event must not resurrect a closed window")
     } finally q.stop()
   }
+
+  test("p5 replay: seen-set for batch i excludes its own failed-attempt dir (crash idempotency)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_seen_").toString
+    try {
+      // simulate: batches 0,1 committed; batch 2 wrote its seen dir but
+      // CRASHED before the checkpoint commit — the engine replays id 2
+      Seq(0, 1, 2).foreach(i => new java.io.File(s"$root/b=$i").mkdirs())
+      assert(graft.pipeline.Pipeline.priorSeenDirs(root, 2L) ==
+        Seq(s"$root/b=0", s"$root/b=1"),
+        "replayed batch must anti-join only against PRIOR batches, " +
+        "never its own failed attempt")
+      assert(graft.pipeline.Pipeline.priorSeenDirs(root, 0L).isEmpty)
+      assert(graft.pipeline.Pipeline.priorSeenDirs(s"$root/missing", 3L).isEmpty)
+    } finally {
+      new java.io.File(root).listFiles.foreach(_.delete())
+      new java.io.File(root).delete()
+    }
+  }
 }
