@@ -56,6 +56,46 @@ object Dedup {
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy($"keep_id")
 
+  /** D-20 — URL/host-level dedup: a crawl pipeline dedups by
+    * NORMALIZED host+path BEFORE any content pass — it is the only
+    * dedup that can run at fetch time (no bytes needed) and it
+    * collapses the mirror/tracking noise that would otherwise multiply
+    * every content-dedup stage's input. The documents table carries no
+    * URL, so one is derived deterministically from doc_id (mirror
+    * subdomains, tracking query params, fragments, trailing slashes —
+    * the four classic canonicalization cases) and then canonicalized
+    * with the `parse_url` built-ins: host and path extracted, `www.` /
+    * `m.` subdomains stripped, query+fragment dropped (PATH excludes
+    * them), trailing slash removed. d1's keep-lowest-id shape over the
+    * canonical key, plus the id-sum checksum that pins exact group
+    * membership. At 100 TB this is a single hash-aggregate on the
+    * canonical string — map-side combinable, no join, and the key
+    * cardinality (distinct pages) is what bounds the shuffle, not the
+    * crawl size. */
+  def d20UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val page = $"doc_id" % 211
+    val url = concat(
+      lit("https://"),
+      when($"doc_id" % 3 === 0, "www.").when($"doc_id" % 3 === 1, "").otherwise("m."),
+      lit("site"), (page % 5).cast("string"), lit(".example.com"),
+      lit("/doc/"), page.cast("string"),
+      when($"doc_id" % 5 === 0, "/").otherwise(""),
+      when($"doc_id" % 4 === 0, concat(lit("?utm_source=feed&ref="), $"doc_id"))
+        .when($"doc_id" % 4 === 1, concat(lit("#sec-"), $"doc_id"))
+        .otherwise(""))
+    Tables.documents(s, dir)
+      .select($"doc_id", url.as("url"))
+      .select($"doc_id",
+        concat(
+          regexp_replace(parse_url($"url", lit("HOST")), "^(www|m)\\.", ""),
+          regexp_replace(parse_url($"url", lit("PATH")), "/$", ""))
+          .as("canon_url"))
+      .groupBy($"canon_url")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"),
+        sum($"doc_id").as("id_checksum"))
+      .orderBy($"canon_url")
+  }
+
   /** The 16 hash functions are 8-hex (32-bit) windows over 4 seeded md5
     * digests — 4 md5 evaluations per shingle instead of 16 (wide-hash
     * slicing, the standard MinHash trick). Lexicographic min over fixed-
@@ -931,6 +971,31 @@ object Dedup {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "d20_url_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  'https://'
+                  || (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                           WHEN doc_id % 3 = 1 THEN '' ELSE 'm.' END)
+                  || 'site' || CAST((doc_id % 211) % 5 AS VARCHAR) || '.example.com'
+                  || '/doc/' || CAST(doc_id % 211 AS VARCHAR)
+                  || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                  || (CASE WHEN doc_id % 4 = 0
+                             THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+                           WHEN doc_id % 4 = 1
+                             THEN '#sec-' || CAST(doc_id AS VARCHAR)
+                           ELSE '' END) AS url
+           FROM documents),
+         canon AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_extract(url, '^https://([^/?#]+)', 1),
+                                 '^(www|m)\.', '')
+                  || regexp_replace(regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1),
+                                    '/$', '') AS canon_url
+           FROM u)
+         SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_dups,
+                CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         FROM canon GROUP BY 1 ORDER BY canon_url""",
     "d2_minhash_sig" -> {
       val cat = (0 until NumHashes).map(i => s"m$i").mkString("||")
       s"SELECT doc_id, md5($cat) AS sig FROM ($minhashSql) ORDER BY doc_id"
@@ -1075,6 +1140,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1Exact _,
+    "d20_url_dedup" -> d20UrlDedup _,
     "d2_minhash_sig" -> d2MinhashSig _,
     "d3_lsh_pairs" -> d3LshPairs _,
     "d4_ngram_jaccard" -> d4NgramJaccard _,

@@ -136,6 +136,58 @@ object Pipeline {
     run(s, dir, work)
   }
 
+  /** P-6 — retry/restart convergence for the BATCH pipeline: the
+    * reference runs every stage under Airflow `retries=1` /5-min
+    * (`dags/hygiene_dag.py:5-10`), so a crash mid-stage is answered by
+    * re-running the SAME task against the SAME zones — correctness
+    * rests on each stage being a full-snapshot overwrite or a
+    * latest-object pick, never an in-place mutation. This entry
+    * PROVES that contract: it first plants the exact disk state a
+    * crash leaves behind (stale raw object only; clean zone truncated
+    * mid-overwrite with uncommitted `_temporary` litter and no
+    * `_SUCCESS`; a corrupt non-parquet file squatting in the curated
+    * zone), then runs the real pipeline over the wreckage. Overwrite
+    * semantics + name-embedded-ts latest-pick repair every zone, so
+    * the output must equal p1's — the entry shares p1's oracle, which
+    * IS the convergence check. The crash is planted before the serving
+    * appendHistory stage: overwrite/latest-pick zones are exactly-once
+    * under retry by construction, while an append sink needs a run-id
+    * key or staged WAP commit (mt13) to dedup — that boundary is the
+    * design point this entry documents. */
+  def p6PipelineRetry(s: SparkSession, dir: String): DataFrame = {
+    sweepOldWorkDirs()
+    val work = Files.createTempDirectory("graft_pipeline_retry_").toString
+    plantCrashDebris(s, dir, work)
+    run(s, dir, work) // the Airflow-style retry: same task, same zones
+  }
+
+  /** Disk state after attempt 1 died mid-flight (see [[p6PipelineRetry]]):
+    * three distinct failure shapes across the three zones. */
+  private[graft] def plantCrashDebris(s: SparkSession, dir: String, work: String): Unit = {
+    // raw: only the STALE partial snapshot landed; crash hit before the
+    // complete 20010102 object — retry must re-write and re-pick latest
+    val li = Tables.lineitem(s, dir)
+    li.limit(10).select(
+        $"l_orderkey".as("L OrderKey"), $"l_partkey".as(" L PartKey"),
+        $"l_quantity".as("L Quantity "), date_format($"l_shipdate", TsFmt).as("L ShipDate"))
+      .write.mode(SaveMode.Overwrite).option("header", "true")
+      .csv(s"$work/raw-zone/sheets/activity_20010101_000000")
+    // clean: overwrite died mid-write — truncated data, task-attempt
+    // litter under _temporary, and no _SUCCESS marker
+    val cleanPath = s"$work/clean-zone/sheets/catatan_aktivitas"
+    li.limit(7).select($"l_orderkey", $"l_partkey", $"l_quantity",
+        $"l_shipdate".cast("timestamp").as("l_shipdate"))
+      .write.mode(SaveMode.Overwrite).format(Snapshot.ZoneFormat).save(cleanPath)
+    Files.deleteIfExists(Paths.get(s"$cleanPath/_SUCCESS"))
+    Files.createDirectories(Paths.get(s"$cleanPath/_temporary/0/task_000_m_000"))
+    // curated: a garbage object with a parquet name — a half-flushed
+    // part file from the dying executor
+    Files.createDirectories(Paths.get(s"$work/curated-zone/prescriptive_hygiene"))
+    Files.write(
+      Paths.get(s"$work/curated-zone/prescriptive_hygiene/part-00000.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+  }
+
   /** Reclaim previous invocations' zones (each run writes full CSV+JSON+
     * parquet copies; repeated rounds would otherwise fill the tmp
     * filesystem). Only dirs older than 1h are swept so two concurrent
@@ -448,6 +500,9 @@ object Pipeline {
           FROM sp GROUP BY 1, 2 ORDER BY source, split"""
     },
     "p1_pipeline_e2e" -> Scoring.oracleSql,
+    // p6 = p1 re-run over planted crash wreckage; identical output IS
+    // the retry-convergence property, so the oracle is shared verbatim.
+    "p6_pipeline_retry" -> Scoring.oracleSql,
     "o8_json_raw" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
@@ -461,6 +516,7 @@ object Pipeline {
     "p3_incremental_ingest" -> p3IncrementalIngest _,
     "p4_curation_pipeline" -> p4CurationPipeline _,
     "p5_stream_curation" -> p5StreamingCuration _,
+    "p6_pipeline_retry" -> p6PipelineRetry _,
     "o8_json_raw" -> o8JsonRaw _,
   )
 }

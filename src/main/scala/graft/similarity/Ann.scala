@@ -320,6 +320,63 @@ object Ann {
     ivfSearch(idx)
   }
 
+  /** S-12 — TRAINED IVF codebook: [[KmRounds]] Lloyd's iterations over
+    * the corpus, seeded with s4's deterministic codebook. Each round is
+    * the canonical scalable k-means shape: one broadcast-join pass for
+    * assignment (argmin over k cells, ties → lowest cell id) and one
+    * map-side-combinable aggregation for the update (k·Dim partial-sum
+    * keys — the mergeable-partial-sums form, never a collect). At
+    * 100 TB rounds are bounded a priori (a production codebook trains
+    * on a sample anyway), so the plan is static — no convergence loop.
+    *
+    * Cross-engine determinism is by construction, not tolerance:
+    * vectors quantize to integers (floor(x·64 + ½)), every distance is
+    * integer arithmetic carried in exactly-representable doubles, and
+    * the centroid update floor-divides integer sums — so Spark and the
+    * DuckDB oracle agree bit-for-bit (same policy as s5/s10; FP means
+    * would diverge by summation order). Output: per (round, cell) the
+    * population, inertia (Σ squared distance under that round's
+    * assignment), and the updated centroid's component sum — the audit
+    * a training job logs per round, and the surface the k-means
+    * monotonicity spec pins. */
+  val KmRounds = 2
+  val KmScale = 64
+
+  def s12KmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val q = corpus(s, dir).select($"vec_id",
+        expr(s"transform(v, x -> CAST(floor(x * $KmScale + 0.5d) AS DOUBLE))").as("qd"))
+      .withColumn("qq", dot($"qd", $"qd").cast("long"))
+    var cents = q.filter($"vec_id" % 61 === 0).orderBy($"vec_id").limit(Cells)
+      .select($"vec_id".as("cell_id"), $"qd".as("cqd"), $"qq".as("cc"))
+    val rounds = (1 to KmRounds).map { r =>
+      val assigned = q.crossJoin(broadcast(cents))
+        .withColumn("d2",
+          ($"qq" + $"cc" - lit(2.0) * dot($"qd", $"cqd")).cast("long"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"d2", $"cell_id")))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"qd", $"cell_id", $"d2")
+      val newCents = assigned.select($"cell_id", posexplode($"qd"))
+        .groupBy($"cell_id", $"pos")
+        .agg(floor(sum($"col") / count(lit(1))).as("cv"))
+        .groupBy($"cell_id")
+        .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("pc"))
+        .select($"cell_id",
+          expr("transform(pc, x -> CAST(x.cv AS DOUBLE))").as("cqd"))
+        .withColumn("cc", dot($"cqd", $"cqd").cast("long"))
+      val stats = assigned.groupBy($"cell_id")
+        .agg(count(lit(1)).as("n_vecs"), sum($"d2").as("inertia"))
+        .join(newCents.select($"cell_id",
+          expr("CAST(aggregate(cqd, 0D, (a, x) -> a + x) AS BIGINT)")
+            .as("centroid_sum")), Seq("cell_id"))
+        .select(lit(r).as("round"), $"cell_id", $"n_vecs",
+          $"inertia".cast("long").as("inertia"), $"centroid_sum")
+      cents = newCents
+      stats
+    }
+    rounds.reduce(_ unionAll _).orderBy($"round", $"cell_id")
+  }
+
   /** S-5 — int8 embedding quantization (the storage/bandwidth path for
     * a 100 TB vector corpus: 4 bytes/dim fp32 → 1 byte/dim int8).
     * Per-vector absmax scaling, q = floor(x/scale + 0.5) — floor over
@@ -587,7 +644,60 @@ object Ann {
         SELECT query_id, bucket, rank, neighbor_id, round(cos, 4) AS cosine
         FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
+  /** DuckDB twin of [[s12KmeansTrain]]: the bounded-rounds loop unrolls
+    * to one CTE block per round (assignment → floor-mean update → round
+    * stats); all arithmetic is the same exact-integer form as the Spark
+    * side, so no tolerance is needed. */
+  private def oracleS12: String = {
+    def roundCtes(r: Int, prev: String): String =
+      s"""d$r AS (SELECT a.vec_id AS vec_id, a.q AS q, a.qq AS qq,
+                       c0.cell_id AS cell_id,
+                       a.qq + c0.cc
+                         - 2 * CAST(list_sum([a.q[i] * c0.cq[i]
+                                              for i in range(1, ${Dim + 1})]) AS BIGINT) AS d2
+                FROM qn a CROSS JOIN $prev c0),
+          a$r AS (SELECT vec_id, q, cell_id, d2 FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cell_id) AS rk
+                    FROM d$r)
+                  WHERE rk = 1),
+          u$r AS (SELECT cell_id, i,
+                         CAST(floor(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+                  FROM a$r CROSS JOIN pos GROUP BY cell_id, i),
+          cent${r}l AS (SELECT cell_id, list(cv ORDER BY i) AS cq
+                        FROM u$r GROUP BY cell_id),
+          cent$r AS (SELECT cell_id, cq,
+                            CAST(list_sum([x * x for x in cq]) AS BIGINT) AS cc
+                     FROM cent${r}l),
+          r$r AS (SELECT $r AS round, a.cell_id AS cell_id, count(*) AS n_vecs,
+                         CAST(sum(a.d2) AS BIGINT) AS inertia
+                  FROM a$r a GROUP BY a.cell_id),
+          r${r}o AS (SELECT r$r.round AS round, r$r.cell_id AS cell_id,
+                            r$r.n_vecs AS n_vecs, r$r.inertia AS inertia,
+                            CAST(list_sum(c.cq) AS BIGINT) AS centroid_sum
+                     FROM r$r JOIN cent$r c ON r$r.cell_id = c.cell_id)"""
+    val rounds = (1 to KmRounds)
+      .map(r => roundCtes(r, if (r == 1) "cent0" else s"cent${r - 1}"))
+      .mkString(",\n")
+    val union = (1 to KmRounds).map(r => s"SELECT * FROM r${r}o")
+      .mkString(" UNION ALL ")
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        qn0 AS (SELECT vec_id,
+                       [CAST(floor(x * $KmScale + 0.5) AS BIGINT) for x in v] AS q
+                FROM c),
+        qn AS (SELECT vec_id, q,
+                      CAST(list_sum([x * x for x in q]) AS BIGINT) AS qq
+               FROM qn0),
+        cent0 AS (SELECT vec_id AS cell_id, q AS cq, qq AS cc FROM qn
+                  WHERE vec_id % 61 = 0 ORDER BY vec_id LIMIT $Cells),
+        pos AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+        $rounds
+        SELECT round, cell_id, n_vecs, inertia, centroid_sum
+        FROM ($union) ORDER BY round, cell_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "s12_kmeans_train" -> oracleS12,
     "s7_pq_code" -> oracleS7,
     "s6_ann_recall" ->
       s"""WITH brute AS ($oracleS1),
@@ -761,5 +871,6 @@ object Ann {
     "s10_quant_recall" -> s10QuantRecall _,
     "s11_hamming_rerank" -> s11HammingRerank _,
     "s7_pq_code" -> s7PqCode _,
+    "s12_kmeans_train" -> s12KmeansTrain _,
   )
 }

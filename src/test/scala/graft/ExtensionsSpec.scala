@@ -74,6 +74,21 @@ class ExtensionsSpec extends AnyFunSuite {
       "a query lost recall going from single-bucket to multi-probe")
   }
 
+  test("s12 k-means: inertia is non-increasing across Lloyd's rounds, centroids are floor-means") {
+    val stats = Ann.s12KmeansTrain(spark, sf).collect()
+    val byRound = stats.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    (1 until Ann.KmRounds).foreach { r =>
+      assert(byRound(r + 1) <= byRound(r),
+        s"total inertia rose from round $r (${byRound(r)}) to ${r + 1} (${byRound(r + 1)})")
+    }
+    // every round keeps the full corpus assigned (no vector dropped)
+    val n = graft.io.Tables.embeddings(spark, sf).count()
+    stats.groupBy(_.getInt(0)).foreach { case (r, rows) =>
+      assert(rows.map(_.getLong(2)).sum == n, s"round $r lost vectors")
+    }
+  }
+
   test("containment dominates jaccard on every sampled pair") {
     // |A∩B|/|A| ≥ |A∩B|/|A∪B| always (|A| ≤ |A∪B|); both entries run
     // on the SAME anchor pair sample, so the comparison is row-for-row.

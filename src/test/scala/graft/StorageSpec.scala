@@ -196,4 +196,27 @@ class StorageSpec extends AnyFunSuite {
     val empty = back.filter(col("n_nationkey") < 0)
     assert(graft.io.JdbcSource.nonEmpty(empty).isEmpty)
   }
+
+  test("p6: planted crash debris is genuinely broken, and the retry repairs every zone") {
+    val work = Files.createTempDirectory("graft_p6_spec_").toString
+    graft.pipeline.Pipeline.plantCrashDebris(spark, sf, work)
+    // the wreckage is real: clean zone is truncated with attempt litter
+    // and no success marker; curated zone holds a non-parquet object
+    val cleanPath = s"$work/clean-zone/sheets/catatan_aktivitas"
+    assert(spark.read.parquet(cleanPath).count() == 7, "clean zone should be truncated")
+    assert(!new java.io.File(s"$cleanPath/_SUCCESS").exists)
+    assert(new java.io.File(s"$cleanPath/_temporary").exists)
+    assertThrows[Exception] {
+      spark.read.parquet(s"$work/curated-zone/prescriptive_hygiene").collect()
+    }
+    // the retry: same pipeline, same zones — every zone must converge
+    val result = graft.pipeline.Pipeline.run(spark, sf, work)
+    val direct = graft.pipeline.Pipeline.p1Pipeline(spark, sf)
+    assert(result.count() == direct.count())
+    assert(result.exceptAll(direct).isEmpty && direct.exceptAll(result).isEmpty,
+      "retried pipeline output must equal a clean run's output")
+    // clean zone repaired to the full snapshot (not the truncated 7)
+    assert(spark.read.parquet(cleanPath).count() > 7)
+    assert(new java.io.File(s"$cleanPath/_SUCCESS").exists)
+  }
 }
