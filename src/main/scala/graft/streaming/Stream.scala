@@ -51,11 +51,21 @@ object Stream {
     * `SparkSession.newSession()` per worker (per-session conf view)
     * rather than share one session across threads. */
   private val drainLock = new Object
+  /** State partition count for drained streams. A stateful streaming
+    * operator instantiates one state store per partition per stateful
+    * operator (a stream-stream join keeps FOUR stores per partition:
+    * left/right × keyToNumValues/keyWithIndexToValue), so this knob,
+    * not data volume, dominates micro-batch cost on small drains —
+    * measured in SCALING.md §streaming-constant-costs. Env-overridable
+    * for profiling; the default 8 balances drain overhead against
+    * parallelism at gate SFs. */
+  private[graft] val DrainPartitions =
+    sys.env.getOrElse("SPARK_GRAFT_DRAIN_PARTITIONS", "8")
   private[graft] def withDrainPartitions[A](s: SparkSession)(body: => A): A =
     drainLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val prev = s.conf.get(key)
-      s.conf.set(key, "8")
+      s.conf.set(key, DrainPartitions)
       try body finally s.conf.set(key, prev)
     }
 
@@ -64,16 +74,31 @@ object Stream {
     * protocol of every production-shape entry (st4/5/6/8/9/11/12). The
     * final no-data micro-batch advances the watermark past the drained
     * data, flushing everything state can release before termination. */
-  private def drainAppend(s: SparkSession, plan: DataFrame, prefix: String): DataFrame = {
+  /** `finalFlush = false` skips the trailing no-data micro-batch. Only
+    * legal for plans whose OUTPUT is complete after the data batches —
+    * eager-emitting joins (inner/semi): their matches ship as they
+    * arrive and the flush batch would only evict state that query
+    * teardown discards anyway. Windowed aggregations and outer joins
+    * MUST keep the flush (it is what finalizes closed windows /
+    * null-extends unmatched rows past the watermark) — measured ~0.7 s
+    * per drain at gate scale, ~30% of a join drain's wall clock
+    * (SCALING.md §streaming-constant-costs). */
+  private def drainAppend(s: SparkSession, plan: DataFrame, prefix: String,
+      finalFlush: Boolean = true): DataFrame = {
     graft.pipeline.Pipeline.sweepOldWorkDirs()
     val work = java.nio.file.Files.createTempDirectory(prefix).toString
     withDrainPartitions(s) {
-      val q = plan.writeStream
-        .outputMode("append").format(Snapshot.ZoneFormat)
-        .option("path", s"$work/out")
-        .option("checkpointLocation", s"$work/chk")
-        .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, finalFlush.toString)
+      try {
+        val q = plan.writeStream
+          .outputMode("append").format(Snapshot.ZoneFormat)
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/chk")
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set(key, prev)
     }
     Snapshot.readZone(s, s"$work/out")
   }
@@ -295,7 +320,7 @@ object Stream {
   }
 
   def st9StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    drainAppend(s, st9Plan(s, dir), "graft_st9_")
+    drainAppend(s, st9Plan(s, dir), "graft_st9_", finalFlush = false)
       .groupBy($"v_user".as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct($"v_id").as("n_views_converted"),
@@ -324,7 +349,7 @@ object Stream {
       $"v_user" === $"p_user" &&
         $"p_ts" >= $"v_ts" && $"p_ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"),
       "left_semi")
-    drainAppend(s, joined, "graft_st20_")
+    drainAppend(s, joined, "graft_st20_", finalFlush = false)
       .groupBy($"v_user".as("user_id"))
       .agg(count(lit(1)).as("n_converted_views"),
         sum($"v_id").as("view_id_checksum"))

@@ -9,11 +9,17 @@ object TimeOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (name, dir) = (args(0), args(1))
+    val reps = if (args.length > 2) args(2).toInt else 1
     val fn = graft.SparkEntry.queries(name)
     val n0 = fn(spark, dir).count() // warm
-    val t0 = System.nanoTime()
-    val n = fn(spark, dir).count()
-    println(f"TIMED $name rows=$n t=${(System.nanoTime()-t0)/1e9}%.2f s")
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val med = times.sorted.apply(times.size / 2)
+    println(f"TIMED $name rows=$n0 median=$med%.3f s over $reps reps " +
+      times.map(t => f"$t%.3f").mkString("[", ",", "]"))
     spark.stop()
   }
 }
