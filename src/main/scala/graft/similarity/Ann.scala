@@ -342,20 +342,32 @@ object Ann {
   val KmRounds = 2
   val KmScale = 64
 
-  def s12KmeansTrain(s: SparkSession, dir: String): DataFrame = {
-    val q = corpus(s, dir).select($"vec_id",
+  /** Integer-quantized corpus (qd carried as exactly-representable
+    * doubles so [[dot]] stays in codegen; qq = ‖q‖², exact). */
+  private def quantCorpus(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).select($"vec_id",
         expr(s"transform(v, x -> CAST(floor(x * $KmScale + 0.5d) AS DOUBLE))").as("qd"))
       .withColumn("qq", dot($"qd", $"qd").cast("long"))
+
+  /** Argmin cell assignment of a quantized corpus against a broadcast
+    * centroid set (ties → lowest cell id); d2 is the exact integer
+    * squared distance. */
+  private def assignCells(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        ($"qq" + $"cc" - lit(2.0) * dot($"qd", $"cqd")).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"d2", $"cell_id")))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"qd", $"cell_id", $"d2")
+
+  /** The fitted loop: per-round stats plus the final centroid set. */
+  private def kmeansFit(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
+    val q = quantCorpus(s, dir)
     var cents = q.filter($"vec_id" % 61 === 0).orderBy($"vec_id").limit(Cells)
       .select($"vec_id".as("cell_id"), $"qd".as("cqd"), $"qq".as("cc"))
     val rounds = (1 to KmRounds).map { r =>
-      val assigned = q.crossJoin(broadcast(cents))
-        .withColumn("d2",
-          ($"qq" + $"cc" - lit(2.0) * dot($"qd", $"cqd")).cast("long"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"d2", $"cell_id")))
-        .filter($"rk" === 1)
-        .select($"vec_id", $"qd", $"cell_id", $"d2")
+      val assigned = assignCells(q, cents)
       val newCents = assigned.select($"cell_id", posexplode($"qd"))
         .groupBy($"cell_id", $"pos")
         .agg(floor(sum($"col") / count(lit(1))).as("cv"))
@@ -374,7 +386,44 @@ object Ann {
       cents = newCents
       stats
     }
+    (rounds, cents)
+  }
+
+  def s12KmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val (rounds, _) = kmeansFit(s, dir)
     rounds.reduce(_ unionAll _).orderBy($"round", $"cell_id")
+  }
+
+  /** S-13 — the trained codebook EVALUATED: the corpus is re-assigned
+    * against the final k-means centroids, searched with the same IVF
+    * kernel as s4/s8 (cell-restricted cosine top-k over the ORIGINAL
+    * double vectors), and scored for recall@k against the s1
+    * brute-force truth — s6's harness pointed at the trained index.
+    * Together with s6 (LSH) and s10 (int8) this completes the recall
+    * scoreboard: one evaluation surface, four index designs. The
+    * KMeansSpec pins the training benefit: total hits with trained
+    * cells must not fall below the untrained s4 codebook's. */
+  def s13TrainedRecall(s: SparkSession, dir: String): DataFrame = {
+    val (_, cents) = kmeansFit(s, dir)
+    val assigned = assignCells(quantCorpus(s, dir), cents)
+      .select($"vec_id", $"cell_id")
+      .join(corpus(s, dir), "vec_id")
+    recallVsBrute(s, dir, ivfSearch(assigned))
+  }
+
+  /** recall@k of an approximate result set against the s1 truth —
+    * shared by s6 (LSH) and s13 (trained IVF). */
+  private def recallVsBrute(s: SparkSession, dir: String,
+      approx: DataFrame): DataFrame = {
+    val brute = s1BruteTopK(s, dir).select($"query_id", $"neighbor_id")
+    val hits = approx.select($"query_id", $"neighbor_id", lit(1).as("hit"))
+    brute.join(hits, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0))).as("n_hit"))
+      .select($"query_id", $"k".cast("int").as("k"),
+        $"n_hit".cast("int").as("n_hit"),
+        round($"n_hit" / $"k", 4).as("recall_at_k"))
+      .orderBy($"query_id")
   }
 
   /** S-5 — int8 embedding quantization (the storage/bandwidth path for
@@ -405,16 +454,7 @@ object Ann {
     * already is one) so cost stays |sample|·N while the index serves
     * the full load. */
   def s6AnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val brute = s1BruteTopK(s, dir).select($"query_id", $"neighbor_id")
-    val lsh = s2LshTopK(s, dir)
-      .select($"query_id", $"neighbor_id", lit(1).as("hit"))
-    brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
-      .groupBy($"query_id")
-      .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0))).as("n_hit"))
-      .select($"query_id", $"k".cast("int").as("k"),
-        $"n_hit".cast("int").as("n_hit"),
-        round($"n_hit" / $"k", 4).as("recall_at_k"))
-      .orderBy($"query_id")
+    recallVsBrute(s, dir, s2LshTopK(s, dir))
   }
 
   /** S-10 — int8-quantized retrieval recall: rank neighbors by the
@@ -649,7 +689,20 @@ object Ann {
     * stats); all arithmetic is the same exact-integer form as the Spark
     * side, so no tolerance is needed. */
   private def oracleS12: String = {
-    def roundCtes(r: Int, prev: String): String =
+    val rounds = (1 to KmRounds)
+      .map(r => kmeansRoundCtes(r, if (r == 1) "cent0" else s"cent${r - 1}"))
+      .mkString(",\n")
+    val union = (1 to KmRounds).map(r => s"SELECT * FROM r${r}o")
+      .mkString(" UNION ALL ")
+    s"""WITH $kmeansCtePrefix,
+        $rounds
+        SELECT round, cell_id, n_vecs, inertia, centroid_sum
+        FROM ($union) ORDER BY round, cell_id"""
+  }
+
+  /** One unrolled Lloyd's round (assignment d/a, floor-mean update
+    * u/cent, round stats r) — shared by the s12 and s13 oracles. */
+  private def kmeansRoundCtes(r: Int, prev: String): String =
       s"""d$r AS (SELECT a.vec_id AS vec_id, a.q AS q, a.qq AS qq,
                        c0.cell_id AS cell_id,
                        a.qq + c0.cc
@@ -676,12 +729,55 @@ object Ann {
                             r$r.n_vecs AS n_vecs, r$r.inertia AS inertia,
                             CAST(list_sum(c.cq) AS BIGINT) AS centroid_sum
                      FROM r$r JOIN cent$r c ON r$r.cell_id = c.cell_id)"""
+
+  /** DuckDB twin of [[s13TrainedRecall]]: the k-means rounds, a final
+    * assignment against cent[[KmRounds]], the s4-shaped cell-restricted
+    * cosine search over the original double vectors, then s6's recall
+    * join against the s1 brute-force truth. */
+  private def oracleS13: String = {
     val rounds = (1 to KmRounds)
-      .map(r => roundCtes(r, if (r == 1) "cent0" else s"cent${r - 1}"))
+      .map(r => kmeansRoundCtes(r, if (r == 1) "cent0" else s"cent${r - 1}"))
       .mkString(",\n")
-    val union = (1 to KmRounds).map(r => s"SELECT * FROM r${r}o")
-      .mkString(" UNION ALL ")
-    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH $kmeansCtePrefix,
+        $rounds,
+        fd AS (SELECT a.vec_id AS vec_id, c0.cell_id AS cell_id,
+                      a.qq + c0.cc
+                        - 2 * CAST(list_sum([a.q[i] * c0.cq[i]
+                                             for i in range(1, ${Dim + 1})]) AS BIGINT) AS d2
+               FROM qn a CROSS JOIN cent$KmRounds c0),
+        fa AS (SELECT vec_id, cell_id FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d2, cell_id) AS rk
+                 FROM fd)
+               WHERE rk = 1),
+        m AS (SELECT fa.vec_id AS vec_id, fa.cell_id AS cell_id, c.v AS v
+              FROM fa JOIN c ON fa.vec_id = c.vec_id),
+        qs AS (SELECT vec_id AS query_id, cell_id, v FROM m
+               WHERE vec_id % 100 = 0),
+        scored AS (SELECT qs.query_id AS query_id, a.vec_id AS neighbor_id,
+                          ${cosineSql.replace("b.v", "qs.v")} AS cos
+                   FROM m a JOIN qs ON a.cell_id = qs.cell_id
+                   WHERE a.vec_id <> qs.query_id),
+        tk AS (SELECT query_id, neighbor_id FROM
+                (SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM scored)
+               WHERE rank <= $TopK),
+        brute AS ($oracleS1)
+        SELECT b.query_id AS query_id, CAST(count(*) AS INT) AS k,
+               CAST(count(t.neighbor_id) AS INT) AS n_hit,
+               round(count(t.neighbor_id) / CAST(count(*) AS DOUBLE), 4)
+                 AS recall_at_k
+        FROM brute b LEFT JOIN tk t
+          ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+        GROUP BY 1 ORDER BY query_id"""
+  }
+
+  /** Shared CTE head for the k-means oracles: quantized corpus, seed
+    * codebook, 1-based position table. */
+  private def kmeansCtePrefix: String =
+    s"""c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         qn0 AS (SELECT vec_id,
                        [CAST(floor(x * $KmScale + 0.5) AS BIGINT) for x in v] AS q
                 FROM c),
@@ -690,14 +786,11 @@ object Ann {
                FROM qn0),
         cent0 AS (SELECT vec_id AS cell_id, q AS cq, qq AS cc FROM qn
                   WHERE vec_id % 61 = 0 ORDER BY vec_id LIMIT $Cells),
-        pos AS (SELECT unnest(generate_series(1, $Dim)) AS i),
-        $rounds
-        SELECT round, cell_id, n_vecs, inertia, centroid_sum
-        FROM ($union) ORDER BY round, cell_id"""
-  }
+        pos AS (SELECT unnest(generate_series(1, $Dim)) AS i)"""
 
   val oracles: Map[String, String] = Map(
     "s12_kmeans_train" -> oracleS12,
+    "s13_trained_recall" -> oracleS13,
     "s7_pq_code" -> oracleS7,
     "s6_ann_recall" ->
       s"""WITH brute AS ($oracleS1),
@@ -872,5 +965,6 @@ object Ann {
     "s11_hamming_rerank" -> s11HammingRerank _,
     "s7_pq_code" -> s7PqCode _,
     "s12_kmeans_train" -> s12KmeansTrain _,
+    "s13_trained_recall" -> s13TrainedRecall _,
   )
 }

@@ -89,6 +89,22 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("s13: trained codebook recall does not fall below the s4 seed codebook's") {
+    // s6's harness, two indexes: hits@k vs the s1 brute-force truth for
+    // the untrained deterministic codebook (s4) and the k-means-trained
+    // one (s13). Lloyd's rounds minimize quantization error, which is
+    // what drives IVF cell quality — measured 11>9 (sf0.001), 8>7
+    // (sf0.01) at round 8; the spec pins the non-regression direction.
+    val brute = Ann.s1BruteTopK(spark, sf).select(col("query_id"), col("neighbor_id"))
+    val s4Hits = brute.join(
+      Ann.s4IvfTopK(spark, sf).select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val trainedHits = Ann.s13TrainedRecall(spark, sf)
+      .agg(sum(col("n_hit"))).collect()(0).getLong(0)
+    assert(trainedHits >= s4Hits,
+      s"k-means training lost recall: trained=$trainedHits < seed=$s4Hits")
+  }
+
   test("containment dominates jaccard on every sampled pair") {
     // |A∩B|/|A| ≥ |A∩B|/|A∪B| always (|A| ≤ |A∪B|); both entries run
     // on the SAME anchor pair sample, so the comparison is row-for-row.

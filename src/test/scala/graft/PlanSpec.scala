@@ -310,6 +310,7 @@ class PlanSpec extends AnyFunSuite {
       "s11_hamming_rerank", // same query-broadcast shape; stage-1 scans 16 B/vector sketches
       "s4_ann_ivf",    // corpus x |codebook|=8 centroid assignment
       "s12_kmeans_train", // same corpus x 8-centroid assignment, once per Lloyd's round
+      "s13_trained_recall", // trained-cell assignment + s1's brute truth side
       "d15_semantic_dedup", // same s4 centroid assignment feeds the cells
       "mt6_clustered_layout", // per-file stat table (<=ClusterFiles rows) range-overlap self-join
       "mt7_partition_overwrite") // 1-row max-day broadcast across the table
