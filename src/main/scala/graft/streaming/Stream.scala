@@ -384,6 +384,42 @@ object Stream {
       .orderBy($"user_id")
   }
 
+  /** ST-21 — stream-stream FULL OUTER join: the last cell of the
+    * streaming join matrix (st9 inner, st11 left-outer, st20 semi,
+    * st13 stream-static anti). Both unmatched classes are
+    * watermark-gated: an unmatched `view` null-extends once its match
+    * window [v_ts, v_ts+1h] closes (v_ts + 1h < W — st11's rule), an
+    * unmatched `purchase` once no joinable view can still arrive
+    * (p_ts < W: future views have v_ts ≥ W but the condition needs
+    * v_ts ≤ p_ts). Matched pairs emit eagerly like the inner join.
+    * Trailing open rows stay in state and are discarded at teardown —
+    * the oracle replays both closed-window rules against the final
+    * watermark max(ts) − 2h. Same bounded-buffer guarantee as st9:
+    * watermarks on BOTH sides plus the interval condition are what
+    * make full-outer stream state evictable at all. */
+  def st21StreamFullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, tag: String) =
+      graft.io.Tables.eventsStream(s, dir)
+        .filter($"event_type" === tpe)
+        .select($"user_id".as(s"${tag}_user"), $"ts".as(s"${tag}_ts"),
+          $"event_id".as(s"${tag}_id"))
+        .withWatermark(s"${tag}_ts", "2 hours")
+    val joined = side("view", "v").join(side("purchase", "p"),
+      $"v_user" === $"p_user" &&
+        $"p_ts" >= $"v_ts" && $"p_ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+    drainAppend(s, joined, "graft_st21_")
+      .groupBy(coalesce($"v_user", $"p_user").as("user_id"))
+      .agg(
+        sum(when($"v_id".isNotNull && $"p_id".isNotNull, 1L).otherwise(0L))
+          .as("n_pairs"),
+        sum(when($"v_id".isNotNull && $"p_id".isNull, 1L).otherwise(0L))
+          .as("n_views_unmatched"),
+        sum(when($"v_id".isNull, 1L).otherwise(0L))
+          .as("n_purchases_unmatched"))
+      .orderBy($"user_id")
+  }
+
   /** ST-12 — STREAMING `session_window` (30-min gap) with watermark +
     * append + file sink: Spark's dedicated session-merge state (late
     * events extend/merge sessions while inside the watermark) — the
@@ -643,7 +679,13 @@ object Stream {
     // the final watermark (max ts - 2h) passes the end of its match
     // window (v_ts + 1h).
     "st11_stream_outer_join" ->
-      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+      """WITH wm AS (
+           -- min across the two watermarked sides (same rule as st21):
+           -- max(all ts) would overshoot whenever the sides' maxes differ
+           SELECT least(
+             (SELECT max(ts) FROM events WHERE event_type = 'view'),
+             (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 2 HOUR AS w),
          v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
          p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
          j AS (SELECT v.user_id AS user_id, v.ts AS v_ts, p.event_id AS p_id
@@ -660,6 +702,41 @@ object Stream {
              OR sum(CASE WHEN p_id IS NULL
                           AND v_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
                          THEN 1 ELSE 0 END) > 0
+         ORDER BY user_id""",
+    // st21: full outer = matched pairs (eager) + both unmatched classes,
+    // each gated by its own closed-window rule vs the final watermark.
+    "st21_stream_full_outer" ->
+      """WITH wm AS (
+           -- the query's global watermark is the MIN across the two
+           -- watermarked sides, each computed from the rows that side
+           -- actually saw (post event_type filter) — NOT max over all
+           -- events
+           SELECT least(
+             (SELECT max(ts) FROM events WHERE event_type = 'view'),
+             (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 2 HOUR AS w),
+         v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT v.user_id AS vu, p.user_id AS pu, v.ts AS v_ts, p.ts AS p_ts,
+                      v.event_id AS v_id, p.event_id AS p_id
+               FROM v FULL JOIN p
+                 ON p.user_id = v.user_id
+                AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR),
+         cls AS (SELECT coalesce(vu, pu) AS user_id,
+                        CASE WHEN v_id IS NOT NULL AND p_id IS NOT NULL
+                             THEN 1 ELSE 0 END AS m,
+                        CASE WHEN v_id IS NOT NULL AND p_id IS NULL
+                              AND v_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+                             THEN 1 ELSE 0 END AS uv,
+                        CASE WHEN v_id IS NULL
+                              AND p_ts < (SELECT w FROM wm)
+                             THEN 1 ELSE 0 END AS up
+                 FROM j)
+         SELECT user_id, CAST(sum(m) AS BIGINT) AS n_pairs,
+                CAST(sum(uv) AS BIGINT) AS n_views_unmatched,
+                CAST(sum(up) AS BIGINT) AS n_purchases_unmatched
+         FROM cls GROUP BY 1
+         HAVING sum(m) > 0 OR sum(uv) > 0 OR sum(up) > 0
          ORDER BY user_id""",
     // st20: semi emits each matched view once, eagerly -> oracle is the
     // plain batch EXISTS over the same interval condition.
@@ -784,6 +861,7 @@ object Stream {
     "st9_stream_stream_join" -> st9StreamStreamJoin _,
     "st11_stream_outer_join" -> st11StreamOuterJoin _,
     "st20_stream_semi_join" -> st20StreamSemiJoin _,
+    "st21_stream_full_outer" -> st21StreamFullOuterJoin _,
     "st12_session_window" -> st12SessionWindow _,
   )
 }
