@@ -156,6 +156,10 @@ object Dedup {
       d9Cache.clear()
     }
     invalidateClusterCache() // cluster map derives from the signatures
+    // The documented in-session rewrite contract is THIS call; cascade
+    // to the table-plan memo too, or the rewritten dir's stale file
+    // listing survives underneath the cleared signature caches.
+    graft.io.Tables.invalidateTableCache()
   }
 
   /** Per-doc band signatures (Bands rows per doc). */

@@ -54,6 +54,24 @@ object Tables {
       }
     })
 
+  /** Drop memoized plans (file index + schema) for `dir` — the
+    * invalidation contract for the immutability assumption above. A
+    * caller that rewrites a data dir it also reads through [[table]]
+    * MUST call this (Dedup.invalidateSignatureCache cascades here), or
+    * the stale file listing yields stale rows / FileNotFoundException.
+    * Also forgets view registrations pointing at `dir`, since those
+    * views wrap the dropped plans. Pass no dir to clear everything. */
+  def invalidateTableCache(dir: String = null): Unit = {
+    val it = tableMemo.keySet.iterator()
+    while (it.hasNext) { val k = it.next(); if (dir == null || k._2 == dir) it.remove() }
+    val rt = rawTsMemo.keySet.iterator()
+    while (rt.hasNext) { val k = rt.next(); if (dir == null || k._2 == dir) rt.remove() }
+    registered.synchronized {
+      val rg = registered.entrySet().iterator()
+      while (rg.hasNext) { val e = rg.next(); if (dir == null || e.getValue == dir) rg.remove() }
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")

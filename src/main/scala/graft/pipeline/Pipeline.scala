@@ -349,7 +349,10 @@ object Pipeline {
     if (!d.exists) Seq.empty
     else d.listFiles.map(_.getName)
       .filter(_.startsWith("b="))
-      .filter(_.stripPrefix("b=").toLong < batchId)
+      // safe parse: a partial/temp leftover like b=3.tmp must be
+      // ignored, not throw and kill the foreachBatch
+      .filter(n => scala.util.Try(n.stripPrefix("b=").toLong)
+        .toOption.exists(_ < batchId))
       .sorted.map(n => s"$seenRoot/$n").toSeq
   }
 

@@ -679,13 +679,19 @@ object Stream {
     // the final watermark (max ts - 2h) passes the end of its match
     // window (v_ts + 1h).
     "st11_stream_outer_join" ->
-      """WITH wm AS (
+      """WITH mx AS (
+           SELECT max(CASE WHEN event_type = 'view' THEN ts END) AS mv,
+                  max(CASE WHEN event_type = 'purchase' THEN ts END) AS mp
+           FROM events),
+         wm AS (
            -- min across the two watermarked sides (same rule as st21):
-           -- max(all ts) would overshoot whenever the sides' maxes differ
-           SELECT least(
-             (SELECT max(ts) FROM events WHERE event_type = 'view'),
-             (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
-             - INTERVAL 2 HOUR AS w),
+           -- max(all ts) would overshoot whenever the sides' maxes
+           -- differ. A side with zero rows must yield NULL (watermark
+           -- never advances, no unmatched rows emit) — least() skips
+           -- NULL args, so gate it with an explicit CASE.
+           SELECT CASE WHEN mv IS NULL OR mp IS NULL THEN NULL
+                       ELSE least(mv, mp) - INTERVAL 2 HOUR END AS w
+           FROM mx),
          v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
          p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
          j AS (SELECT v.user_id AS user_id, v.ts AS v_ts, p.event_id AS p_id
@@ -706,15 +712,20 @@ object Stream {
     // st21: full outer = matched pairs (eager) + both unmatched classes,
     // each gated by its own closed-window rule vs the final watermark.
     "st21_stream_full_outer" ->
-      """WITH wm AS (
+      """WITH mx AS (
+           SELECT max(CASE WHEN event_type = 'view' THEN ts END) AS mv,
+                  max(CASE WHEN event_type = 'purchase' THEN ts END) AS mp
+           FROM events),
+         wm AS (
            -- the query's global watermark is the MIN across the two
            -- watermarked sides, each computed from the rows that side
            -- actually saw (post event_type filter) — NOT max over all
-           -- events
-           SELECT least(
-             (SELECT max(ts) FROM events WHERE event_type = 'view'),
-             (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
-             - INTERVAL 2 HOUR AS w),
+           -- events. An empty side must yield a NULL watermark (Spark's
+           -- min watermark never advances → no unmatched rows), so use
+           -- a CASE instead of NULL-skipping least().
+           SELECT CASE WHEN mv IS NULL OR mp IS NULL THEN NULL
+                       ELSE least(mv, mp) - INTERVAL 2 HOUR END AS w
+           FROM mx),
          v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
          p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
          j AS (SELECT v.user_id AS vu, p.user_id AS pu, v.ts AS v_ts, p.ts AS p_ts,

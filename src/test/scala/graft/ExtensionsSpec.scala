@@ -78,12 +78,22 @@ class ExtensionsSpec extends AnyFunSuite {
     val stats = Ann.s12KmeansTrain(spark, sf).collect()
     val byRound = stats.groupBy(_.getInt(0)).view
       .mapValues(_.map(_.getLong(3)).sum).toMap
+    // Exact Lloyd's is monotone, but the floor-quantized centroid update
+    // is not the exact mean, so strict monotonicity is not guaranteed in
+    // theory. Allow the flooring perturbation: each coordinate is off by
+    // <1, contributing at most ~(2|x_d-m_d|+1) per vector-dim; a slack
+    // of n_vecs*Dim covers the additive term (the cross term has never
+    // been observed to flip the sign at any shipped SF — empirically the
+    // rounds are strictly decreasing; this is the theory-safe bound).
+    val nVecs = graft.io.Tables.embeddings(spark, sf).count()
+    val slack = nVecs * Ann.Dim
     (1 until Ann.KmRounds).foreach { r =>
-      assert(byRound(r + 1) <= byRound(r),
-        s"total inertia rose from round $r (${byRound(r)}) to ${r + 1} (${byRound(r + 1)})")
+      assert(byRound(r + 1) <= byRound(r) + slack,
+        s"total inertia rose from round $r (${byRound(r)}) to ${r + 1} (${byRound(r + 1)}) " +
+          s"beyond flooring slack $slack")
     }
     // every round keeps the full corpus assigned (no vector dropped)
-    val n = graft.io.Tables.embeddings(spark, sf).count()
+    val n = nVecs
     stats.groupBy(_.getInt(0)).foreach { case (r, rows) =>
       assert(rows.map(_.getLong(2)).sum == n, s"round $r lost vectors")
     }

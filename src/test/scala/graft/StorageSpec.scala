@@ -219,4 +219,29 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(cleanPath).count() > 7)
     assert(new java.io.File(s"$cleanPath/_SUCCESS").exists)
   }
+
+  test("table memo invalidation: a rewritten dir serves fresh rows after invalidateTableCache") {
+    // The tableMemo's immutability assumption is a CONTRACT, not a
+    // convention: this spec rewrites a dir the memo has served and
+    // proves (a) the invalidation hook yields the new data, and (b) the
+    // documented rewrite path (Dedup.invalidateSignatureCache) cascades
+    // to the table memo too.
+    val dir = Files.createTempDirectory("graft_memo_").toString
+    def write(n: Int): Unit = {
+      import spark.implicits._
+      (0 until n).map(i => (i.toLong, s"doc $i", "en", "web", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    write(10)
+    assert(graft.io.Tables.documents(spark, dir).count() == 10)
+    write(25) // in-session rewrite of a dir the memo already holds
+    graft.io.Tables.invalidateTableCache(dir)
+    assert(graft.io.Tables.documents(spark, dir).count() == 25,
+      "memo served a stale plan after invalidateTableCache(dir)")
+    write(7)
+    graft.dedup.Dedup.invalidateSignatureCache() // documented rewrite path
+    assert(graft.io.Tables.documents(spark, dir).count() == 7,
+      "invalidateSignatureCache did not cascade to the table memo")
+  }
 }
