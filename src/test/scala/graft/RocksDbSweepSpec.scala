@@ -25,13 +25,14 @@ class RocksDbSweepSpec extends AnyFunSuite {
 
   /** Every stateful streaming entry not already RocksDB-pinned:
     * watermarked aggs (st1/st4/st5), dedup state (st6), stream-stream
-    * join buffers (st9/st11/st20/st21), session windows (st12),
+    * join buffers (st9/st11/st19/st20/st21), session windows (st12),
     * flatMapGroupsWithState sessions (st3), anti-join state (st13). */
   val entries = Seq(
     "st1_stream_hourly", "st3_stateful_sessions", "st4_watermark_append",
     "st5_sliding_watermark", "st6_stream_dedup", "st9_stream_stream_join",
     "st11_stream_outer_join", "st12_session_window", "st13_stream_anti_join",
-    "st20_stream_semi_join", "st21_stream_full_outer")
+    "st19_stream_right_outer", "st20_stream_semi_join",
+    "st21_stream_full_outer")
 
   def rows(name: String): Seq[Row] =
     SparkEntry.queries(name)(spark, sf).collect().toSeq
