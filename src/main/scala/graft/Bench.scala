@@ -34,8 +34,23 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scale-proof shuffle sizing (round-9 sf1→sf10 finding): a fixed
+      // partition count means 10× data = 10× payload per sort/join task
+      // → spill → super-linear wall time (t15 exp 1.73, d5 1.42 at the
+      // pinned 32). Let AQE start wide and coalesce: big shuffles keep
+      // ~advisory-sized partitions at any SF, small ones still collapse
+      // to a handful. This is the production conf, not a bench trick.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(256, cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Shuffle files are reference-tracked and only deleted when a GC
+      // runs (ContextCleaner): a 202-entry suite in ONE JVM accumulates
+      // them, and at 10× data the later entries measurably degrade from
+      // page-cache/disk pressure that isn't theirs (q31 4.4 s fresh vs
+      // 33 s late-suite at sf10). Ask Spark to GC-sweep periodically —
+      // harness hygiene so per-entry numbers stay per-entry.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -80,7 +95,14 @@ object Bench {
             Nil
         }
       if (times.isEmpty) (name, -1.0, -1.0, 0)
-      else { val (m, s) = stats(times); (name, m, s, times.size) }
+      else {
+        // release this entry's shuffle files before the next one is
+        // timed (same rationale as periodicGC.interval above, but
+        // deterministic: the cleanup lands between entries, not inside
+        // a timed rep)
+        System.gc()
+        val (m, s) = stats(times); (name, m, s, times.size)
+      }
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

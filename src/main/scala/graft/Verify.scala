@@ -15,6 +15,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same scale-proof AQE sizing as Bench (see Bench.scala): start
+      // shuffles wide, let coalescing right-size them per data volume
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(256, cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -302,7 +302,8 @@ object Advanced {
     * state — is [[graft.streaming.Stream.st5SlidingWatermark]]. */
   def st2StreamSliding(s: SparkSession, dir: String): DataFrame = {
     val name = "st2_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    graft.streaming.Stream.withDrainPartitions(s) {
+    graft.streaming.Stream.withDrainPartitions(s,
+        graft.streaming.Stream.drainPartitionsFor(s, graft.streaming.Stream.tableBytes(dir, "events"))) {
       val q = Tables.eventsStream(s, dir)
         .select($"ts", $"event_type")
         .groupBy(window($"ts", "2 hours", "1 hour").as("w"), $"event_type")

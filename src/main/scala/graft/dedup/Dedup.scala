@@ -634,12 +634,23 @@ object Dedup {
     val banded = fp.select($"doc_id", $"simhash", explode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, shiftrightunsigned(simhash, b * $bw) & $mask AS k))")).as("x"))
       .select($"doc_id", $"simhash", $"x.band".as("band"), $"x.k".as("k"))
+    // A pair colliding in SEVERAL bands used to be deduped by a
+    // `.distinct()` over the candidate set — a second candidate-sized
+    // shuffle that went super-linear at the sf1→sf10 stress (candidates
+    // grow ∝ n²/2^bw). x5's trick applies here too: both fingerprints
+    // are in hand after the band join, so emit the pair only in the
+    // FIRST band where its keys agree — a codegen'd filter, no shuffle.
+    val firstSharedBand = coalesce((0 until bands).map { bb =>
+      when(shiftrightunsigned($"ha", bb * bw).bitwiseAND(mask) ===
+        shiftrightunsigned($"hb", bb * bw).bitwiseAND(mask), lit(bb))
+    }: _*)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      .distinct()
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"),
+        col("a.band").as("band"))
+      .filter($"band" === firstSharedBand)
       .select($"doc_a", $"doc_b",
         expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
       .filter($"hamming" <= bands - 1)

@@ -65,7 +65,8 @@ object Stateful {
   def st3StatefulSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val name = "st3_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    graft.streaming.Stream.withDrainPartitions(s) {
+    graft.streaming.Stream.withDrainPartitions(s,
+        graft.streaming.Stream.drainPartitionsFor(s, graft.streaming.Stream.tableBytes(dir, "events"))) {
       val q = graft.io.Tables.eventsStream(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
         .as[Ev]
@@ -122,7 +123,8 @@ object Stateful {
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      graft.streaming.Stream.withDrainPartitions(s) {
+      graft.streaming.Stream.withDrainPartitions(s,
+        graft.streaming.Stream.drainPartitionsFor(s, graft.streaming.Stream.tableBytes(dir, "events"), storeWeight = 4)) {
         val q = graft.io.Tables.eventsStream(s, dir)
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
           .as[Ev]

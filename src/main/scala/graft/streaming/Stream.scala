@@ -61,11 +61,44 @@ object Stream {
     * parallelism at gate SFs. */
   private[graft] val DrainPartitions =
     sys.env.getOrElse("SPARK_GRAFT_DRAIN_PARTITIONS", "8")
-  private[graft] def withDrainPartitions[A](s: SparkSession)(body: => A): A =
+
+  /** Input-size-aware state partition count (round-9 scale-stress
+    * finding): the pinned 8 is right while per-partition state stays
+    * small — the state-store instance floor dominates micro-batch cost
+    * at gate SFs — but at 10× the largest gate SF the flagged streaming
+    * entries went super-linear (st4 exp 1.21, st14 1.24 over the
+    * sf1→sf10 decade) because 8 partitions were carrying 10× the rows
+    * each: the sort/state work per partition outgrew the cores left
+    * idle. Production rule, now encoded instead of prose: partitions =
+    * clamp(8, cores, inputBytes / (24 MB · storeWeight)). Every driver
+    * SF stays at 8 (≤ 16 MB inputs — bit-identical gate), sf10's
+    * 1.1 GB events file gets the full core count for aggregations.
+    * `storeWeight` is the per-partition state-store instance factor:
+    * stream-stream joins keep FOUR stores per partition (the measured
+    * cliff above — at 32 partitions st11 regressed 8.6→11.7 s median
+    * at sf10 while the 1-store aggregations sped up 5×), and RocksDB
+    * providers pay a native instance open per store, so those drains
+    * pass 4 and widen four times more conservatively. Env override
+    * still wins (profiling). */
+  private[graft] def drainPartitionsFor(s: SparkSession, bytes: Long,
+      storeWeight: Int = 1): String =
+    sys.env.getOrElse("SPARK_GRAFT_DRAIN_PARTITIONS", {
+      val cores = math.max(8, s.sparkContext.defaultParallelism)
+      math.min(math.max(8L, bytes / ((24L << 20) * storeWeight)), cores.toLong)
+        .toString
+    })
+  /** Size of the single-file table `name.parquet` under `dir` (0 when
+    * absent — callers fall back to the 8-partition floor). */
+  private[graft] def tableBytes(dir: String, name: String): Long =
+    try java.nio.file.Files.size(java.nio.file.Paths.get(dir, s"$name.parquet"))
+    catch { case _: Exception => 0L }
+
+  private[graft] def withDrainPartitions[A](s: SparkSession,
+      partitions: String = DrainPartitions)(body: => A): A =
     drainLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val prev = s.conf.get(key)
-      s.conf.set(key, DrainPartitions)
+      s.conf.set(key, partitions)
       try body finally s.conf.set(key, prev)
     }
 
@@ -84,10 +117,12 @@ object Stream {
     * per drain at gate scale, ~30% of a join drain's wall clock
     * (SCALING.md §streaming-constant-costs). */
   private def drainAppend(s: SparkSession, plan: DataFrame, prefix: String,
-      finalFlush: Boolean = true): DataFrame = {
+      finalFlush: Boolean = true, inputBytes: Long = 0L,
+      joinStores: Boolean = false): DataFrame = {
     graft.pipeline.Pipeline.sweepOldWorkDirs()
     val work = java.nio.file.Files.createTempDirectory(prefix).toString
-    withDrainPartitions(s) {
+    withDrainPartitions(s,
+        drainPartitionsFor(s, inputBytes, if (joinStores) 4 else 1)) {
       val key = "spark.sql.streaming.noDataMicroBatches.enabled"
       val prev = s.conf.get(key)
       s.conf.set(key, finalFlush.toString)
@@ -112,7 +147,8 @@ object Stream {
       // reassociation (same rule as every batch money sum)
       .agg(count(lit(1)).as("n"),
         sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
-    withDrainPartitions(s) {
+    withDrainPartitions(s,
+        drainPartitionsFor(s, tableBytes(dir, "events"))) {
       val q = stream.writeStream
         .outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -162,7 +198,8 @@ object Stream {
     * watermark past the drained data and flushes every closed window to
     * the sink before the query terminates. */
   def st4WatermarkAppend(s: SparkSession, dir: String): DataFrame =
-    drainAppend(s, st4Plan(s, dir), "graft_st4_").orderBy($"wstart", $"event_type")
+    drainAppend(s, st4Plan(s, dir), "graft_st4_",
+      inputBytes = tableBytes(dir, "events")).orderBy($"wstart", $"event_type")
 
   /** ST-5 — the SLIDING-window production shape (st2's 2h/1h windows,
     * but watermarked + append + file sink instead of complete-mode into
@@ -177,7 +214,7 @@ object Stream {
       .agg(count(lit(1)).as("n"),
         sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
       .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value_c")
-    drainAppend(s, plan, "graft_st5_").orderBy($"wstart", $"event_type")
+    drainAppend(s, plan, "graft_st5_", inputBytes = tableBytes(dir, "events")).orderBy($"wstart", $"event_type")
   }
 
   /** ST-6 — at-least-once ingest dedup: the source is unioned with
@@ -198,7 +235,7 @@ object Stream {
       .agg(count(lit(1)).as("n"),
         sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
       .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value_c")
-    drainAppend(s, plan, "graft_st6_").orderBy($"wstart", $"event_type")
+    drainAppend(s, plan, "graft_st6_", inputBytes = tableBytes(dir, "events")).orderBy($"wstart", $"event_type")
   }
 
   /** ST-7 — `foreachBatch` idempotent-upsert sink: the production
@@ -215,7 +252,8 @@ object Stream {
     graft.pipeline.Pipeline.sweepOldWorkDirs()
     val work = java.nio.file.Files.createTempDirectory("graft_st7_").toString
     val target = s"$work/serving"
-    withDrainPartitions(s) {
+    withDrainPartitions(s,
+        drainPartitionsFor(s, tableBytes(dir, "events"))) {
     val q = graft.io.Tables.eventsStream(s, dir)
       .select($"ts", $"event_type", $"value")
       .withWatermark("ts", "2 hours")
@@ -267,7 +305,7 @@ object Stream {
       .agg(count(lit(1)).as("n"),
         sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
       .select($"w.start".as("wstart"), $"c_mktsegment", $"n", $"sum_value_c")
-    drainAppend(s, plan, "graft_st8_").orderBy($"wstart", $"c_mktsegment")
+    drainAppend(s, plan, "graft_st8_", inputBytes = tableBytes(dir, "events")).orderBy($"wstart", $"c_mktsegment")
   }
 
   /** ST-13 — stream-static ANTI join: the streaming incremental-ingest
@@ -290,7 +328,7 @@ object Stream {
       .agg(count(lit(1)).as("n"),
         sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
       .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_value_c")
-    drainAppend(s, plan, "graft_st13_").orderBy($"wstart", $"event_type")
+    drainAppend(s, plan, "graft_st13_", inputBytes = tableBytes(dir, "events")).orderBy($"wstart", $"event_type")
   }
 
   /** ST-9 — stream-STREAM join: per-user attribution pairing each
@@ -320,7 +358,8 @@ object Stream {
   }
 
   def st9StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    drainAppend(s, st9Plan(s, dir), "graft_st9_", finalFlush = false)
+    drainAppend(s, st9Plan(s, dir), "graft_st9_", finalFlush = false,
+      inputBytes = tableBytes(dir, "events"), joinStores = true)
       .groupBy($"v_user".as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct($"v_id").as("n_views_converted"),
@@ -349,7 +388,8 @@ object Stream {
       $"v_user" === $"p_user" &&
         $"p_ts" >= $"v_ts" && $"p_ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"),
       "left_semi")
-    drainAppend(s, joined, "graft_st20_", finalFlush = false)
+    drainAppend(s, joined, "graft_st20_", finalFlush = false,
+      inputBytes = tableBytes(dir, "events"), joinStores = true)
       .groupBy($"v_user".as("user_id"))
       .agg(count(lit(1)).as("n_converted_views"),
         sum($"v_id").as("view_id_checksum"))
@@ -377,7 +417,7 @@ object Stream {
       $"v_user" === $"p_user" &&
         $"p_ts" >= $"v_ts" && $"p_ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"),
       "left_outer")
-    drainAppend(s, joined, "graft_st11_")
+    drainAppend(s, joined, "graft_st11_", inputBytes = tableBytes(dir, "events"), joinStores = true)
       .groupBy($"v_user".as("user_id"))
       .agg(sum(when($"p_id".isNotNull, 1L).otherwise(0L)).as("n_pairs"),
         sum(when($"p_id".isNull, 1L).otherwise(0L)).as("n_unmatched_closed"))
@@ -405,7 +445,7 @@ object Stream {
       $"v_user" === $"p_user" &&
         $"p_ts" >= $"v_ts" && $"p_ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"),
       "right_outer")
-    drainAppend(s, joined, "graft_st19_")
+    drainAppend(s, joined, "graft_st19_", inputBytes = tableBytes(dir, "events"), joinStores = true)
       .groupBy($"p_user".as("user_id"))
       .agg(sum(when($"v_id".isNotNull, 1L).otherwise(0L)).as("n_pairs"),
         sum(when($"v_id".isNull, 1L).otherwise(0L)).as("n_purchases_unmatched"))
@@ -436,7 +476,7 @@ object Stream {
       $"v_user" === $"p_user" &&
         $"p_ts" >= $"v_ts" && $"p_ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"),
       "full_outer")
-    drainAppend(s, joined, "graft_st21_")
+    drainAppend(s, joined, "graft_st21_", inputBytes = tableBytes(dir, "events"), joinStores = true)
       .groupBy(coalesce($"v_user", $"p_user").as("user_id"))
       .agg(
         sum(when($"v_id".isNotNull && $"p_id".isNotNull, 1L).otherwise(0L))
@@ -464,7 +504,7 @@ object Stream {
         sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
       .select($"user_id", $"w.start".as("session_start"),
         $"w.end".as("session_end"), $"n_events", $"sum_value_c")
-    drainAppend(s, plan, "graft_st12_").orderBy($"user_id", $"session_start")
+    drainAppend(s, plan, "graft_st12_", inputBytes = tableBytes(dir, "events")).orderBy($"user_id", $"session_start")
   }
 
   /** ST-15 — streaming curation admission: the documents feed drained
@@ -481,7 +521,8 @@ object Stream {
     graft.pipeline.Pipeline.sweepOldWorkDirs()
     val work = java.nio.file.Files.createTempDirectory("graft_st15_").toString
     val admitted = s"$work/admitted"
-    withDrainPartitions(s) {
+    withDrainPartitions(s,
+        drainPartitionsFor(s, tableBytes(dir, "documents"), storeWeight = 4)) {
       val q = graft.io.Tables.documentsStream(s, dir)
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$work/chk")
@@ -527,7 +568,8 @@ object Stream {
   def st16StateStoreRead(s: SparkSession, dir: String): DataFrame = {
     graft.pipeline.Pipeline.sweepOldWorkDirs()
     val work = java.nio.file.Files.createTempDirectory("graft_st16_").toString
-    withDrainPartitions(s) {
+    withDrainPartitions(s,
+        drainPartitionsFor(s, tableBytes(dir, "events"))) {
       val q = st4Plan(s, dir).writeStream
         .outputMode("append").format(Snapshot.ZoneFormat)
         .option("path", s"$work/out")
@@ -564,7 +606,8 @@ object Stream {
       .select($"doc_id", $"n_chars", ($"doc_id" % 8).as("pb"))
       .repartition($"pb").write.partitionBy("pb")
       .mode("overwrite").parquet(s"$work/in")
-    withDrainPartitions(s) {
+    withDrainPartitions(s,
+        drainPartitionsFor(s, tableBytes(dir, "documents"), storeWeight = 4)) {
       val src = s.readStream
         .schema("doc_id BIGINT, n_chars BIGINT, pb BIGINT")
         .option("maxFilesPerTrigger", "2")

@@ -29,6 +29,19 @@ import org.apache.spark.sql.functions._
   *    scales — the realistic high-throughput shape;
   *  - region/nation stay as-is (true dims don't grow with corpus).
   *
+  * Optional 4th arg `skewPct` (0–100, default 0): replica-preserving
+  * growth keeps key TOPOLOGY fixed, so skew never worsens with K and
+  * the salting/AQE-split entries are never stressed by it. With
+  * skewPct = p, p% of ALL event rows (every replica; selected by
+  * `event_id % 100 < p`, replica-invariant because STRIDE % 100 = 0)
+  * are re-keyed to ONE hot user_id — a heavy hitter whose row count
+  * grows LINEARLY with K while every other key stays flat. That is the
+  * organic power-law shape replication can't produce, and the input
+  * `graft.tools.SkewStress` measures salted vs unsalted vs AQE-split
+  * joins against. Skewed dirs are for skew measurement only (FK
+  * mixing breaks the per-replica selection invariants other entries
+  * rely on).
+  *
   * Each table lands as a SINGLE FILE named `<table>.parquet` exactly
   * like the driver layout (the streaming readers' pathGlobFilter
   * matches the leaf file name). Output is NOT oracle-gated — DuckDB
@@ -44,6 +57,7 @@ object GenScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "target/sf1"
     val k = if (args.length > 2) args(2).toInt else 10
+    val skewPct = if (args.length > 3) args(3).toInt else 0
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -51,11 +65,12 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, dst, k)
+    generate(spark, src, dst, k, skewPct)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+  def generate(spark: SparkSession, src: String, dst: String, k: Int,
+      skewPct: Int = 0): Unit = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     def cipher(r: Int) = lower.drop(r % 26) + lower.take(r % 26)
 
@@ -77,7 +92,18 @@ object GenScale {
       "part" -> (df => rep(df, Seq("p_partkey"))),
       "orders" -> (df => rep(df, Seq("o_orderkey", "o_custkey"))),
       "lineitem" -> (df => rep(df, Seq("l_orderkey", "l_partkey", "l_suppkey"))),
-      "events" -> (df => rep(df, Seq("event_id", "user_id"))),
+      "events" -> (df => {
+        val base = rep(df, Seq("event_id", "user_id"))
+        if (skewPct <= 0) base
+        else {
+          // one hot key growing linearly with K: re-key skewPct% of all
+          // rows (selection is replica-invariant: STRIDE % 100 == 0)
+          val hot = df.agg(min(col("user_id"))).head.get(0)
+          base.withColumn("user_id",
+            when(pmod(col("event_id"), lit(100L)) < lit(skewPct.toLong),
+              lit(hot)).otherwise(col("user_id")))
+        }
+      }),
       "documents" -> (df => rep(df, Seq("doc_id"),
         (d, r) => d.withColumn("text", translate(col("text"), lower, cipher(r))))),
       "embeddings" -> (df => rep(df, Seq("vec_id"),
