@@ -21,6 +21,23 @@ import org.apache.spark.sql.SparkSession
   * robust; the trimmed stddev describes the spread of the runs the
   * median actually represents). The full untrimmed sample size ships as
   * per-entry "n" in the detail file so nothing is hidden.
+  *
+  * Fresh-JVM re-measure (round-9 verdict finding 1: the stddev trigger
+  * cannot catch CONSISTENT contamination — st20 reported 13.24 s
+  * in-suite with a calm 2.2 s stddev while a fresh JVM measured
+  * 1.97 s, a 6.7× overstatement from 200 entries of accumulated
+  * shuffle files / page-cache / state-store maintenance threads): after
+  * the in-suite pass, the `SPARK_GRAFT_BENCH_FRESH` (default 10) most
+  * expensive entries are re-timed in a FRESH JVM each (this JVM's own
+  * flags + classpath, running graft.tools.TimeOne with the mirrored
+  * session conf). The fresh median becomes the reported value for those
+  * entries — it is the number a user actually sees — and the in-suite
+  * median ships alongside in "insuite" so the contamination factor is
+  * itself part of the record. The emitted line also carries a "conf"
+  * fingerprint (cpus / shuffle width / AQE initialPartitionNum) so a
+  * cross-round total comparison can detect a conf change instead of
+  * misreading it as a code regression (exactly what r8→r9 suffered),
+  * and partial runs (SPARK_GRAFT_BENCH_ONLY) self-identify via "only".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -104,14 +121,67 @@ object Bench {
         val (m, s) = stats(times); (name, m, s, times.size)
       }
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+    // --- Fresh-JVM re-measure of the most expensive entries ---------
+    // Contamination is concentrated where time is: the top-K in-suite
+    // medians get one fresh JVM each (same flags/classpath as this
+    // process, TimeOne mirrors the session conf). Fresh medians REPLACE
+    // the in-suite values in "queries"/total; the in-suite numbers move
+    // to "insuite" so the per-entry contamination ratio stays visible.
+    val freshK = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH", "10").toInt
+    val freshTargets = results.filter(_._2 > 0).sortBy(-_._2).take(freshK.max(0))
+      .map(_._1)
+    def freshMedian(name: String): Option[Double] = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+      cmd.add("graft.tools.TimeOne"); cmd.add(name); cmd.add(sfDir)
+      cmd.add(reps.toString)
+      try {
+        // stdout → temp file (not a pipe): the parent never blocks on a
+        // stream read, so the waitFor timeout below is always reachable
+        val outFile = java.nio.file.Files.createTempFile("graft_fresh_", ".out")
+        val pb = new ProcessBuilder(cmd)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectOutput(outFile.toFile)
+        val p = pb.start()
+        val ok = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+        if (!ok) { p.destroyForcibly(); return None }
+        val out = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
+        java.nio.file.Files.deleteIfExists(outFile)
+        val re = """TIMED \S+ rows=\d+ median=([0-9.]+)""".r
+        re.findFirstMatchIn(out).map(_.group(1).toDouble)
+          .filter(_ => p.exitValue() == 0)
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] fresh re-measure of $name failed: ${e.getMessage}")
+        None
+      }
+    }
+    val fresh: Map[String, Double] = freshTargets.flatMap { name =>
+      val m = freshMedian(name)
+      m.foreach(v => System.err.println(f"[bench] fresh $name: $v%.3f s"))
+      m.map(name -> _)
+    }.toMap
+    val reported = results.map { case (k, v, s, n) =>
+      (k, fresh.getOrElse(k, v), s, n) }
+
+    val qs = reported.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val sd = results.map { case (k, _, s, _) => "\"" + k + "\":" + fmt(s) }
+    val sd = reported.map { case (k, _, s, _) => "\"" + k + "\":" + fmt(s) }
       .mkString("{", ",", "}")
-    val ns = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }
+    val ns = reported.map { case (k, _, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sd,"n":$ns,"reps":$reps,"sf":"$sfDir"}"""
+    val insuite = results.collect { case (k, v, _, _) if fresh.contains(k) =>
+      "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = reported.map(_._2).filter(_ >= 0).sum
+    val confFp = s"""{"cpus":$cpus,"shufflePartitions":$cpus,""" +
+      s""""aqeInitialPartitionNum":${math.max(256, cpus.toInt * 8)},""" +
+      s""""aqe":true,"freshTopK":$freshK}"""
+    val onlyField = only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sd,"n":$ns,"insuite":$insuite,"conf":$confFp$onlyField,"reps":$reps,"sf":"$sfDir"}"""
     // The driver parses the stdout TAIL. A streaming state-store
     // maintenance thread racing spark.stop() can dump a benign
     // RpcEnvStoppedException stack AFTER our line and flood it out
@@ -139,10 +209,10 @@ object Bench {
     // variant: total + the headline q1..q17 timings BASELINE.md tracks
     // (~600 B). Full per-query detail lives in the line above and in
     // target/bench_result.json.
-    val headline = results.collect {
+    val headline = reported.collect {
       case (k, v, _, _) if k.matches("q([1-9]|1[0-7])_.*") => "\"" + k + "\":" + fmt(v)
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"reps":$reps,"sf":"$sfDir","detail":"target/bench_result.json"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"conf":$confFp$onlyField,"reps":$reps,"sf":"$sfDir","detail":"target/bench_result.json"}"""
     // Persist BOTH lines in one write so the file twin can never drift
     // from stdout (full line first, compact last — same order as below).
     java.nio.file.Files.write(out, (line + "\n" + compact + "\n").getBytes("UTF-8"))

@@ -626,7 +626,18 @@ object Dedup {
     * degenerates toward O(N²/64) as N grows; at the production 64-bit
     * / 16-bit-band config it is ~N/65536 — the config that survives a
     * 100 TB corpus. The 16-bit config is kept ONLY because it makes
-    * the DuckDB oracle brute-forceable at gate SF. */
+    * the DuckDB oracle brute-forceable at gate SF.
+    *
+    * PRECONDITION: `fp` must hold exactly ONE row per doc_id. The
+    * multi-band collision dedup is a zero-shuffle first-shared-band
+    * filter (below) rather than a candidate-sized `.distinct()`, and
+    * that equivalence rests on doc_id uniqueness — duplicate
+    * fingerprint rows would emit duplicate (doc_a, doc_b) pairs the
+    * old distinct() collapsed. Both shipped callers feed
+    * `simhashFingerprint`, which is one-row-per-doc by construction;
+    * new callers aggregating their own fingerprints must dedup first
+    * (a doc-count-sized shuffle, far cheaper than the candidate-sized
+    * one this design removed). */
   def simhashNeardupPairs(fp: DataFrame, bits: Int, bands: Int): DataFrame = {
     require(bits % bands == 0, s"bands $bands must divide width $bits")
     val bw = bits / bands

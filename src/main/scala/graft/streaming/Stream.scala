@@ -87,11 +87,30 @@ object Stream {
       math.min(math.max(8L, bytes / ((24L << 20) * storeWeight)), cores.toLong)
         .toString
     })
-  /** Size of the single-file table `name.parquet` under `dir` (0 when
-    * absent — callers fall back to the 8-partition floor). */
+  /** Size of the table `name.parquet` under `dir` — a single file (the
+    * driver's layout) or a directory of part files (any Spark-written
+    * layout): directories sum their leaf files, so a multi-file table
+    * at scale still sizes the drain instead of silently reverting to
+    * the 8-partition floor (round-9 advice). A truly missing table
+    * returns 0 WITH a one-line stderr warning — the floor fallback is
+    * then visible, not silent. */
   private[graft] def tableBytes(dir: String, name: String): Long =
-    try java.nio.file.Files.size(java.nio.file.Paths.get(dir, s"$name.parquet"))
-    catch { case _: Exception => 0L }
+    try {
+      val p = java.nio.file.Paths.get(dir, s"$name.parquet")
+      val n =
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.walk(p)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        } else java.nio.file.Files.size(p)
+      if (n == 0L)
+        System.err.println(s"[graft] tableBytes($dir, $name) = 0 — drain width falls back to the 8-partition floor")
+      n
+    } catch { case _: Exception =>
+      System.err.println(s"[graft] tableBytes($dir, $name) unreadable — drain width falls back to the 8-partition floor")
+      0L
+    }
 
   private[graft] def withDrainPartitions[A](s: SparkSession,
       partitions: String = DrainPartitions)(body: => A): A =
