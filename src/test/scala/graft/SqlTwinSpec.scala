@@ -2,34 +2,52 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.analytics.Queries
+import graft.analytics.SqlTwin
 import graft.io.Tables
 
-/** SQL twin gate for the analytic dashboard surface (round-8 verdict
-  * task 2): the reference's user-facing query surface IS SQL (the 20
-  * Metabase cards), so a user must be able to TYPE SQL at this engine
-  * and get the DataFrame semantics. For every dashboard entry q1–q17,
-  * run `spark.sql(Queries.sparkSql(name))` over the registered zone
-  * views and require bag-equality with the DataFrame form — same rows,
-  * same schema, order ignored (the driver's gate hashes column-sorted
-  * rows, so bag-equality is the matching contract).
+/** SQL twin gate for the FULL analytic surface (round-9 verdict
+  * task 2; round-8 covered q1–q17 only): the reference's user-facing
+  * query surface IS SQL (the 20 Metabase cards, ref
+  * `docker/metabase_backup_utf8.sql`), and the extended-OLAP family —
+  * ROLLUP / CUBE / GROUPING SETS / LATERAL / recursive CTE — is
+  * exactly what users type SQL for. For every entry q1–q51, run
+  * `spark.sql(SqlTwin.text(name))` over the registered zone views and
+  * require schema equality plus bag equality with the DataFrame form
+  * (the driver's gate hashes column-sorted rows, so bag equality is
+  * the matching contract). Comparison is over collected sorted rows,
+  * not exceptAll — see SqlTwin.collectedRows for the Spark
+  * plan-stitching bug that forces this.
+  *
+  * `SqlTwin.excluded` entries (currently none) would surface here as
+  * always-passing tests that PRINT their exclusion reason, so a grep
+  * of the test report shows exactly what is and isn't SQL-proven.
   */
 class SqlTwinSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  Queries.queries.keys.toSeq.sorted.foreach { name =>
-    test(s"$name: spark.sql(text) ≡ DataFrame form") {
-      Tables.registerViews(spark, sf)
-      val df = Queries.queries(name)(spark, sf)
-      val sql = spark.sql(Queries.sparkSql(name))
-      assert(sql.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-        s"schema mismatch:\nsql=${sql.schema.treeString}\ndf=${df.schema.treeString}")
-      val (nSql, nDf) = (sql.count(), df.count())
-      assert(nSql == nDf, s"row count: sql=$nSql df=$nDf")
-      assert(sql.exceptAll(df).isEmpty && df.exceptAll(sql).isEmpty,
-        s"value mismatch between SQL text and DataFrame for $name")
+  test("twin scope covers the whole q-surface (≥ 40 entries, round-9 task)") {
+    assert(SqlTwin.names.size >= 40, s"only ${SqlTwin.names.size} entries in scope")
+    assert(SqlTwin.names.size - SqlTwin.excluded.size >= 40,
+      s"exclusions ${SqlTwin.excluded.keys.toSeq.sorted} leave fewer than 40 proven entries")
+  }
+
+  SqlTwin.names.foreach { name =>
+    SqlTwin.excluded.get(name) match {
+      case Some(reason) =>
+        test(s"$name: EXCLUDED from SQL twin — $reason") { succeed }
+      case None =>
+        test(s"$name: spark.sql(text) ≡ DataFrame form") {
+          Tables.registerViews(spark, sf)
+          val df = SparkEntry.queries(name)(spark, sf)
+          val sql = spark.sql(SqlTwin.text(name))
+          assert(sql.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+            df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+            s"schema mismatch:\nsql=${sql.schema.treeString}\ndf=${df.schema.treeString}")
+          val (a, b) = (SqlTwin.collectedRows(sql), SqlTwin.collectedRows(df))
+          assert(a.size == b.size, s"row count: sql=${a.size} df=${b.size}")
+          assert(a == b, s"value mismatch between SQL text and DataFrame for $name")
+        }
     }
   }
 }
