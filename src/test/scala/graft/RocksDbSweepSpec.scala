@@ -3,17 +3,31 @@ package graft
 import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
 
-/** RocksDB state-store sweep (round-8 verdict task 6): st10 already
-  * runs on RocksDB by construction (transformWithState requires it);
-  * this spec flips every OTHER stateful streaming entry onto the
-  * RocksDB provider and requires bit-identical output vs the default
-  * HDFS-backed (heap) provider. At 100 TB streaming state must live
-  * off-heap — watermark maps, dedup sets, join buffers, session
-  * windows — and "the provider is swappable" is a claim only a
-  * both-providers run can make. The provider is a session conf read at
-  * query START, so setting it around the entry call is exactly how a
-  * production job selects it (spark.sql.streaming.stateStore
-  * .providerClass).
+/** RocksDB state-store sweep (round-8 verdict task 6; gaps closed in
+  * round 10): st10 already runs on RocksDB by construction
+  * (transformWithState requires it); this spec flips every OTHER
+  * stateful streaming entry onto the RocksDB provider and requires
+  * bit-identical output vs the default HDFS-backed (heap) provider.
+  * At 100 TB streaming state must live off-heap — watermark maps,
+  * dedup sets, join buffers, session windows — and "the provider is
+  * swappable" is a claim only a both-providers run can make. The
+  * provider is a session conf read at query START, so setting it
+  * around the entry call is exactly how a production job selects it
+  * (spark.sql.streaming.stateStore.providerClass).
+  *
+  * Round-10 additions (round-9 verdict task 3):
+  *  - st14 — complete-mode counters on RocksDB.
+  *  - st15/st17 — checkpointed foreachBatch / file-source admission
+  *    control under the provider conf.
+  *  - st16 — the state-store READER over a RocksDB checkpoint: the
+  *    ops/debugging surface (`format("statestore")`) must decode the
+  *    provider's on-disk format, not just the provider writing it.
+  *  - st18 — crash/restart recovery on RocksDB: two query starts on
+  *    one checkpoint is the production durability path.
+  *  - changelog checkpointing — Spark 4's RocksDB durability knob
+  *    (commit uploads a changelog instead of full SST snapshots; a
+  *    100 TB stream runs with it on): st4's watermarked agg and
+  *    st18's recovery produce identical output with it enabled.
   */
 class RocksDbSweepSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -22,36 +36,63 @@ class RocksDbSweepSpec extends AnyFunSuite {
   val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
   val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 
   /** Every stateful streaming entry not already RocksDB-pinned:
-    * watermarked aggs (st1/st4/st5), dedup state (st6), stream-stream
-    * join buffers (st9/st11/st19/st20/st21), session windows (st12),
-    * flatMapGroupsWithState sessions (st3), anti-join state (st13). */
+    * watermarked aggs (st1/st4/st5), complete-mode counters (st14),
+    * dedup state (st6), stream-stream join buffers
+    * (st9/st11/st19/st20/st21), session windows (st12),
+    * flatMapGroupsWithState sessions (st3), anti-join state (st13),
+    * checkpointed foreachBatch curation (st15), state-store reader
+    * (st16), rate-limited admission (st17), checkpoint recovery
+    * (st18). */
   val entries = Seq(
     "st1_stream_hourly", "st3_stateful_sessions", "st4_watermark_append",
     "st5_sliding_watermark", "st6_stream_dedup", "st9_stream_stream_join",
     "st11_stream_outer_join", "st12_session_window", "st13_stream_anti_join",
+    "st14_stream_topk", "st15_stream_curation", "st16_statestore_read",
+    "st17_rate_limited", "st18_checkpoint_recovery",
     "st19_stream_right_outer", "st20_stream_semi_join",
     "st21_stream_full_outer")
 
   def rows(name: String): Seq[Row] =
     SparkEntry.queries(name)(spark, sf).collect().toSeq
 
+  def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   entries.foreach { name =>
     test(s"$name: RocksDB provider yields the heap provider's exact output") {
       val heap = rows(name)
       assert(heap.nonEmpty, s"$name produced no rows on the default provider")
-      val prev = spark.conf.getOption(ProviderKey)
-      spark.conf.set(ProviderKey, RocksDb)
-      try {
-        val rocks = rows(name)
-        assert(rocks == heap,
-          s"$name diverged on RocksDB: ${rocks.size} vs ${heap.size} rows; " +
-            s"first diff ${rocks.zip(heap).find { case (a, b) => a != b }}")
-      } finally prev match {
-        case Some(v) => spark.conf.set(ProviderKey, v)
-        case None => spark.conf.unset(ProviderKey)
-      }
+      val rocks = withConf(ProviderKey -> RocksDb)(rows(name))
+      assert(rocks == heap,
+        s"$name diverged on RocksDB: ${rocks.size} vs ${heap.size} rows; " +
+          s"first diff ${rocks.zip(heap).find { case (a, b) => a != b }}")
+    }
+  }
+
+  // The durability conf a production RocksDB stream actually runs
+  // with: changelog checkpointing uploads per-commit deltas instead of
+  // full SST snapshots. Swept over the two checkpoint-heavy shapes —
+  // the watermarked agg (st4) and the two-start recovery (st18, where
+  // the second start must REPLAY the changelog to rebuild state).
+  Seq("st4_watermark_append", "st18_checkpoint_recovery").foreach { name =>
+    test(s"$name: RocksDB + changelog checkpointing yields identical output") {
+      val heap = rows(name)
+      val rocks = withConf(ProviderKey -> RocksDb, ChangelogKey -> "true")(
+        rows(name))
+      assert(rocks == heap,
+        s"$name diverged under changelog checkpointing: " +
+          s"${rocks.size} vs ${heap.size} rows; " +
+          s"first diff ${rocks.zip(heap).find { case (a, b) => a != b }}")
     }
   }
 }
