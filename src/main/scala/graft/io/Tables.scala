@@ -102,6 +102,79 @@ object Tables {
       }
     }
 
+  /** Catalog-table registration path (round-9 verdict task 4): temp
+    * views cannot carry ANALYZE statistics, so entries planned over
+    * [[registerViews]] can never be CBO-planned — the stats story
+    * ended one step short of the engine's own tables. This registers
+    * every zone table as an EXTERNAL catalog table over the same
+    * parquet, under the same names the SQL surface uses, then runs
+    * `ANALYZE … COMPUTE STATISTICS FOR ALL COLUMNS`: a SQL-twin text
+    * now resolves to stats-bearing relations and stats-driven
+    * broadcast / CostBasedJoinReorder apply to REAL entries
+    * (StorageSpec plan-asserts q7 and o25 through this path). At
+    * 100 TB this is the production registration — ANALYZE runs at
+    * ingest time and every ad-hoc query planner call consumes the
+    * catalog's rowCount/ndv for free.
+    *
+    * The events table's ts-encoding normalization (the [[table]]
+    * seam) is preserved: `events_raw` is the external table, `events`
+    * a catalog view applying the same normalization expression. Temp
+    * views of the same names are dropped first (temp views shadow
+    * catalog names in resolution) and the registerViews memo cleared,
+    * so a later registerViews(dir) round-trips cleanly. */
+  def registerCatalogTables(s: SparkSession, dir: String,
+      analyze: Boolean = true): Unit = {
+    registered.synchronized { registered.remove(s) }
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    names.foreach { n =>
+      s.catalog.dropTempView(n)
+      val tbl = if (n == "events") "events_raw" else n
+      // an old run may have left either object kind under either name
+      scala.util.Try(s.sql(s"DROP VIEW IF EXISTS $n"))
+      scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $tbl"))
+      s.sql(s"CREATE EXTERNAL TABLE $tbl USING parquet LOCATION '$dir/$n.parquet'")
+      if (n == "events") {
+        val raw = s.table("events_raw").schema
+        val cols = raw.fields.map { f =>
+          if (f.name == "ts") f.dataType match {
+            case LongType => "timestamp_micros(ts div 1000) AS ts"
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              "CAST(ts AS TIMESTAMP) AS ts"
+            case _ => "ts"
+          } else f.name
+        }.mkString(", ")
+        s.sql(s"CREATE VIEW events AS SELECT $cols FROM events_raw")
+      }
+      if (analyze) {
+        // table-level stats (rowCount + size) always; column stats
+        // only for types ANALYZE supports — embeddings' ARRAY<FLOAT>
+        // (and any future nested/binary column) has no ndv/min/max
+        // representation in the catalog and would abort the command
+        s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+        val statable = s.table(tbl).schema.fields.filterNot(f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType |
+                 org.apache.spark.sql.types.BinaryType => true
+            case _ => false
+          }).map(f => s"`${f.name}`")
+        if (statable.nonEmpty)
+          s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS " +
+            statable.mkString(", "))
+      }
+    }
+  }
+
+  /** Tear-down twin of [[registerCatalogTables]] (test hygiene — the
+    * metastore outlives a suite run). */
+  def dropCatalogTables(s: SparkSession): Unit = {
+    scala.util.Try(s.sql("DROP VIEW IF EXISTS events"))
+    scala.util.Try(s.sql("DROP TABLE IF EXISTS events_raw"))
+    names.filterNot(_ == "events")
+      .foreach(n => scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $n")))
+  }
+
   /** Streaming reader schema for the events table — the single home of
     * the ts-encoding policy on the streaming path. The driver's testdata
     * has shipped `ts` as both INT64 TIMESTAMP(NANOS) (rounds 1–5) and

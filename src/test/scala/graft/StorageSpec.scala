@@ -162,6 +162,79 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog-backed zone tables: REAL entries are planned from ANALYZE stats") {
+    // Round-9 verdict task 4: the synthetic cbo_fact/cbo_dim tests
+    // prove the MECHANISM; this proves the PRODUCT SURFACE consumes
+    // it. registerCatalogTables puts the zone tables in the catalog
+    // (temp views can't hold stats) and ANALYZEs them; then two real
+    // shipped entries are planned through spark.sql over those
+    // catalog relations:
+    //  1. q7 (scalar subquery): every leaf relation's optimized-plan
+    //     stats must carry the ANALYZE rowCount — exactly the numbers
+    //     CBO estimation consumes.
+    //  2. o25 (lineitem ⋈ part dim join): the broadcast decision must
+    //     FOLLOW the stats estimate. The part relation has two
+    //     different size estimates — compressed file size (no CBO)
+    //     vs rowCount × rowWidth from ANALYZE (CBO) — so a threshold
+    //     placed between them must flip the join strategy when CBO
+    //     flips, in whichever direction the two estimates order
+    //     themselves. Falsifiable both ways: if stats stop flowing,
+    //     the two plans come out identical and the assert fails.
+    graft.io.Tables.registerCatalogTables(spark, sf)
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+
+      // (1) q7's relations carry the ANALYZE rowCount
+      val q7 = spark.sql(graft.analytics.SqlTwin.text("q7_scalar_subquery"))
+      val leaves = q7.queryExecution.optimizedPlan
+        .collectWithSubqueries { case l if l.children.isEmpty => l }
+      val rowCounts = leaves.flatMap(_.stats.rowCount).map(_.toLong).toSet
+      val expected = Set(
+        graft.io.Tables.lineitem(spark, sf).count(),
+        graft.io.Tables.orders(spark, sf).count())
+      assert(rowCounts == expected,
+        s"q7's catalog relations should carry the ANALYZE rowCounts " +
+          s"$expected in their plan stats, got $rowCounts")
+
+      // (2) o25's broadcast decision follows whichever estimate is live
+      val o25 = SparkEntry.oracleSql("o25_join_enrich")
+      def partEstimate(cbo: Boolean): BigInt = {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        // JoinSelection compares the join's RIGHT CHILD estimate (the
+        // column-pruned projection over part), not the raw relation
+        val join = spark.sql(o25).queryExecution.optimizedPlan
+          .collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+          .headOption.getOrElse(fail("o25 plan lost its join"))
+        join.right.stats.sizeInBytes
+      }
+      val (estFile, estCbo) = (partEstimate(cbo = false), partEstimate(cbo = true))
+      assert(estFile != estCbo,
+        s"ANALYZE stats should change part's size estimate (both $estFile) — " +
+          "stats are not flowing into the entry's plan")
+      val mid = ((estFile + estCbo) / 2).toString
+      def broadcasts(cbo: Boolean): Boolean = {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", mid)
+        spark.sql(o25).queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin")
+      }
+      val (bcFile, bcCbo) = (broadcasts(cbo = false), broadcasts(cbo = true))
+      assert(bcFile == (estFile <= BigInt(mid)),
+        s"no-CBO broadcast decision ($bcFile) contradicts the file estimate $estFile vs $mid")
+      assert(bcCbo == (estCbo <= BigInt(mid)),
+        s"CBO broadcast decision ($bcCbo) contradicts the stats estimate $estCbo vs $mid")
+      assert(bcFile != bcCbo,
+        "flipping CBO did not change o25's join strategy — the catalog stats " +
+          "are not reaching JoinSelection for a real entry")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      graft.io.Tables.dropCatalogTables(spark)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // default warehouse (./spark-warehouse, gitignored) — warehouse.dir
     // is a static conf and cannot be set per-test
