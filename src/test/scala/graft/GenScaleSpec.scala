@@ -54,6 +54,110 @@ class GenScaleSpec extends AnyFunSuite {
       "query panel grew with K — recall evals would be quadratic again")
   }
 
+  test("K-linearity: shipped entries relate EXACTLY between src and gen(K) dirs") {
+    // Round-9 verdict task 5: GenScale output was unverified by
+    // construction — a replication bug would silently invalidate every
+    // measured scaling exponent. The replication scheme implies exact
+    // relations for replica-invariant entries, pinned here across
+    // families (analytics, dedup, multimodal, text, similarity,
+    // streaming): counts and integer sums scale ×K, averages and
+    // recall evals are bit-identical. Any drift means the sf1/sf10
+    // stress measured a different workload, not a bigger one.
+    val k = 3
+    val out = gen(k)
+    def run(name: String, dir: String) =
+      SparkEntry.queries(name)(spark, dir)
+
+    // q1: the global fact count scales ×K
+    assert(run("q1_count", out).head.getLong(0) ==
+      k * run("q1_count", src).head.getLong(0), "q1 count not ×K")
+
+    // q2: averages are invariant (sum×K / count×K)
+    assert(run("q2_avg", out).collect().toSeq ==
+      run("q2_avg", src).collect().toSeq, "q2 averages drifted")
+
+    // q5: per-group counts scale ×K with the SAME groups
+    val q5src = run("q5_group_count", src).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q5out = run("q5_group_count", out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q5out == q5src.map { case (g, n) => g -> n * k }, "q5 groups not ×K")
+
+    // q10: timestamps are untouched, so per-minute averages of the
+    // replicated values are bit-identical
+    assert(run("q10_minute_avg", out).collect().toSeq ==
+      run("q10_minute_avg", src).collect().toSeq, "q10 minute averages drifted")
+
+    // d1: ciphered replica texts are cross-replica disjoint with
+    // identical in-replica dup topology → survivor groups ×K
+    assert(run("d1_exact_dedup", out).count() ==
+      k * run("d1_exact_dedup", src).count(), "d1 survivors not ×K")
+
+    // m5: digest groups ×K AND reclaimable bytes ×K (translate is
+    // byte-length-preserving on ASCII)
+    val (m5s, m5o) = (run("m5_asset_dedup", src), run("m5_asset_dedup", out))
+    assert(m5o.count() == k * m5s.count(), "m5 digest groups not ×K")
+    assert(m5o.agg(sum($"dup_bytes")).head.getLong(0) ==
+      k * m5s.agg(sum($"dup_bytes")).head.getLong(0), "m5 dup_bytes not ×K")
+
+    // t3: the rotation cipher is class-preserving ([a-z]→[a-z]) and
+    // length-preserving, so per-doc token counts replicate exactly
+    val (t3s, t3o) = (run("t3_token_count", src), run("t3_token_count", out))
+    assert(t3o.count() == k * t3s.count(), "t3 rows not ×K")
+    val Seq(wsS, bpeS) = t3s.agg(sum($"n_ws_tokens"), sum($"n_bpe_est"))
+      .head.toSeq.map(_.asInstanceOf[Long])
+    val Seq(wsO, bpeO) = t3o.agg(sum($"n_ws_tokens"), sum($"n_bpe_est"))
+      .head.toSeq.map(_.asInstanceOf[Long])
+    assert(wsO == k * wsS && bpeO == k * bpeS, "t3 token sums not ×K")
+
+    // t7: doc_id shifts re-roll the md5 split hash per replica, so the
+    // TOTAL is exactly ×K while per-split sizes are only proportional
+    // (binomial re-roll) — assert total exact, splits within 2× of
+    // proportional (tight enough to catch a broken splitter, loose
+    // enough for the val/test splits' small-count variance)
+    val t7s = run("t7_train_split", src).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t7o = run("t7_train_split", out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t7o.values.sum == k * t7s.values.sum, "t7 total not ×K")
+    t7s.foreach { case (split, n) =>
+      val got = t7o.getOrElse(split, 0L)
+      assert(got >= k * n / 2 && got <= k * n * 2,
+        s"t7 $split: $got far from proportional ${k * n}")
+    }
+
+    // s6: the recall eval panel is capped to replica 0, so the PANEL
+    // (query ids, k) must be identical on the K× corpus. The recall
+    // VALUES may drift by single hits: the rotation preserves
+    // in-replica geometry but not cross-replica ordering, and a
+    // rotated replica vector can legitimately enter a query's exact
+    // top-k (measured: 1 of 5 queries at K=3), moving ground truth
+    // and ANN hits alike. Pinned: same panel, per-query hit drift
+    // ≤ 1 — a broken replicator (panel growth, recall collapse)
+    // still fails loudly.
+    def s6Map(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+      r.getAs[Number](0).longValue ->
+        (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue)
+    }.toMap
+    val s6s = s6Map(run("s6_ann_recall", src))
+    val s6o = s6Map(run("s6_ann_recall", out))
+    assert(s6o.keySet == s6s.keySet, "s6 query panel changed with K")
+    s6s.foreach { case (q, (kk, hits)) =>
+      val (kk2, hits2) = s6o(q)
+      assert(kk2 == kk, s"s6 query $q: k changed $kk→$kk2")
+      assert(math.abs(hits2 - hits) <= 1,
+        s"s6 query $q: hits $hits→$hits2 — more than a cross-replica intruder explains")
+    }
+
+    // st1: streaming hourly counters — same windows, n and cents ×K
+    val st1s = run("st1_stream_hourly", src).collect()
+      .map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val st1o = run("st1_stream_hourly", out).collect()
+      .map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(st1o == st1s.map { case (g, (n, c)) => g -> (n * k, c * k) },
+      "st1 windows not ×K")
+  }
+
   test("skew mode: one hot key owns the requested share, total count unchanged") {
     val k = 3; val pct = 20
     val out = gen(k, pct)
