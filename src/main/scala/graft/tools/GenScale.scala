@@ -69,8 +69,11 @@ object GenScale {
     spark.stop()
   }
 
+  /** `only`: restrict generation to the named tables (empty = all) —
+    * the skew sweep measures events ⋈ customer only and skipping the
+    * K× lineitem write makes a 6-point sweep grid affordable. */
   def generate(spark: SparkSession, src: String, dst: String, k: Int,
-      skewPct: Int = 0): Unit = {
+      skewPct: Int = 0, only: Seq[String] = Nil): Unit = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     def cipher(r: Int) = lower.drop(r % 26) + lower.take(r % 26)
 
@@ -114,7 +117,8 @@ object GenScale {
             s"slice(embedding, 1, ${r % 64}))")))))
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
-    tables.foreach { case (name, f) =>
+    tables.filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, f) =>
       val out = f(spark.read.parquet(s"$src/$name.parquet"))
       val tmp = s"$dst/_gen_$name"
       // single leaf file named <table>.parquet, driver-layout-exact
