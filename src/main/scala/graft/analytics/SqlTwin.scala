@@ -22,12 +22,137 @@ package graft.analytics
   */
 object SqlTwin {
 
-  /** The analytic (dashboard + extended OLAP) surface: q1–q51. */
-  lazy val names: Seq[String] =
-    graft.SparkEntry.oracleSql.keys.filter(_.matches("q\\d+_.*")).toSeq.sorted
+  /** The FULL oracle surface (round-10 extension beyond the q-family):
+    * every gate entry is in scope; `excluded` carves out the ones with
+    * no faithful single-statement Spark SQL twin, each with its
+    * reason. Everything else — 119 verbatim ANSI texts plus the
+    * override/shim entries below — is twin-proven by SqlTwinSpec. */
+  lazy val names: Seq[String] = graft.SparkEntry.oracleSql.keys.toSeq.sorted
 
-  /** Entries with no faithful single-statement Spark twin, with why. */
-  val excluded: Map[String, String] = Map()
+  /** Entries with no faithful single-statement Spark twin, with why.
+    * Four families dominate, for structural reasons:
+    *  - dedup (d2–d20 minus the ANSI ones): the oracle is a DuckDB
+    *    BRUTE-FORCE reconstruction of an LSH/minhash/simhash plan
+    *    using list comprehensions and recursive CTEs — not a SQL
+    *    statement a user would type; the operator's SQL access is the
+    *    registered views + the DataFrame surface.
+    *  - similarity (s1–s13): cosine brute force via DuckDB list
+    *    comprehensions; the engine's SQL spelling would need the
+    *    DotF64 extension expression (plan-asserted in PlanSpec, not
+    *    twin-gated).
+    *  - multimodal (m1–m7): DuckDB encode()/binary-literal fixture
+    *    synthesis (m8's manifest audit is plain ANSI and IS in scope).
+    *  - pipelines (p1–p6) + stateful streaming (st3/st15): the oracle
+    *    reconstructs multi-zone / stateful-session END STATE with
+    *    DuckDB-specific spellings; the entry itself is a composition,
+    *    not a statement. (The OTHER st entries' oracles are plain
+    *    batch SQL and are twin-proven as such.)
+    * Plus two specific ones: x1 (DuckDB ASOF JOIN syntax — Spark SQL
+    * has no ASOF join, which is exactly why the AsOfJoin custom
+    * operator exists) and t20 (minhash-over-shingles list
+    * comprehension, same reason as the dedup family). */
+  val excluded: Map[String, String] = {
+    val dedup = (Seq("d2_minhash_sig", "d3_lsh_pairs", "d4_ngram_jaccard",
+      "d5_simhash", "d6_dup_clusters", "d8_lsh_jaccard", "d9_decontaminate",
+      "d10_purge", "d11_simhash_neardup", "d11b_simhash_neardup64",
+      "d12_minhash_calibration", "d13_incremental_dedup", "d14_dedup_verdict",
+      "d15_semantic_dedup", "d16_containment", "d17_source_overlap",
+      "d18_canonical", "d19_cluster_split", "d20_url_dedup")
+      .map(_ -> "oracle is a DuckDB list-comprehension/recursive-CTE LSH reconstruction, not user SQL"))
+    val sim = (1 to 13).map(i => s"s$i" -> "")
+      .map(_._1).flatMap(p => graft.SparkEntry.oracleSql.keys.filter(_.startsWith(p + "_")))
+      .map(_ -> "oracle brute-forces cosine via DuckDB list comprehensions; SQL spelling needs the DotF64 extension")
+    val mm = Seq("m1_binary_meta", "m2_decode_features", "m3_frame_sample",
+      "m4_resize_stub", "m5_asset_dedup", "m6_binaryfile_source",
+      "m7_perceptual_neardup")
+      .map(_ -> "oracle synthesizes binary fixtures with DuckDB encode()/blob spellings")
+    val pipe = Seq("p1_pipeline_e2e", "p2_training_corpus",
+      "p3_incremental_ingest", "p4_curation_pipeline", "p5_stream_curation",
+      "p6_pipeline_retry")
+      .map(_ -> "multi-zone pipeline composition; oracle reconstructs end state with DuckDB spellings")
+    val stream = Seq(
+      "st3_stateful_sessions" -> "stateful-session reconstruction (DuckDB epoch + gap logic), not a statement",
+      "st15_stream_curation" -> "foreachBatch admission loop; oracle reconstructs with DuckDB unnest fixtures",
+      "o3_bmkg_source" -> "REST payload parse; oracle uses DuckDB json_transform over an inline fixture",
+      "x1_asof_join" -> "DuckDB ASOF JOIN syntax; Spark SQL has no ASOF join — hence the AsOfJoin operator",
+      "t20_split_leakage" -> "minhash-over-shingles list comprehension (dedup-family reason)")
+    (dedup ++ sim ++ mm ++ pipe ++ stream).toMap
+  }
+
+  /** Ordered regex→replacement dialect shims, applied per entry (NOT
+    * globally — a blanket rewrite could corrupt verbatim-passing
+    * texts). Every shimmed text is still value-gated against the
+    * DataFrame form by SqlTwinSpec, so a bad shim fails loudly. */
+  private val Varchar = Seq("\\bVARCHAR\\b" -> "STRING")
+  private val Json = Seq("\\bjson_extract_string\\(" -> "get_json_object(")
+  private val Epoch = Seq("\\bepoch\\(" -> "unix_timestamp(")
+  private val Unnest = Seq("\\bunnest\\(" -> "explode(")
+  private val StrSplit = Seq("\\bstring_split\\(" -> "split(")
+  private val ReSplit = Seq("\\bregexp_split_to_array\\(" -> "split(")
+  private val Len = Seq("\\blen\\(" -> "size(")
+  private val Strpos = Seq("\\bstrpos\\(" -> "instr(")
+  private val FloorDiv = Seq("//" -> " div ")
+  private val ReFlagG = Seq(",\\s*'g'\\)" -> ")")
+  private val GenSeries = Seq("\\bgenerate_series\\(" -> "explode(sequence(",
+    "\\)\\s+t\\(i\\)" -> ")) t(i)")
+  private val ListFilter = Seq("\\blist_filter\\(" -> "filter(")
+  /** Double every backslash: Spark's SQL string literals process
+    * escapes ('\s' collapses to 's'), DuckDB's don't — regex literals
+    * like '\s+' must become '\\s+' to survive spark.sql. Applied LAST
+    * in an entry's rule chain. */
+  private val EscRegex = Seq("\\\\" -> "\\\\")
+  private val HexCast = Seq(
+    "\\('0x' \\|\\| substr\\(kth_hash, 1, 13\\)\\)::BIGINT" ->
+      "CAST(conv(substr(kth_hash, 1, 13), 16, 10) AS BIGINT)")
+
+  val shimmed: Map[String, Seq[(String, String)]] = Map(
+    "o15_try_timestamp" -> Varchar,
+    "o16_try_numeric" -> Varchar,
+    "o17_derive" -> Varchar,
+    "o20_drop_null" -> Json,
+    "o33_json_path" -> Json,
+    "o33_flatten" -> (Unnest ++ StrSplit),
+    "o30_prescriptive" -> (Epoch ++ Seq("/ 3600\\.0" -> "/ 3600.0D")),
+    "t1_langid" -> (Unnest ++ StrSplit ++ Len),
+    "t2_quality" -> (ReSplit ++ StrSplit ++ Len ++ ReFlagG ++ ListFilter ++ EscRegex),
+    "t3_token_count" -> (ReSplit ++ Len ++ EscRegex),
+    "t6_top_terms" -> (Unnest ++ StrSplit ++ Len),
+    "t7_train_split" -> Strpos,
+    // DuckDB's 2-arg regexp_extract_all means "whole match"; Spark's
+    // 2-arg form defaults the group index to 1 — pin idx 0 explicitly
+    "t8_pii_scrub" -> (ReFlagG ++ Len ++
+      Seq("regexp_extract_all\\(t, ('[^']*')\\)" -> "regexp_extract_all(t, $1, 0)") ++
+      EscRegex),
+    "t9_repetition" -> (Unnest ++ StrSplit ++ Len),
+    "t11_stratified_sample" -> (Strpos ++ FloorDiv),
+    "t12_hash_features" -> (Varchar ++ Strpos ++ Unnest ++ StrSplit),
+    "t13_normalize" -> (StrSplit ++ Len ++ ReFlagG ++ EscRegex),
+    "t14_tfidf" -> (Unnest ++ StrSplit ++ Len),
+    "t16_zipf_profile" -> (Unnest ++ StrSplit ++ Len),
+    "t18_quality_gate" -> (Unnest ++ StrSplit ++ ReSplit ++ Len),
+    "mt2_merge_upsert" -> GenSeries,
+    "mt12_snapshot_diff" -> GenSeries,
+    "mt3_skew_audit" -> (FloorDiv ++ Varchar ++
+      Seq("CAST\\(rk AS BIGINT\\) AS rk" -> "rk")),
+    "mt14_zorder" -> FloorDiv,
+    "x2_kmv_distinct" -> (Varchar ++ HexCast),
+    "x6_countmin" -> (Varchar ++ Strpos),
+    "x5_interval_overlap" ->
+      Seq("date_diff\\('day'," -> "timestampdiff(DAY,"),
+    "x12_dpp" ->
+      Seq("isodow\\(CAST\\(ts AS DATE\\)\\) = 1" -> "weekday(CAST(ts AS DATE)) = 0"),
+  )
+
+  private def applyShims(name: String, base: String): String =
+    shimmed.get(name).fold(base) { rules =>
+      rules.foldLeft(base) { case (t, (re, rep)) =>
+        // a "$1" in the replacement is a deliberate backreference;
+        // everything else is literal (quoted — SQL is full of $ and \)
+        val r = if (rep.contains("$1")) rep
+                else java.util.regex.Matcher.quoteReplacement(rep)
+        re.r.replaceAllIn(t, r)
+      }
+    }
 
   /** Spark spellings where the DuckDB oracle text is not portable.
     * 33 of the 51 analytic entries run VERBATIM (the oracle texts are
@@ -260,11 +385,102 @@ object SqlTwin {
                 CAST(max(rd) AS BIGINT) AS final_distinct,
                 CAST(sum(rd) AS BIGINT) AS sum_running_distinct
          FROM r GROUP BY 1 ORDER BY event_type""",
+    // ---- round-10 full-surface twins: DuckDB list comprehensions /
+    // ---- TVFs respelled with Spark array HOFs and posexplode ----
+    // t4: [md5(...) for i in range(...)] → transform(sequence(…)) with
+    // 0-based Spark indexing
+    "t4_fingerprint" ->
+      """WITH n AS (SELECT doc_id,
+                    lower(trim(regexp_replace(text, '\\s+', ' '))) AS norm FROM documents),
+          w AS (SELECT doc_id, norm, split(norm, ' ') AS arr FROM n)
+          SELECT doc_id, md5(norm) AS fingerprint,
+                 CASE WHEN size(arr) >= 3
+                   THEN array_min(transform(sequence(0, size(arr) - 3),
+                          i -> md5(concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))))
+                   ELSE md5(norm) END AS min_shingle_fp
+          FROM w ORDER BY doc_id""",
+    // t15: unnest + generate_subscripts → LATERAL VIEW posexplode
+    // (pos is only an ordering key, so 0- vs 1-based is immaterial)
+    "t15_bigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id, source, t.tok AS tok, t.pos AS pos
+           FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok),
+         toksf AS (SELECT * FROM toks WHERE tok <> ''),
+         bi AS (
+           SELECT doc_id, source, tok,
+                  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+           FROM toksf),
+         big AS (SELECT * FROM bi WHERE next IS NOT NULL),
+         c12 AS (
+           SELECT tok, next, count(*) AS c12 FROM big
+           WHERE source = 'src0' GROUP BY 1, 2),
+         c1 AS (
+           SELECT tok, count(*) AS c1 FROM toksf
+           WHERE source = 'src0' GROUP BY 1),
+         model AS (
+           SELECT c12.tok, c12.next,
+                  CAST(round(ln(CAST(c12.c12 AS DOUBLE) / c1.c1) * 1000000)
+                    AS BIGINT) AS lp_micro
+           FROM c12 JOIN c1 ON c12.tok = c1.tok),
+         scored AS (
+           SELECT b.doc_id, coalesce(m.lp_micro, -10000000) AS lp
+           FROM big b LEFT JOIN model m ON b.tok = m.tok AND b.next = m.next)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
+                CAST(CAST(sum(lp) AS BIGINT) < count(*) * -3000000 AS INT)
+                  AS low_quality
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    // t17: [array_to_string(list_slice(arr,i,i+4),' ') for i …] →
+    // explode(transform(sequence(…), i -> array_join(slice(…)))) —
+    // slice() is 1-based like list_slice, so indices carry over
+    "t17_boilerplate" ->
+      """WITH d AS (SELECT doc_id, split(text, ' ') AS arr FROM documents),
+          sh AS (SELECT doc_id,
+                        explode(transform(sequence(1, size(arr) - 4),
+                          i -> array_join(slice(arr, i, 5), ' '))) AS sh
+                 FROM d WHERE size(arr) >= 5),
+          df AS (SELECT sh, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1),
+          j AS (SELECT s.doc_id AS doc_id, f.n_docs AS n_docs
+                FROM sh s JOIN df f USING (sh)),
+          agg AS (SELECT doc_id, count(*) AS n_shingles,
+                         CAST(sum(CASE WHEN n_docs >= 5 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_boiler
+                  FROM j GROUP BY 1)
+          SELECT d.doc_id AS doc_id,
+                 coalesce(a.n_shingles, 0) AS n_shingles,
+                 coalesce(a.n_boiler, 0) AS n_boiler,
+                 round(coalesce(a.n_boiler, 0) /
+                       CAST(greatest(coalesce(a.n_shingles, 0), 1) AS DOUBLE), 4)
+                   AS boiler_frac
+          FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+    // o4: unnest(['…','…']) fixture → explode(array(…)),
+    // json_extract_string → get_json_object
+    "o4_aqicn_source" ->
+      """WITH raw AS (SELECT explode(array('{"status":"ok","data":{"aqi":57,"iaqi":{"pm25":{"v":57.0},"h":{"v":62.0},"t":{"v":30.1}},"city":{"name":"Balikpapan"}}}', '{"status":"error","data":{"aqi":-1}}')) AS j)
+            SELECT get_json_object(j, '$.status') AS status,
+                   try_cast(get_json_object(j, '$.data.aqi') AS DOUBLE) AS aqi,
+                   try_cast(get_json_object(j, '$.data.iaqi.pm25.v') AS DOUBLE) AS pm25,
+                   try_cast(get_json_object(j, '$.data.iaqi.h.v') AS DOUBLE) AS humidity,
+                   get_json_object(j, '$.data.city.name') AS city
+            FROM raw WHERE get_json_object(j, '$.status') = 'ok'""",
+    // st5: unnest([a, b]) two-window expansion → explode(array(a, b))
+    "st5_sliding_watermark" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+         e AS (SELECT explode(array(date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                              date_trunc('hour', ts))) AS wstart,
+                      event_type, value
+               FROM events)
+         SELECT wstart, event_type, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM e, wm
+         WHERE wstart + INTERVAL 2 HOUR <= w
+         GROUP BY 1, 2 ORDER BY wstart, event_type""",
   )
 
   def text(name: String): String =
     overrides.getOrElse(name,
-      Queries.sparkSql.getOrElse(name, graft.SparkEntry.oracleSql(name)))
+      applyShims(name,
+        Queries.sparkSql.getOrElse(name, graft.SparkEntry.oracleSql(name))))
 
   /** Sorted multiset of rendered rows for twin comparison. Collected
     * (gate-SF sizes only): `exceptAll` over two plans that each carry

@@ -19,8 +19,15 @@ object SqlTwinProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.io.Tables.registerViews(spark, dir)
-    val names = graft.analytics.SqlTwin.names
-      .filter(n => only.forall(_.contains(n)))
+    // no filter → the committed twin scope; explicit names → any
+    // oracle entry (scouting candidates); "ALL" → every oracle entry
+    val names = only match {
+      case None => graft.analytics.SqlTwin.names
+      case Some(ns) if ns.contains("ALL") =>
+        graft.SparkEntry.oracleSql.keys.toSeq.sorted
+      case Some(ns) =>
+        graft.SparkEntry.oracleSql.keys.toSeq.sorted.filter(ns.contains)
+    }
     names.foreach { name =>
       graft.analytics.SqlTwin.excluded.get(name) match {
         case Some(reason) => println(s"EXCL $name — $reason")

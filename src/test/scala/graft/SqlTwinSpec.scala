@@ -5,31 +5,39 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.analytics.SqlTwin
 import graft.io.Tables
 
-/** SQL twin gate for the FULL analytic surface (round-9 verdict
-  * task 2; round-8 covered q1–q17 only): the reference's user-facing
-  * query surface IS SQL (the 20 Metabase cards, ref
-  * `docker/metabase_backup_utf8.sql`), and the extended-OLAP family —
-  * ROLLUP / CUBE / GROUPING SETS / LATERAL / recursive CTE — is
-  * exactly what users type SQL for. For every entry q1–q51, run
-  * `spark.sql(SqlTwin.text(name))` over the registered zone views and
-  * require schema equality plus bag equality with the DataFrame form
-  * (the driver's gate hashes column-sorted rows, so bag equality is
-  * the matching contract). Comparison is over collected sorted rows,
-  * not exceptAll — see SqlTwin.collectedRows for the Spark
-  * plan-stitching bug that forces this.
+/** SQL twin gate for the FULL oracle surface (round-9 verdict task 2,
+  * extended in round 10 from q1–q51 to all 202 entries): the
+  * reference's user-facing query surface IS SQL (the 20 Metabase
+  * cards, ref `docker/metabase_backup_utf8.sql`). For every
+  * non-excluded entry, run `spark.sql(SqlTwin.text(name))` over the
+  * registered zone views and require schema equality plus bag
+  * equality with the DataFrame form (the driver's gate hashes
+  * column-sorted rows, so bag equality is the matching contract).
+  * 152 entries are proven — 119 oracle texts verbatim, the rest via
+  * documented dialect shims/overrides — and the 50 exclusions
+  * (DuckDB list-comprehension LSH/cosine reconstructions, pipeline
+  * compositions, binary fixtures, ASOF syntax) surface as
+  * always-passing tests that carry their reason in the test NAME, so
+  * the test report is the full what-is-and-isn't-SQL-proven ledger.
   *
-  * `SqlTwin.excluded` entries (currently none) would surface here as
-  * always-passing tests that PRINT their exclusion reason, so a grep
-  * of the test report shows exactly what is and isn't SQL-proven.
+  * Comparison is over collected sorted rows, not exceptAll — see
+  * SqlTwin.collectedRows for the Spark plan-stitching bug that forces
+  * this.
   */
 class SqlTwinSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  test("twin scope covers the whole q-surface (≥ 40 entries, round-9 task)") {
-    assert(SqlTwin.names.size >= 40, s"only ${SqlTwin.names.size} entries in scope")
-    assert(SqlTwin.names.size - SqlTwin.excluded.size >= 40,
-      s"exclusions ${SqlTwin.excluded.keys.toSeq.sorted} leave fewer than 40 proven entries")
+  test("twin scope: all oracle entries, ≥150 proven, q-surface fully proven") {
+    assert(SqlTwin.names.size == SparkEntry.oracleSql.size,
+      "twin scope must cover every oracle entry")
+    assert(SqlTwin.names.size - SqlTwin.excluded.size >= 150,
+      s"exclusions leave only ${SqlTwin.names.size - SqlTwin.excluded.size} proven entries")
+    val excludedQ = SqlTwin.excluded.keys.filter(_.matches("q\\d+_.*"))
+    assert(excludedQ.isEmpty,
+      s"the analytic q-surface must stay fully SQL-proven, excluded: $excludedQ")
+    val stale = SqlTwin.excluded.keySet -- SqlTwin.names.toSet
+    assert(stale.isEmpty, s"exclusions for entries that no longer exist: $stale")
   }
 
   SqlTwin.names.foreach { name =>
