@@ -117,23 +117,31 @@ class CrashRecoverySpec extends AnyFunSuite {
       .collect().toSeq.map(_.toString).sorted
   }
 
+  val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
+  // "rocksdb+changelog" is the full production durability stack: the
+  // restart must rebuild state by REPLAYING per-commit changelogs from
+  // the checkpoint, under a crash that interrupted a commit cycle.
   for {
-    provider <- Seq("heap", "rocksdb")
+    provider <- Seq("heap", "rocksdb", "rocksdb+changelog")
     afterWrite <- Seq(false, true)
   } {
     val label = if (afterWrite) "crash after sink write" else "crash before sink write"
     test(s"$label, $provider provider: restart on the same checkpoint is exactly-once") {
-      val prev = spark.conf.getOption(ProviderKey)
-      if (provider == "rocksdb") spark.conf.set(ProviderKey, RocksDb)
+      val keys = Seq(ProviderKey, ChangelogKey)
+      val prev = keys.map(k => k -> spark.conf.getOption(k))
+      if (provider.startsWith("rocksdb")) spark.conf.set(ProviderKey, RocksDb)
+      if (provider.endsWith("changelog")) spark.conf.set(ChangelogKey, "true")
       try {
         val got = crashRun(afterWrite)
         val want = st4Reference
         assert(got.size == want.size,
           s"row count after recovery: got=${got.size} want=${want.size}")
         assert(got == want, "recovered output diverged from st4's reference")
-      } finally prev match {
-        case Some(v) => spark.conf.set(ProviderKey, v)
-        case None => spark.conf.unset(ProviderKey)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }
