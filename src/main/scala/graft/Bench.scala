@@ -40,6 +40,38 @@ import org.apache.spark.sql.SparkSession
   * and partial runs (SPARK_GRAFT_BENCH_ONLY) self-identify via "only".
   */
 object Bench {
+  /** The measurement session conf — ONE definition shared by Bench
+    * (in-suite) and TimeOne (fresh-JVM re-measure), so the two numbers
+    * can differ only by suite state, never by conf drift.
+    *
+    * Scale-proof shuffle sizing (round-9 sf1→sf10 finding): a fixed
+    * partition count means 10× data = 10× payload per sort/join task
+    * → spill → super-linear wall time (t15 exp 1.73, d5 1.42 at the
+    * pinned 32). Let AQE start wide and coalesce: big shuffles keep
+    * ~advisory-sized partitions at any SF, small ones still collapse
+    * to a handful. This is the production conf, not a bench trick.
+    *
+    * periodicGC: shuffle files are reference-tracked and only deleted
+    * when a GC runs (ContextCleaner): a 202-entry suite in ONE JVM
+    * accumulates them, and at 10× data the later entries measurably
+    * degrade from page-cache/disk pressure that isn't theirs (q31
+    * 4.4 s fresh vs 33 s late-suite at sf10). Harness hygiene so
+    * per-entry numbers stay per-entry. */
+  def session(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(256, cpus.toInt * 8).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -48,29 +80,7 @@ object Bench {
     // measure one family at a time without paying for the whole suite).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // Scale-proof shuffle sizing (round-9 sf1→sf10 finding): a fixed
-      // partition count means 10× data = 10× payload per sort/join task
-      // → spill → super-linear wall time (t15 exp 1.73, d5 1.42 at the
-      // pinned 32). Let AQE start wide and coalesce: big shuffles keep
-      // ~advisory-sized partitions at any SF, small ones still collapse
-      // to a handful. This is the production conf, not a bench trick.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(256, cpus.toInt * 8).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Shuffle files are reference-tracked and only deleted when a GC
-      // runs (ContextCleaner): a 202-entry suite in ONE JVM accumulates
-      // them, and at 10× data the later entries measurably degrade from
-      // page-cache/disk pressure that isn't theirs (q31 4.4 s fresh vs
-      // 33 s late-suite at sf10). Ask Spark to GC-sweep periodically —
-      // harness hygiene so per-entry numbers stay per-entry.
-      .config("spark.cleaner.periodicGC.interval", "2min")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = session(cpus)
 
     // Session warmup: touch the scheduler, parquet reader, and codegen
     // paths once. Non-fatal: a bad sfDir must still produce the JSON

@@ -1,5 +1,4 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
 
 /** Single-entry fresh-JVM timer. Run standalone for spot checks, or
   * spawned by `graft.Bench` as the contamination-free re-measure of
@@ -7,21 +6,14 @@ import org.apache.spark.sql.SparkSession
   * 13.24 s in-suite vs 1.97 s in a fresh JVM — 202 entries of shuffle
   * files, page-cache pressure, and state-store maintenance threads in
   * ONE JVM contaminate the tail entries consistently enough that a
-  * stddev trigger can never catch it). The Spark conf here MUST stay
-  * the mirror of Bench's session conf — same cpus (SPARK_GRAFT_CPUS),
-  * shuffle width, AQE and initialPartitionNum — so the two numbers
-  * differ only by suite state, which is the thing being removed. */
+  * stddev trigger can never catch it). The session comes from
+  * `Bench.session` — the SAME builder the in-suite pass uses — so the
+  * two numbers differ only by suite state, which is the thing being
+  * removed; conf drift between the two is impossible by construction. */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(256, cpus.toInt * 8).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Bench.session(cpus)
     val (name, dir) = (args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 1
     val fn = graft.SparkEntry.queries(name)
