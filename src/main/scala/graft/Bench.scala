@@ -150,24 +150,37 @@ object Bench {
       cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
       cmd.add("graft.tools.TimeOne"); cmd.add(name); cmd.add(sfDir)
       cmd.add(reps.toString)
+      // stdout → temp file (not a pipe): the parent never blocks on a
+      // stream read, so the waitFor timeout below is always reachable
+      var outFile: java.nio.file.Path = null
       try {
-        // stdout → temp file (not a pipe): the parent never blocks on a
-        // stream read, so the waitFor timeout below is always reachable
-        val outFile = java.nio.file.Files.createTempFile("graft_fresh_", ".out")
+        outFile = java.nio.file.Files.createTempFile("graft_fresh_", ".out")
         val pb = new ProcessBuilder(cmd)
         pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         pb.redirectOutput(outFile.toFile)
         val p = pb.start()
         val ok = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
-        if (!ok) { p.destroyForcibly(); return None }
+        if (!ok) {
+          p.destroyForcibly()
+          // loud: a silent None here would ship the contaminated
+          // in-suite number while claiming the fresh-value contract
+          System.err.println(s"[bench] fresh re-measure of $name TIMED OUT " +
+            "(10 min) — reporting the in-suite median for this entry")
+          return None
+        }
         val out = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
-        java.nio.file.Files.deleteIfExists(outFile)
         val re = """TIMED \S+ rows=\d+ median=([0-9.]+)""".r
-        re.findFirstMatchIn(out).map(_.group(1).toDouble)
+        val m = re.findFirstMatchIn(out).map(_.group(1).toDouble)
           .filter(_ => p.exitValue() == 0)
+        if (m.isEmpty)
+          System.err.println(s"[bench] fresh re-measure of $name produced no " +
+            s"TIMED line (exit ${p.exitValue()}) — reporting the in-suite median")
+        m
       } catch { case e: Exception =>
         System.err.println(s"[bench] fresh re-measure of $name failed: ${e.getMessage}")
         None
+      } finally {
+        if (outFile != null) java.nio.file.Files.deleteIfExists(outFile)
       }
     }
     val fresh: Map[String, Double] = freshTargets.flatMap { name =>
@@ -187,9 +200,14 @@ object Bench {
     val insuite = results.collect { case (k, v, _, _) if fresh.contains(k) =>
       "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = reported.map(_._2).filter(_ >= 0).sum
-    val confFp = s"""{"cpus":$cpus,"shufflePartitions":$cpus,""" +
-      s""""aqeInitialPartitionNum":${math.max(256, cpus.toInt * 8)},""" +
-      s""""aqe":true,"freshTopK":$freshK}"""
+    // read the fingerprint from the LIVE session, not re-derived
+    // constants: session() is the one conf definition, and a future
+    // edit there must not desynchronize the fingerprint that
+    // cross-round comparisons trust
+    val confFp = s"""{"cpus":$cpus,""" +
+      s""""shufflePartitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
+      s""""aqeInitialPartitionNum":${spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")},""" +
+      s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")},"freshTopK":$freshK}"""
     val onlyField = only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sd,"n":$ns,"insuite":$insuite,"conf":$confFp$onlyField,"reps":$reps,"sf":"$sfDir"}"""
     // The driver parses the stdout TAIL. A streaming state-store

@@ -59,8 +59,8 @@ object SqlTwin {
       "d15_semantic_dedup", "d16_containment", "d17_source_overlap",
       "d18_canonical", "d19_cluster_split", "d20_url_dedup")
       .map(_ -> "oracle is a DuckDB list-comprehension/recursive-CTE LSH reconstruction, not user SQL"))
-    val sim = (1 to 13).map(i => s"s$i" -> "")
-      .map(_._1).flatMap(p => graft.SparkEntry.oracleSql.keys.filter(_.startsWith(p + "_")))
+    val sim = (1 to 13).map(i => s"s${i}_")
+      .flatMap(p => graft.SparkEntry.oracleSql.keys.filter(_.startsWith(p)))
       .map(_ -> "oracle brute-forces cosine via DuckDB list comprehensions; SQL spelling needs the DotF64 extension")
     val mm = Seq("m1_binary_meta", "m2_decode_features", "m3_frame_sample",
       "m4_resize_stub", "m5_asset_dedup", "m6_binaryfile_source",
@@ -490,7 +490,14 @@ object SqlTwin {
     * plan stitching entirely. Values render via String.valueOf, which
     * is exact for the integral/str/timestamp columns and
     * bit-faithful for doubles (both sides run the SAME Spark
-    * expressions, so equal means bit-equal). */
+    * expressions, so equal means bit-equal). Columns join on an
+    * explicit \\u0001 delimiter and SQL NULL gets a NUL-framed
+    * sentinel no rendered value can collide with — without both,
+    * adjacent columns ("1","23" vs "12","3") or NULL vs the string
+    * "null" would compare equal and the gate could false-pass. */
   def collectedRows(d: org.apache.spark.sql.DataFrame): Seq[String] =
-    d.collect().map(_.toSeq.map(String.valueOf).mkString("")).toSeq.sorted
+    d.collect().map(_.toSeq
+        .map(v => if (v == null) "\u0000<NULL>\u0000" else String.valueOf(v))
+        .mkString("\u0001"))
+      .toSeq.sorted
 }

@@ -27,14 +27,21 @@ import org.apache.spark.sql.functions._
   * MEASUREMENT SYMMETRY (round-9 advice: the old aqe_split variant ran
   * under x14's demo confs — 1 MB scan bins + a merge hint — so its
   * number mixed scan-splitting overhead and a join-algorithm change
-  * into the skew-split effect): all three variants now run with the
-  * SAME scan confs (defaults; at sweep scale the parquet files give
-  * AQE real mapper boundaries without artificial 1 MB bins) and the
-  * SAME shuffle_hash hint. The ONLY deltas are skewJoin.enabled and
-  * its thresholds for `aqe_split`, and the salt rewrite for `salted`.
-  * Broadcast is disabled throughout — a broadcast join has no reducer
-  * hotspot, so it would dissolve the thing being measured (and at the
-  * 100 TB operating point the dim doesn't fit the broadcast budget).
+  * into the skew-split effect): ALL THREE variants run with identical
+  * scan confs (4 MB bins + zero open cost — GenScale writes each
+  * table as ONE file, and OptimizeSkewedJoin can only split a reducer
+  * partition along MAPPER boundaries, so a single-mapper scan would
+  * make the split physically impossible at small cells; the bins give
+  * every cell real mapper granularity, identically in every arm), an
+  * identical 1 MB advisory partition size (it is BOTH the AQE
+  * coalescing target and the skew-split slice size — leaving it
+  * asymmetric would let the aqe arm measure coalescing width instead
+  * of skew splitting), and the SAME shuffle_hash hint. The ONLY
+  * deltas are skewJoin.enabled + its threshold/factor for
+  * `aqe_split`, and the salt rewrite for `salted`. Broadcast is
+  * disabled throughout — a broadcast join has no reducer hotspot, so
+  * it would dissolve the thing being measured (and at the 100 TB
+  * operating point the dim doesn't fit the broadcast budget).
   *
   * Two modes:
   *   sbt 'runMain graft.tools.SkewStress <dir> [reps]'
@@ -66,8 +73,12 @@ object SkewStress {
       val cells = for (k <- Seq(10, 100, 300); pct <- Seq(10, 40)) yield (k, pct)
       val rows = cells.map { case (k, pct) =>
         val dir = s"$work/k${k}p$pct"
-        if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(dir, "events.parquet"))) {
+        // resume-safe: BOTH staged tables must exist — a run killed
+        // between the events and customer writes must regenerate, not
+        // crash mid-grid on the missing half
+        val complete = Seq("events", "customer").forall(t =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$t.parquet")))
+        if (!complete) {
           System.err.println(s"[skew] generating $dir (K=$k pct=$pct)")
           GenScale.generate(spark, src, dir, k, pct,
             only = Seq("events", "customer"))
@@ -149,19 +160,30 @@ object SkewStress {
       ts.sorted.apply(ts.size / 2)
     }
 
+    // SYMMETRIC confs for every arm (see object scaladoc): scan bins
+    // give each cell real mapper granularity (single-file tables would
+    // leave OptimizeSkewedJoin nothing to split along), and the 1 MB
+    // advisory — both the coalescing target AND the skew-slice size —
+    // must be identical everywhere or the aqe arm measures coalescing
+    // width, not skew splitting.
+    val symmetric = Seq(
+      "spark.sql.files.maxPartitionBytes" -> "4MB",
+      "spark.sql.files.openCostInBytes" -> "0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB")
     val skewOff = Seq("spark.sql.adaptive.skewJoin.enabled" -> "false")
     val skewOn = Seq(
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      // lowered from the 256 MB/64 MB cluster defaults so the measured
-      // hot partition clears the bar at sweep scale; at 100 TB the
+      // lowered from the 256 MB cluster default so the measured hot
+      // partition clears the bar at sweep scale; at 100 TB the
       // defaults fire on the same shape
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB")
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
 
-    val tUnsalted = withConfs(skewOff: _*)(time(() => unsalted()))
-    val tSalted = withConfs(skewOff: _*)(time(() => salted()))
-    val tAqe = withConfs(skewOn: _*)(time(() => unsalted()))
-    Measurement(total, hotRows, tUnsalted, tSalted, tAqe)
+    withConfs(symmetric: _*) {
+      val tUnsalted = withConfs(skewOff: _*)(time(() => unsalted()))
+      val tSalted = withConfs(skewOff: _*)(time(() => salted()))
+      val tAqe = withConfs(skewOn: _*)(time(() => unsalted()))
+      Measurement(total, hotRows, tUnsalted, tSalted, tAqe)
+    }
   }
 }
