@@ -61,8 +61,20 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // initialPartitionNum is AQE's post-shuffle width CEILING —
+      // coalescing only merges downward from it; nothing splits a
+      // too-large partition in a plain (non-skew-join) shuffle. The
+      // round-9 value of 256 carried two decades but capped the THIRD
+      // (sf100, measured round 10): t15's ~2 B-row token shuffle hit
+      // 256 spill-sized sort partitions and went exp 1.21
+      // (230 s); at 1024 the same entry is 66 s (exp 0.67) while toy
+      // SFs measure no cost (q6 0.40→0.42 s — coalescing collapses
+      // unused width). 1024 ≈ two decades of headroom above the
+      // largest measured shuffle; SPARK_GRAFT_AQE_INIT overrides for
+      // scale stress beyond that.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(256, cpus.toInt * 8).toString)
+        sys.env.getOrElse("SPARK_GRAFT_AQE_INIT",
+          math.max(1024, cpus.toInt * 8).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.cleaner.periodicGC.interval", "2min")

@@ -81,10 +81,13 @@ class RocksDbSweepSpec extends AnyFunSuite {
 
   // The durability conf a production RocksDB stream actually runs
   // with: changelog checkpointing uploads per-commit deltas instead of
-  // full SST snapshots. Swept over the two checkpoint-heavy shapes —
-  // the watermarked agg (st4) and the two-start recovery (st18, where
-  // the second start must REPLAY the changelog to rebuild state).
-  Seq("st4_watermark_append", "st18_checkpoint_recovery").foreach { name =>
+  // full SST snapshots. Swept over the three checkpoint-heavy shapes —
+  // the watermarked agg (st4), the two-start recovery (st18, where
+  // the second start must REPLAY the changelog to rebuild state), and
+  // the state-store READER (st16 — the ops surface must decode a
+  // changelog-checkpointed store, not only a full-snapshot one).
+  Seq("st4_watermark_append", "st16_statestore_read",
+      "st18_checkpoint_recovery").foreach { name =>
     test(s"$name: RocksDB + changelog checkpointing yields identical output") {
       val heap = rows(name)
       val rocks = withConf(ProviderKey -> RocksDb, ChangelogKey -> "true")(
