@@ -145,8 +145,44 @@ class ExtensionsSpec extends AnyFunSuite {
     val f2 = Binary.m2DecodeFeatures(spark, sf).collect()
     assert(f1.length == 500 && f1.sameElements(f2))
     f1.foreach { r =>
-      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 128)
-      assert(r.getAs[Int]("n_frames") >= 1)
+      assert(r.getAs[Int]("width") >= 8 && r.getAs[Int]("width") <= 32)
+      assert(r.getAs[Int]("height") >= 8 && r.getAs[Int]("height") <= 32)
+      assert(r.getAs[Int]("maxval") == 255)
+      assert(r.getAs[Int]("n_pixels") ==
+        r.getAs[Int]("width") * r.getAs[Int]("height"))
+      assert(r.getAs[Int]("min_px") <= r.getAs[Int]("max_px"))
+      assert(r.getAs[Long]("sum_px") <= 255L * r.getAs[Int]("n_pixels"))
+    }
+  }
+
+  test("PGM parser decodes a handcrafted P5 image (comments included)") {
+    // 3×2 image, maxval 200, with a header comment — pixel bytes 10..60
+    val img = "P5\n# a comment line\n3 2\n200\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val hd = Binary.parsePgmHeader(img)
+    assert(hd.width == 3 && hd.height == 2 && hd.maxval == 200)
+    assert(img.drop(hd.rasterOffset).take(6).toSeq ==
+      Seq[Byte](10, 20, 30, 40, 50, 60))
+    // malformed inputs must fail loudly, not decode garbage
+    intercept[IllegalArgumentException] {
+      Binary.parsePgmHeader("P6\n3 2\n255\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Binary.parsePgmHeader("P5\n9 9\n255\nabc".getBytes("US-ASCII"))
+    }
+  }
+
+  test("m4 resize is a true nearest-neighbor subsample of the PGM raster") {
+    val rows = Binary.m4ResizeStub(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("out_w") == (r.getAs[Int]("in_w") + 1) / 2)
+      assert(r.getAs[Int]("out_h") == (r.getAs[Int]("in_h") + 1) / 2)
+      // out_bytes = header ("P5\n<ow> <oh>\n255\n") + ow·oh raster
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      val header = s"P5\n$ow $oh\n255\n".length
+      assert(r.getAs[Int]("out_bytes") == header + ow * oh)
+      assert(r.getAs[String]("out_md5").matches("[0-9a-f]{32}"))
     }
   }
 
