@@ -27,17 +27,25 @@ import org.apache.spark.sql.SparkSession
   * in-suite with a calm 2.2 s stddev while a fresh JVM measured
   * 1.97 s, a 6.7× overstatement from 200 entries of accumulated
   * shuffle files / page-cache / state-store maintenance threads): after
-  * the in-suite pass, the `SPARK_GRAFT_BENCH_FRESH` (default 10) most
-  * expensive entries are re-timed in a FRESH JVM each (this JVM's own
-  * flags + classpath, running graft.tools.TimeOne with the mirrored
-  * session conf). The fresh median becomes the reported value for those
-  * entries — it is the number a user actually sees — and the in-suite
-  * median ships alongside in "insuite" so the contamination factor is
-  * itself part of the record. The emitted line also carries a "conf"
-  * fingerprint (cpus / shuffle width / AQE initialPartitionNum) so a
-  * cross-round total comparison can detect a conf change instead of
-  * misreading it as a code regression (exactly what r8→r9 suffered),
-  * and partial runs (SPARK_GRAFT_BENCH_ONLY) self-identify via "only".
+  * the in-suite pass, selected entries are re-timed in a FRESH JVM each
+  * (this JVM's own flags + classpath, running graft.tools.TimeOne with
+  * the mirrored session conf). Selection is by PROPERTY, not rank
+  * (round-10 used top-10 by median; entries ranked 11+ in the
+  * streaming family still shipped 1.9–2.5× overstated, and a rank
+  * boundary crossing fakes a ~2× round-over-round delta): every entry
+  * ≥ SPARK_GRAFT_BENCH_FRESH_FLOOR seconds in-suite (default 1.0)
+  * plus every streaming/pipeline entry. The fresh median becomes the
+  * reported value for those entries — it is the number a user actually
+  * sees — with the fresh spread as its stddev/n; the in-suite median
+  * ships alongside in "insuite" so the contamination factor is itself
+  * part of the record, and failed/timed-out fresh runs are named in
+  * "fresh_failed" rather than silently shipping in-suite values under
+  * the fresh contract. The emitted line also carries a "conf"
+  * fingerprint (cpus / shuffle width / AQE initialPartitionNum / fresh
+  * policy) so a cross-round total comparison can detect a conf change
+  * instead of misreading it as a code regression (exactly what r8→r9
+  * suffered), and partial runs (SPARK_GRAFT_BENCH_ONLY) self-identify
+  * via "only".
   */
 object Bench {
   /** The measurement session conf — ONE definition shared by Bench
@@ -143,16 +151,49 @@ object Bench {
         val (m, s) = stats(times); (name, m, s, times.size)
       }
     }
-    // --- Fresh-JVM re-measure of the most expensive entries ---------
-    // Contamination is concentrated where time is: the top-K in-suite
-    // medians get one fresh JVM each (same flags/classpath as this
-    // process, TimeOne mirrors the session conf). Fresh medians REPLACE
-    // the in-suite values in "queries"/total; the in-suite numbers move
-    // to "insuite" so the per-entry contamination ratio stays visible.
-    val freshK = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH", "10").toInt
-    val freshTargets = results.filter(_._2 > 0).sortBy(-_._2).take(freshK.max(0))
-      .map(_._1)
-    def freshMedian(name: String): Option[Double] = {
+    // --- Fresh-JVM re-measure ---------------------------------------
+    // Round-10 used a rank cutoff (top-10 by in-suite median). Two
+    // measured problems (round-10 verdict finding 2 + ADVICE): entries
+    // ranked 11+ in the streaming/pipeline families still shipped with
+    // 1.9–2.5× in-suite overstatement, and a rank cutoff gives an entry
+    // crossing the top-K boundary between rounds a spurious ~2× delta
+    // that reads as a code change. Round-11 policy — selection is by
+    // PROPERTY, not rank, so per-entry provenance is stable
+    // round-over-round:
+    //   (a) every entry whose in-suite median ≥ freshFloor (default
+    //       1.0 s — above it, contamination is material in absolute
+    //       terms), plus
+    //   (b) every streaming/pipeline entry (st*/p*) regardless of
+    //       time — the family whose state-store maintenance threads /
+    //       checkpoint dirs both CAUSE and SUFFER suite contamination.
+    // Fresh medians REPLACE the in-suite values in "queries"/total
+    // (with the fresh spread replacing "stddev"/"n" — ADVICE: a fresh
+    // value paired with an in-suite spread is an inconsistent pair);
+    // the in-suite numbers move to "insuite" so the per-entry
+    // contamination ratio stays part of the record, and entries whose
+    // fresh run failed/timed out are listed in "fresh_failed" (they
+    // ship the in-suite number — absence from "insuite" must stay
+    // distinguishable from a failed correction).
+    // SPARK_GRAFT_BENCH_FRESH=0 disables entirely (scale-stress runs
+    // that only want in-suite relatives).
+    val freshOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH", "1") != "0"
+    val freshFloor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH_FLOOR", "1.0").toDouble
+    val FreshFamilies = Seq("st", "p")
+    def inFreshFamily(name: String): Boolean =
+      FreshFamilies.exists(f => name.startsWith(f) &&
+        name.length > f.length && name.charAt(f.length).isDigit)
+    val freshTargets =
+      if (!freshOn) Seq.empty
+      else results.filter(_._2 > 0)
+        .filter { case (name, med, _, _) => med >= freshFloor || inFreshFamily(name) }
+        .sortBy(-_._2).map(_._1)
+    /** One fresh JVM: returns (median, stddev-over-reps, n). Timeout
+      * scales with the entry's own in-suite cost (ADVICE: a flat 10 min
+      * hits exactly the expensive entries that need correction most at
+      * big SFs): startup allowance + 10× the expected timed work. */
+    def freshMeasure(name: String, insuiteMed: Double)
+        : Option[(Double, Double, Int)] = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments
@@ -162,6 +203,8 @@ object Bench {
       cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
       cmd.add("graft.tools.TimeOne"); cmd.add(name); cmd.add(sfDir)
       cmd.add(reps.toString)
+      val timeoutSec =
+        math.max(600L, math.ceil((reps + 1) * insuiteMed * 10).toLong + 180L)
       // stdout → temp file (not a pipe): the parent never blocks on a
       // stream read, so the waitFor timeout below is always reachable
       var outFile: java.nio.file.Path = null
@@ -171,19 +214,24 @@ object Bench {
         pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         pb.redirectOutput(outFile.toFile)
         val p = pb.start()
-        val ok = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+        val ok = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
         if (!ok) {
           p.destroyForcibly()
           // loud: a silent None here would ship the contaminated
           // in-suite number while claiming the fresh-value contract
           System.err.println(s"[bench] fresh re-measure of $name TIMED OUT " +
-            "(10 min) — reporting the in-suite median for this entry")
+            s"(${timeoutSec}s) — reporting the in-suite median for this entry")
           return None
         }
         val out = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
-        val re = """TIMED \S+ rows=\d+ median=([0-9.]+)""".r
-        val m = re.findFirstMatchIn(out).map(_.group(1).toDouble)
-          .filter(_ => p.exitValue() == 0)
+        val re =
+          """TIMED \S+ rows=\d+ median=([0-9.]+) s over \d+ reps \[([0-9.,]+)\]""".r
+        val m = re.findFirstMatchIn(out).map { g =>
+          val ts = g.group(2).split(",").map(_.toDouble).toSeq
+          val mean = ts.sum / ts.size
+          val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
+          (g.group(1).toDouble, sd, ts.size)
+        }.filter(_ => p.exitValue() == 0)
         if (m.isEmpty)
           System.err.println(s"[bench] fresh re-measure of $name produced no " +
             s"TIMED line (exit ${p.exitValue()}) — reporting the in-suite median")
@@ -195,13 +243,21 @@ object Bench {
         if (outFile != null) java.nio.file.Files.deleteIfExists(outFile)
       }
     }
-    val fresh: Map[String, Double] = freshTargets.flatMap { name =>
-      val m = freshMedian(name)
-      m.foreach(v => System.err.println(f"[bench] fresh $name: $v%.3f s"))
+    val insuiteMedians = results.map(r => r._1 -> r._2).toMap
+    val freshAttempted = scala.collection.mutable.LinkedHashSet[String]()
+    val fresh: Map[String, (Double, Double, Int)] = freshTargets.flatMap { name =>
+      freshAttempted += name
+      val m = freshMeasure(name, insuiteMedians(name))
+      m.foreach { case (v, _, _) => System.err.println(f"[bench] fresh $name: $v%.3f s") }
       m.map(name -> _)
     }.toMap
+    val freshFailed = freshAttempted.toSeq.filterNot(fresh.contains)
     val reported = results.map { case (k, v, s, n) =>
-      (k, fresh.getOrElse(k, v), s, n) }
+      fresh.get(k) match {
+        case Some((fv, fs, fn)) => (k, fv, fs, fn)
+        case None => (k, v, s, n)
+      }
+    }
 
     val qs = reported.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -219,9 +275,13 @@ object Bench {
     val confFp = s"""{"cpus":$cpus,""" +
       s""""shufflePartitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
       s""""aqeInitialPartitionNum":${spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")},""" +
-      s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")},"freshTopK":$freshK}"""
+      s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")},""" +
+      s""""freshEnabled":$freshOn,"freshFloor":$freshFloor,""" +
+      s""""freshFamilies":"${FreshFamilies.mkString(",")}"}"""
     val onlyField = only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sd,"n":$ns,"insuite":$insuite,"conf":$confFp$onlyField,"reps":$reps,"sf":"$sfDir"}"""
+    val failedField = "\"fresh_failed\":" +
+      freshFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sd,"n":$ns,"insuite":$insuite,$failedField,"conf":$confFp$onlyField,"reps":$reps,"sf":"$sfDir"}"""
     // The driver parses the stdout TAIL. A streaming state-store
     // maintenance thread racing spark.stop() can dump a benign
     // RpcEnvStoppedException stack AFTER our line and flood it out

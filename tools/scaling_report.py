@@ -38,6 +38,14 @@ def main():
     small, large = load(sys.argv[1]), load(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     qs, ql = small["queries"], large["queries"]
+    # Per-entry measurement provenance: an entry in "insuite" was
+    # fresh-JVM corrected in that run; in "fresh_failed" its correction
+    # was attempted but the in-suite value shipped. If provenance
+    # differs BETWEEN the two runs, the measured contamination factor
+    # (~2-2.5x for streaming entries) masquerades as a scaling delta —
+    # flag it (~prov) instead of letting the exp column lie.
+    ps, pl = set(small.get("insuite", {})), set(large.get("insuite", {}))
+    failed = set(small.get("fresh_failed", [])) | set(large.get("fresh_failed", []))
     rows = []
     for k in sorted(qs):
         a, b = qs[k], ql.get(k, -1)
@@ -56,7 +64,11 @@ def main():
             print(f"{k:32s} {a:8.3f} {b:8.3f}    FAILED")
         elif not (a < FLOOR and b < FLOOR):
             flag = " <<" if exp > 1.15 and b > 1.0 else ""
+            if (k in ps) != (k in pl) or k in failed:
+                flag += " ~prov"
             print(f"{k:32s} {a:8.3f} {b:8.3f} {b/max(a,1e-4):7.2f} {exp:6.2f}{flag}")
+    if failed:
+        print(f"\nfresh_failed (in-suite values shipped): {sorted(failed)}")
     print("\nfamily rollup (sum of medians):")
     print(f"{'family':14s} {'t_small':>8s} {'t_large':>8s} {'ratio':>7s} {'exp':>6s}")
     for f in sorted(fam):
