@@ -91,7 +91,14 @@ object SqlTwin {
   private val ReSplit = Seq("\\bregexp_split_to_array\\(" -> "split(")
   private val Len = Seq("\\blen\\(" -> "size(")
   private val Strpos = Seq("\\bstrpos\\(" -> "instr(")
-  private val FloorDiv = Seq("//" -> " div ")
+  /** Context-aware (round-10 ADVICE): a bare "//" rewrite would also
+    * hit string literals like 'http://…'. The lookarounds require an
+    * operand boundary (identifier char, digit, ')' or whitespace) on
+    * BOTH sides, so 'x://y' — where ':' precedes the slashes — can
+    * never match. A literal like 'a // b' inside a string would still
+    * match; none of the three FloorDiv entries (t11/mt3/mt14) contains
+    * one, and every shimmed text stays value-gated at sf0.001. */
+  private val FloorDiv = Seq("(?<=[\\w)\\s])//(?=[\\s\\w(])" -> " div ")
   private val ReFlagG = Seq(",\\s*'g'\\)" -> ")")
   private val GenSeries = Seq("\\bgenerate_series\\(" -> "explode(sequence(",
     "\\)\\s+t\\(i\\)" -> ")) t(i)")
@@ -99,7 +106,13 @@ object SqlTwin {
   /** Double every backslash: Spark's SQL string literals process
     * escapes ('\s' collapses to 's'), DuckDB's don't — regex literals
     * like '\s+' must become '\\s+' to survive spark.sql. Applied LAST
-    * in an entry's rule chain. */
+    * in an entry's rule chain. Scope note (round-10 ADVICE): this is
+    * deliberately text-wide, which is correct ONLY while every
+    * backslash in the shimmed entries (t2/t3/t8/t13) lives inside a
+    * regex literal — true today by inspection, and each entry stays
+    * value-gated against its DataFrame form so a future non-regex
+    * backslash (a literal path, an escaped quote) fails the twin test
+    * instead of silently corrupting. */
   private val EscRegex = Seq("\\\\" -> "\\\\")
   private val HexCast = Seq(
     "\\('0x' \\|\\| substr\\(kth_hash, 1, 13\\)\\)::BIGINT" ->

@@ -102,6 +102,17 @@ object Tables {
       }
     }
 
+  /** Drop the temp views created by [[registerViews]] and forget the
+    * memo. Temp views SHADOW catalog names in resolution, so this is
+    * the seam that makes the same SQL text resolve to the
+    * [[registerCatalogTables]] stats-bearing relations instead —
+    * SqlTwinCboSpec flips it per entry to prove CBO planning changes
+    * no result. */
+  def unregisterViews(spark: SparkSession): Unit = registered.synchronized {
+    names.foreach(n => spark.catalog.dropTempView(n))
+    registered.remove(spark)
+  }
+
   /** Catalog-table registration path (round-9 verdict task 4): temp
     * views cannot carry ANALYZE statistics, so entries planned over
     * [[registerViews]] can never be CBO-planned — the stats story

@@ -38,7 +38,17 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object CrashInjector {
   /** (armedAtBatchId, afterWrite). Cleared by the throw — the restart
-    * must NOT crash again. */
+    * must NOT crash again.
+    *
+    * Concurrency contract (round-10 ADVICE): this is process-global
+    * mutable state, and the spec also mutates shared-session confs
+    * around each run. That is race-free because sbt runs suites in the
+    * forked test JVM SEQUENTIALLY (`testForkedParallel` defaults to
+    * false, and this build does not override it) and each test drains
+    * its query to completion before returning. If suite-level
+    * parallelism is ever enabled, key the armed state by the query's
+    * checkpoint/work dir so concurrent queries cannot consume each
+    * other's injection. */
   val armed = new AtomicReference[Option[(Long, Boolean)]](None)
 }
 
