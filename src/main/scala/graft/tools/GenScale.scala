@@ -58,6 +58,11 @@ object GenScale {
     val dst = if (args.length > 1) args(1) else "target/sf1"
     val k = if (args.length > 2) args(2).toInt else 10
     val skewPct = if (args.length > 3) args(3).toInt else 0
+    // optional 5th arg: comma-separated table subset (the `only`
+    // parameter of generate()) — a fourth-decade stress of one entry's
+    // hot table shouldn't pay for a K× lineitem write
+    val only = if (args.length > 4)
+      args(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq else Nil
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -65,7 +70,7 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, dst, k, skewPct)
+    generate(spark, src, dst, k, skewPct, only)
     spark.stop()
   }
 
