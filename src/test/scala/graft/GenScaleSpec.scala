@@ -158,6 +158,55 @@ class GenScaleSpec extends AnyFunSuite {
       "st1 windows not ×K")
   }
 
+  test("chaining: generating from a generated dir keeps ids and texts K²-distinct") {
+    // Round-11 find: a FIXED stride is not closed under chaining —
+    // once source ids span r·S the shifted copies collide, and because
+    // the cipher nets out identically for colliding (r1, r2) pairs the
+    // "K× corpus" silently collapses into duplicate ROWS (the chained
+    // sf100 had 5 M document rows but 545 k distinct doc_ids; orders
+    // 150 M rows / 16.35 M keys). The adaptive stride (strideFor) must
+    // make gen∘gen behave exactly like one bigger generation.
+    val mid = gen(3)
+    val out = Files.createTempDirectory("graft_genscale_chain_").toString
+    GenScale.generate(spark, mid, out, 3)
+    def docs(d: String) = spark.read.parquet(s"$d/documents.parquet")
+    def dOrders(d: String) = spark.read.parquet(s"$d/orders.parquet")
+    val baseDocs = docs(src).count()
+    assert(docs(out).count() == 9 * baseDocs, "chained rows not K²")
+    assert(docs(out).select($"doc_id").distinct.count() == 9 * baseDocs,
+      "chained doc_ids collide — stride not adaptive")
+    assert(dOrders(out).select($"o_orderkey").distinct.count() ==
+      9 * dOrders(src).count(), "chained order keys collide")
+    // cross-replica cipher composition must not wrap: distinct text
+    // classes scale exactly like one 9× generation would
+    val baseClasses = docs(src).select(md5($"text")).distinct.count()
+    assert(docs(out).select(md5($"text")).distinct.count() == 9 * baseClasses,
+      "chained ciphers collided — dup rate inflated")
+    // FK integrity survives the chain
+    val cust = spark.read.parquet(s"$out/customer.parquet")
+    assert(dOrders(out).join(cust, $"o_custkey" === $"c_custkey", "left_anti")
+      .count() == 0, "chaining broke orders→customer FK")
+  }
+
+  test("K beyond the old cipher families: texts and embeddings stay K-distinct") {
+    // The rotation cipher wrapped at 26 (K=100 ⇒ ~3.85 identical
+    // copies of every text) and the embedding rotation at 64. The
+    // keyed permutations must keep every replica's class its own.
+    val k = 30
+    val out = Files.createTempDirectory("graft_genscale_wide_").toString
+    GenScale.generate(spark, src, out, k, 0, Seq("documents", "embeddings"))
+    val d = spark.read.parquet(s"$out/documents.parquet")
+    val baseClasses = spark.read.parquet(s"$src/documents.parquet")
+      .select(md5($"text")).distinct.count()
+    assert(d.select(md5($"text")).distinct.count() == k * baseClasses,
+      s"cipher family wrapped below K=$k")
+    val e = spark.read.parquet(s"$out/embeddings.parquet")
+    val baseVecs = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(md5(to_json($"embedding"))).distinct.count()
+    assert(e.select(md5(to_json($"embedding"))).distinct.count() == k * baseVecs,
+      s"embedding transform family wrapped below K=$k")
+  }
+
   test("skew mode: one hot key owns the requested share, total count unchanged") {
     val k = 3; val pct = 20
     val out = gen(k, pct)
