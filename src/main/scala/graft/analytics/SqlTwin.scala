@@ -55,6 +55,7 @@ object SqlTwin {
     val dedup = (Seq("d2_minhash_sig", "d3_lsh_pairs", "d4_ngram_jaccard",
       "d5_simhash", "d6_dup_clusters", "d8_lsh_jaccard", "d9_decontaminate",
       "d10_purge", "d11_simhash_neardup", "d11b_simhash_neardup64",
+      "d11c_simhash_wideband",
       "d12_minhash_calibration", "d13_incremental_dedup", "d14_dedup_verdict",
       "d15_semantic_dedup", "d16_containment", "d17_source_overlap",
       "d18_canonical", "d19_cluster_split", "d20_url_dedup")

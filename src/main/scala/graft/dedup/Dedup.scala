@@ -281,8 +281,10 @@ object Dedup {
     * weight is Long.MinValue: adding it to a sum of distinct lower
     * powers of two cannot carry, so the two's-complement pattern is
     * exact and ANSI-overflow-safe. */
-  def simhashFingerprint(s: SparkSession, dir: String, bits: Int): DataFrame = {
-    require(bits >= 1 && bits <= 64, s"simhash width $bits outside [1,64]")
+  /** Per-doc nibble votes for a `bits`-wide SimHash — the shared core
+    * of [[simhashFingerprint]] (≤ 64 bits, one BIGINT word) and
+    * [[simhashFingerprint128]] (two words). Output: doc_id, v0..v_{bits-1}. */
+  private def simhashVotes(s: SparkSession, dir: String, bits: Int): DataFrame = {
     val groups = (bits + 31) / 32
     val tok0 = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
@@ -307,6 +309,11 @@ object Dedup {
       sum(shiftrightunsigned(col(s"c$c"), shift).bitwiseAND(1) * 2 - 1).as(s"v$j")
     }
     chunked.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+  }
+
+  def simhashFingerprint(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"simhash width $bits outside [1,64]")
+    simhashVotes(s, dir, bits)
       .select($"doc_id",
         (0 until bits).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
@@ -315,6 +322,20 @@ object Dedup {
     // range-exchange + sort on BOTH self-join sides (seen in PLANS.md
     // before r6) that the band shuffle immediately destroys. Ordered
     // consumers sort at their own boundary (d5's gate entry below).
+  }
+
+  /** 128-bit SimHash as TWO BIGINT words (sim0 = bits 0..63, sim1 =
+    * bits 64..127) — same salted-md5 nibble votes, digest groups 0..3.
+    * This is the CORPUS-SCALE width: banding capacity is the real
+    * scale limit of simhash dedup (see [[d11cSimhashWideband]]), and
+    * capacity grows only with band width, which at a fixed hamming
+    * budget grows only with fingerprint width. */
+  def simhashFingerprint128(s: SparkSession, dir: String): DataFrame = {
+    def word(w: Int) =
+      (64 * w until 64 * w + 64)
+        .map(j => when(col(s"v$j") >= 0, lit(1L << (j - 64 * w))).otherwise(0L))
+        .reduce(_ + _).as(s"sim$w")
+    simhashVotes(s, dir, 128).select($"doc_id", word(0), word(1))
   }
 
   /** D-5 — the 16-bit gate configuration (brute-forceable oracle; the
@@ -668,6 +689,45 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Two-word (128-bit) variant of [[simhashNeardupPairs]]: same
+    * banding/first-shared-band/verify shape over (sim0, sim1). Bands
+    * must not straddle words (bw divides 64), which holds for the
+    * shipped 4 × 32 config. Same one-row-per-doc precondition. */
+  def simhashNeardupPairs128(fp: DataFrame, bands: Int): DataFrame = {
+    require(128 % bands == 0 && 64 % (128 / bands) == 0,
+      s"bands $bands must divide 128 with band width dividing 64")
+    val bw = 128 / bands
+    val mask = if (bw == 64) -1L else (1L << bw) - 1
+    def key(simCol: String => org.apache.spark.sql.Column,
+        b: Int): org.apache.spark.sql.Column = {
+      val w = b * bw / 64
+      shiftrightunsigned(simCol(s"sim$w"), (b * bw) % 64).bitwiseAND(mask)
+    }
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), key(n => col(n), b).as("k"))
+    }
+    val banded = fp.select($"doc_id", $"sim0", $"sim1",
+        explode(array(bandStructs: _*)).as("x"))
+      .select($"doc_id", $"sim0", $"sim1",
+        $"x.band".as("band"), $"x.k".as("k"))
+    val firstSharedBand = coalesce((0 until bands).map { bb =>
+      when(key(n => col(s"a$n"), bb) === key(n => col(s"b$n"), bb), lit(bb))
+    }: _*)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sim0").as("asim0"), col("a.sim1").as("asim1"),
+        col("b.sim0").as("bsim0"), col("b.sim1").as("bsim1"),
+        col("a.band").as("band"))
+      .filter($"band" === firstSharedBand)
+      .select($"doc_a", $"doc_b",
+        expr("CAST(bit_count(asim0 ^ bsim0) + bit_count(asim1 ^ bsim1) AS INT)")
+          .as("hamming"))
+      .filter($"hamming" <= bands - 1)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** D-11 — the 16-bit gate configuration (4 nibble bands, hamming ≤ 3).
     * Gate entry runs on a deterministic 1-in-5 sample (d4 precedent):
     * the tiny-vocab synthetic corpus makes ~59% of ALL pairs hamming-
@@ -689,6 +749,25 @@ object Dedup {
     simhashNeardupPairs(
       simhashFingerprint(s, dir, bits = 64).select($"doc_id", $"simhash"),
       bits = 64, bands = 4)
+
+  /** D-11c — the CORPUS-SCALE banding: 128-bit fingerprint, 4 × 32-bit
+    * bands, hamming ≤ 3 (pigeonhole-complete on the 128-bit hash).
+    *
+    * Why it exists: banding capacity, not compute, is the scale limit
+    * of simhash dedup. The candidate set is (true pairs) + (random
+    * band collisions ≈ n²·bands/2^bw/2), so every band width has a
+    * corpus-size ceiling near n ≈ 2^bw. Measured on the clean r11
+    * corpus: d11b's 16-bit bands saturate between n = 500 k (random
+    * floor ~8 M candidates, 24.8 s) and n = 5 M (~760 M candidates,
+    * 397 s — exp 1.2 and rising quadratically; at n = 50 M the floor
+    * is ~76 G candidates and the config is unusable). At 32-bit bands
+    * the floor at n = 5 M is ~12 k candidates — the config a 100 TB
+    * corpus needs. The hamming budget stays ≤ bands−1 = 3, now out of
+    * 128 bits — per-bit stricter than d11b, which is the correct
+    * production trade: wider fingerprints both sharpen the similarity
+    * estimate and buy band capacity. */
+  def d11cSimhashWideband(s: SparkSession, dir: String): DataFrame =
+    simhashNeardupPairs128(simhashFingerprint128(s, dir), bands = 4)
 
   /** D-10 — corpus purge: the removal stage that consumes D-1 and D-9.
     * Drops (a) exact-duplicate losers (keep min doc_id per content
@@ -1138,6 +1217,17 @@ object Dedup {
           FROM h a JOIN h b ON b.doc_id > a.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
           ORDER BY doc_a, doc_b""",
+    // d11c: corpus-scale 128-bit config — oracle brute-forces hamming
+    // over the same two-word fingerprints (gate SF only).
+    "d11c_simhash_wideband" ->
+      s"""WITH h AS ($simhashSql2x64)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.sim0, b.sim0)) +
+                      bit_count(xor(a.sim1, b.sim1)) AS INT) AS hamming
+          FROM h a JOIN h b ON b.doc_id > a.doc_id
+          WHERE bit_count(xor(a.sim0, b.sim0)) +
+                bit_count(xor(a.sim1, b.sim1)) <= 3
+          ORDER BY doc_a, doc_b""",
   )
 
   /** Oracle twin of [[simhashFingerprint]] at width `bits` — the same
@@ -1164,6 +1254,29 @@ object Dedup {
 
   private lazy val simhashSql: String = simhashSqlW(16)
 
+  /** Oracle twin of [[simhashFingerprint128]]: the simhashSqlW vote
+    * CTEs at 128 bits, assembled into two BIGINT words. */
+  private lazy val simhashSql2x64: String = {
+    val groups = 4
+    val hs = (0 until groups).map { g =>
+      val e = if (g == 0) "md5(tok)" else s"md5('$g:' || tok)"
+      s"$e AS h$g"
+    }.mkString(", ")
+    val votes = (0 until 128).map { j =>
+      s"sum(CASE WHEN strpos('0123456789abcdef', substr(h${j / 32}, ${j % 32 + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(", ")
+    def word(w: Int) = (64 * w until 64 * w + 64)
+      .map(j => s"CASE WHEN v$j >= 0 THEN ${1L << (j - 64 * w)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+          SELECT DISTINCT doc_id, $hs FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE tok <> ''),
+        v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+        SELECT doc_id, CAST(${word(0)} AS BIGINT) AS sim0,
+               CAST(${word(1)} AS BIGINT) AS sim1 FROM v ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1Exact _,
     "d20_url_dedup" -> d20UrlDedup _,
@@ -1181,6 +1294,7 @@ object Dedup {
     "d10_purge" -> d10Purge _,
     "d11_simhash_neardup" -> d11SimhashNeardup _,
     "d11b_simhash_neardup64" -> d11bSimhashNeardup64 _,
+    "d11c_simhash_wideband" -> d11cSimhashWideband _,
     "d12_minhash_calibration" -> d12MinhashCalibration _,
     "d13_incremental_dedup" -> d13IncrementalDedup _,
     "d14_dedup_verdict" -> d14DedupVerdict _,
