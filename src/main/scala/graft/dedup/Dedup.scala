@@ -286,9 +286,24 @@ object Dedup {
     * [[simhashFingerprint128]] (two words). Output: doc_id, v0..v_{bits-1}. */
   private def simhashVotes(s: SparkSession, dir: String, bits: Int): DataFrame = {
     val groups = (bits + 31) / 32
+    // ONE narrow shuffle, then everything doc-local. The naive
+    // `.distinct()` → groupBy(doc_id) shape costs TWO wide shuffles:
+    // the distinct hashes on (doc_id, tok) so a doc's tokens scatter
+    // across every partition, which makes the vote aggregation's
+    // map-side partials collapse nothing — the second shuffle carries
+    // ~token-count rows × `bits` partial-sum columns (measured at
+    // sf100/128-bit: spill past the box's disk; 64-bit survived only
+    // by spilling ~minutes). Hash-partitioning by doc_id up front
+    // satisfies ClusteredDistribution for BOTH the (doc_id, tok)
+    // dedup and the doc_id vote aggregation, so both run
+    // partition-local and the only shuffle moves raw (doc_id, tok)
+    // pairs — no digest strings, no wide partials. AQE picks the
+    // width (RepartitionByExpression with no fixed N).
     val tok0 = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .filter($"tok" =!= "").distinct()
+      .filter($"tok" =!= "")
+      .repartition($"doc_id")
+      .dropDuplicates("doc_id", "tok")
     val tok = (0 until groups).foldLeft(tok0) { (df, g) =>
       df.withColumn(s"h$g", if (g == 0) md5($"tok") else md5(concat(lit(s"$g:"), $"tok")))
     }
