@@ -691,25 +691,44 @@ object TextOps {
     * scores are BIGINT sums of those, unseen bigrams draw a fixed
     * integer floor penalty, and the quality flag is an integer
     * inequality (sum < n·threshold) — no float accumulation anywhere.
-    * Shuffles: token lead-window per doc (1), model groupBys (2,
-    * vocab-bounded), model join on the bigram key (the 100 TB path —
-    * the model table is corpus-sublinear but vocab² worst-case, so it
-    * equi-joins rather than broadcasts), final per-doc agg (1).
+    *
+    * Bigram extraction is SHUFFLE-FREE (round 12): adjacency lives
+    * inside one document's token array, so pairing is `arrays_zip`
+    * over two `slice`s of the split array — per-row array work inside
+    * the scan stage. The previous form (posexplode + lead over a
+    * Window.partitionBy(doc_id).orderBy(pos)) sort-shuffled the ENTIRE
+    * token stream (~2 B rows at sf100, the widest intermediate in the
+    * suite) just to pair neighbors, and that sort's buffering was the
+    * measured source of t15's GC-bound bimodality at 16 GB (97–245 s
+    * fresh-JVM spread; see SCALING.md §round-12).
+    * Shuffles: model groupBys (2, train-slice/vocab-bounded), model
+    * join on the bigram key (the 100 TB path — the model table is
+    * corpus-sublinear but vocab² worst-case, so it equi-joins rather
+    * than broadcasts), final per-doc agg (1).
     */
   def t15BigramLm(s: SparkSession, dir: String): DataFrame = {
     val TrainSource = "src0"
     val UnseenPenaltyMicro = -10000000L // ln floor for unseen bigrams
     val ThresholdMicro = -3000000L      // avg logp < -3 → low quality
-    val toks = Tables.documents(s, dir)
-      .select($"doc_id", $"source", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
-      .filter($"tok" =!= "")
-    val bigrams = toks
-      .withColumn("next", lead($"tok", 1).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"pos")))
-      .filter($"next".isNotNull)
+    // array_remove / arrays_zip / slice, NOT the lambda HOFs
+    // (filter/zip_with): higher-order functions are CodegenFallback,
+    // and measured at sf10 the lambda spelling cost 1.6× the whole
+    // entry by dropping the scan-side projection out of whole-stage
+    // codegen.
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        array_remove(split($"text", " "), "").as("toks"))
+    val bigrams = docs
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", $"source",
+        explode(arrays_zip(
+          slice($"toks", lit(1), size($"toks") - 1).as("tok"),
+          slice($"toks", lit(2), size($"toks") - 1).as("next"))).as("bg"))
+      .select($"doc_id", $"source", $"bg.tok", $"bg.next")
     val train = bigrams.filter($"source" === TrainSource)
     val c12 = train.groupBy($"tok", $"next").agg(count(lit(1)).as("c12"))
-    val c1 = toks.filter($"source" === TrainSource)
+    val c1 = docs.filter($"source" === TrainSource)
+      .select(explode($"toks").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("c1"))
     val model = c12.join(c1, "tok")
       .select($"tok", $"next",
