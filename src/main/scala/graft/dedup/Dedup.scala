@@ -36,14 +36,8 @@ object Dedup {
     * consumer is duplicate-insensitive (min() for MinHash signatures);
     * set-cardinality consumers (Jaccard counts) need `distinct = true`. */
   private def shingles(s: SparkSession, dir: String, distinct: Boolean = true): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .select($"doc_id", split($"text", " ").as("arr"))
-      .select($"doc_id", explode(expr(
-        // guard: Spark's sequence(0, -1) would count DOWN; emit no shingles for <3 tokens
-        """CASE WHEN size(arr) >= 3
-             THEN transform(sequence(0, size(arr)-3), i -> concat(arr[i],' ',arr[i+1],' ',arr[i+2]))
-             ELSE array() END"""))
-        .as("shingle"))
+    val sh = graft.functions.Shingles.kgramRows(
+      Tables.documents(s, dir), Seq("doc_id"), k = 3)
     if (distinct) sh.distinct() else sh
   }
 
@@ -633,11 +627,9 @@ object Dedup {
   def d9Decontaminate(s: SparkSession, dir: String): DataFrame = d9Cache.synchronized {
     d9Cache.computeIfAbsent((s, dir), _ => {
       val docs = graft.io.Tables.documents(s, dir)
-      def shingles(df: DataFrame) = df.select($"doc_id", explode(expr(
-        """CASE WHEN size(split(text, ' ')) >= 3
-             THEN transform(sequence(0, size(split(text, ' ')) - 3),
-               i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 3))))
-             ELSE array() END""")).as("sh"))
+      def shingles(df: DataFrame) = graft.functions.Shingles
+        .kgramRows(df, Seq("doc_id"), k = 3)
+        .select($"doc_id", md5($"shingle").as("sh"))
       val bench = shingles(docs.filter($"doc_id" % 50 === 0))
         .select($"sh").distinct()
       val corpus = shingles(docs.filter($"doc_id" % 50 =!= 0))
@@ -943,12 +935,8 @@ object Dedup {
     * ubiquitous boilerplate shingles are exactly what t17 strips
     * upstream of this audit at scale. */
   def d17CrossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .select($"source", split($"text", " ").as("arr"))
-      .select($"source", explode(expr(
-        """CASE WHEN size(arr) >= 3
-             THEN transform(sequence(0, size(arr)-3), i -> concat(arr[i],' ',arr[i+1],' ',arr[i+2]))
-             ELSE array() END""")).as("shingle"))
+    val sh = graft.functions.Shingles.kgramRows(
+      Tables.documents(s, dir), Seq("source"), k = 3)
       .distinct()
     val counts = sh.groupBy($"source").agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),

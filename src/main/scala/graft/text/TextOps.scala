@@ -797,12 +797,9 @@ object TextOps {
     * shuffle-on-shingle — co-partitioned with the DF aggregate, so AQE
     * reuses the exchange. */
   def t17Boilerplate(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .select($"doc_id", explode(expr(
-        s"""CASE WHEN size(split(text, ' ')) >= $BoilerShingle
-              THEN transform(sequence(0, size(split(text, ' ')) - $BoilerShingle),
-                   i -> concat_ws(' ', slice(split(text, ' '), i + 1, $BoilerShingle)))
-              ELSE CAST(array() AS array<string>) END""")).as("sh"))
+    val sh = graft.functions.Shingles.kgramRows(
+        Tables.documents(s, dir), Seq("doc_id"), k = BoilerShingle)
+      .select($"doc_id", $"shingle".as("sh"))
     val docFreq = sh.groupBy($"sh").agg(countDistinct($"doc_id").as("n_docs"))
     val perDoc = sh.join(docFreq, "sh")
       .groupBy($"doc_id").agg(
