@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native codegen'd dot product over two `array<double>` columns.
   *
@@ -70,9 +70,126 @@ case class DotF64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance over two `array<double>` columns — sequential
+  * Σ(xᵢ−yᵢ)² in index order, bit-identical to the HOF fold
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0D, +)` it
+  * replaces (and to the oracle's list comprehension). Same rationale
+  * and null contract as [[DotF64]]: HOFs are CodegenFallback, and this
+  * fold is the innermost loop of the PQ assignment (corpus × codebook
+  * × sub-dim). */
+case class L2SqF64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2sq_f64"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2sq_f64 expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Integer dot product over two `array<bigint>` columns — sequential
+  * Σ xᵢ·yᵢ (exact integer arithmetic, so order is irrelevant to the
+  * value; sequential anyway for symmetry). Replaces the
+  * `aggregate(sequence(0, dim-1), 0L, (a,i) -> a + q[i]*qa[i])`
+  * fold — the per-pair hot loop of the int8-recall audit (corpus ×
+  * query panel × dim), which as a HOF ran interpreted with TWO lambda
+  * dispatches per element. */
+case class DotI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_i64"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_i64 expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration for the native functions (idempotent). */
 object NativeFunctions {
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f64", exprs => DotF64(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2sq_f64", exprs => L2SqF64(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_i64", exprs => DotI64(exprs(0), exprs(1)), "built-in")
+  }
 }

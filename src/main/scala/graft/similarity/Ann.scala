@@ -487,6 +487,7 @@ object Ann {
     * stay in cold storage) and this recall audit runs on a query
     * sample after every index rebuild. */
   def s10QuantRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
     val qz = graft.io.Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding",
         expr("array_max(transform(embedding, x -> abs(cast(x AS double))))").as("amax"))
@@ -494,13 +495,16 @@ object Ann {
         (expr("nullif(amax, 0.0d)") / 127.0).as("scale"))
       .select($"vec_id",
         expr("transform(embedding, x -> cast(floor(cast(x AS double) / scale + 0.5d) AS bigint))").as("q"))
-      .withColumn("qq", expr("aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x)"))
+      .withColumn("qq", call_function("dot_i64", $"q", $"q"))
     val queries = qz.filter(isQuery($"vec_id"))
       .select($"vec_id".as("query_id"), $"q".as("qa"), $"qq".as("qqa"))
     val scored = qz.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
-        (expr(s"aggregate(sequence(0, ${Dim - 1}), 0L, (a, i) -> a + q[i] * qa[i])")
+        // native integer dot (exact arithmetic — value-identical to the
+        // sequence fold; the HOF form ran TWO interpreted lambda
+        // dispatches per element on the corpus × query-panel hot loop)
+        (call_function("dot_i64", $"q", $"qa")
           / sqrt(($"qq" * $"qqa").cast("double"))).as("cosq"))
     val w = Window.partitionBy($"query_id").orderBy($"cosq".desc, $"neighbor_id")
     val qtop = scored.withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
@@ -598,7 +602,10 @@ object Ann {
       .select($"vec_id", $"label", $"m", expr(s"slice(v, m * $SubDim + 1, $SubDim)").as("sv"))
     val csub = cent.select($"cell_idx", ms, $"cv")
       .select($"cell_idx", $"m", expr(s"slice(cv, m * $SubDim + 1, $SubDim)").as("csv"))
-    val d2 = expr("aggregate(zip_with(sv, csv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)")
+    // native codegen'd fold (the HOF spelling is CodegenFallback and
+    // this is the corpus × codebook × sub-dim hot loop; accumulation
+    // order and therefore every output bit is unchanged)
+    val d2 = call_function("l2sq_f64", $"sv", $"csv")
     val assigned = sub.join(broadcast(csub), "m")
       .select($"vec_id", $"label", $"m", $"cell_idx", d2.as("d2"))
       .withColumn("rk", row_number().over(
