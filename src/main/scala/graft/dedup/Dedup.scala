@@ -935,16 +935,46 @@ object Dedup {
     * ubiquitous boilerplate shingles are exactly what t17 strips
     * upstream of this audit at scale. */
   def d17CrossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sh = graft.functions.Shingles.kgramRows(
-      Tables.documents(s, dir), Seq("source"), k = 3)
-      .distinct()
-    val counts = sh.groupBy($"source").agg(count(lit(1)).as("n"))
-    sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(counts.select($"source".as("src_a"), $"n".as("n_a")), "src_a")
-      .join(counts.select($"source".as("src_b"), $"n".as("n_b")), "src_b")
+    val docs = Tables.documents(s, dir)
+    // Source-index legend. |sources| is metadata-sized by the entry's
+    // own semantics (the OUTPUT is the |sources|² matrix), so a
+    // bounded driver collect here follows the repo's audit-scalar
+    // policy. 63 sources bound the BIGINT mask; a corpus with more
+    // wants per-source-group sharding, not a wider join.
+    val srcs = docs.select($"source").distinct().orderBy($"source")
+      .collect().map(_.getString(0)).toSeq
+    require(srcs.length <= 63,
+      s"d17 bitmask overlap supports <= 63 sources, got ${srcs.length}")
+    val srcIdx = s.createDataFrame(srcs.zipWithIndex).toDF("source", "idx")
+    // ONE corpus shuffle: per-shingle source bitmask. bit_or is
+    // idempotent over duplicate (source, shingle) instances, so the
+    // old plan's up-front `.distinct()` — a full (source, shingle)
+    // shuffle — is unnecessary, and the raw shingle stream map-side
+    // combines into <= one row per shingle per partition. The old
+    // shape then SELF-JOINED the distinct table on shingle (a second
+    // candidate-sized shuffle whose output was Σ_sh C(k_sh, 2) rows);
+    // here every downstream step is a broadcast of the source legend
+    // against the mask table with codegen'd bit tests, partially
+    // aggregated straight into the <= |sources|² result.
+    val masks = graft.functions.Shingles.kgramRows(docs, Seq("source"), k = 3)
+      .join(broadcast(srcIdx), "source")
+      .groupBy($"shingle")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx))").as("mask"))
+    val pairTab = srcIdx.select($"source".as("src_a"), $"idx".as("ia"))
+      .crossJoin(srcIdx.select($"source".as("src_b"), $"idx".as("ib")))
+      .filter($"src_a" < $"src_b")
+    val inter = masks.crossJoin(broadcast(pairTab))
+      .filter(expr("(shiftright(mask, ia) & 1) = 1 AND (shiftright(mask, ib) & 1) = 1"))
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_inter"))
+    // n_<src> = distinct shingles per source: each mask row IS one
+    // distinct shingle; bit idx is set iff that source contained it.
+    // Reads the same aggregated mask table (exchange reuse, x11).
+    val counts = masks.crossJoin(broadcast(srcIdx))
+      .filter(expr("(shiftright(mask, idx) & 1) = 1"))
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    inter
+      .join(broadcast(counts.select($"source".as("src_a"), $"n".as("n_a"))), "src_a")
+      .join(broadcast(counts.select($"source".as("src_b"), $"n".as("n_b"))), "src_b")
       .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_inter")
       .orderBy($"src_a", $"src_b")
   }
