@@ -312,6 +312,7 @@ class PlanSpec extends AnyFunSuite {
       "s12_kmeans_train", // same corpus x 8-centroid assignment, once per Lloyd's round
       "s13_trained_recall", // trained-cell assignment + s1's brute truth side
       "d15_semantic_dedup", // same s4 centroid assignment feeds the cells
+      "d17_source_overlap", // mask table x broadcast source legend (<=63 rows) / pair legend (<=1953) — the r12 bitmask plan that REMOVED the shingle self-join
       "mt6_clustered_layout", // per-file stat table (<=ClusterFiles rows) range-overlap self-join
       "mt7_partition_overwrite") // 1-row max-day broadcast across the table
     // Streaming drains / external-side-effect mains are exercised by their
