@@ -140,10 +140,41 @@ object Dedup {
 
   /** Drop (and unpersist) cached signatures — call after rewriting a
     * document dir within a session. */
+  /** Session cache of the LSH candidate PAIR list — the production
+    * artifact a dedup pipeline materializes ONCE per corpus version
+    * and every downstream consumer reads (the d8 Jaccard verify, the
+    * d6 cluster map build, d16 containment, d19 cluster split, and
+    * t20's leakage audit all start from it). Before round 12 each of
+    * them re-ran the band-bucket join per consumer — d8 alone embeds
+    * the pair plan four times. Same bounded-LRU + immutable-dir
+    * contract as [[sigCache]]; invalidated by
+    * [[invalidateSignatureCache]] (pairs derive from signatures). The
+    * d3 GATE entry stays on the raw plan so its bench timing keeps
+    * measuring candidate generation itself. */
+  private val pairsCache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        if (size > MaxCachedDirs) {
+          scala.util.Try(e.getValue.unpersist())
+          true
+        } else false
+    }
+
+  /** Memoized [[d3LshPairs]] for downstream consumers. */
+  def lshPairsCached(s: SparkSession, dir: String): DataFrame =
+    pairsCache.synchronized {
+      pairsCache.computeIfAbsent((s, dir), _ => d3LshPairs(s, dir).persist())
+    }
+
   def invalidateSignatureCache(): Unit = {
     sigCache.synchronized {
       sigCache.values.forEach(df => scala.util.Try(df.unpersist()))
       sigCache.clear()
+    }
+    pairsCache.synchronized {
+      pairsCache.values.forEach(df => scala.util.Try(df.unpersist()))
+      pairsCache.clear()
     }
     d9Cache.synchronized {
       d9Cache.values.forEach(df => scala.util.Try(df.unpersist()))
@@ -357,8 +388,23 @@ object Dedup {
     * clustering — D-4's sampled variant keeps the gate non-empty at
     * small SF). Shingle sets are joined only for candidate docs. */
   def d8LshJaccard(s: SparkSession, dir: String): DataFrame = {
-    val pairs = d3LshPairs(s, dir)
-    val sh = shingles(s, dir)
+    val pairs = lshPairsCached(s, dir)
+    // Candidate-doc filter FIRST (round 12): the scaladoc's "shingle
+    // sets are joined only for candidate docs" used to hold for the
+    // join OUTPUT but not the plan — the full-corpus (doc, shingle)
+    // stream was distinct'd and shuffled before the candidate join
+    // touched it. Candidates ≪ corpus is LSH's entire point, so the
+    // candidate doc list broadcast-semi-joins into the shingle SCAN:
+    // the corpus-wide stream never exchanges, and the distinct + size
+    // aggregation run over candidate rows only (measured at sf10:
+    // 91.8 s → see SCALING.md §round-12). When near-dup density makes
+    // candidates ~ corpus, no plan avoids the shuffle — the broadcast
+    // threshold is then the signal to fall back, not a failure here.
+    val candDocs = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val sh = shingles(s, dir, distinct = false)
+      .join(broadcast(candDocs), "doc_id")
+      .distinct()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
@@ -419,7 +465,7 @@ object Dedup {
   }
 
   private def computeClusterTable(s: SparkSession, dir: String): DataFrame = {
-    val pairs = d3LshPairs(s, dir)
+    val pairs = lshPairsCached(s, dir)
     val sym = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .cache()
@@ -493,7 +539,7 @@ object Dedup {
   def d19ClusterSplit(s: SparkSession, dir: String): DataFrame = {
     val splits = clusterTable(s, dir)
       .select($"doc_id", graft.text.TextOps.splitAssign($"cluster_id").as("split"))
-    val tagged = d3LshPairs(s, dir)
+    val tagged = lshPairsCached(s, dir)
       .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
       .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
     val sizes = splits.groupBy($"split")
@@ -889,7 +935,7 @@ object Dedup {
     * anywhere. */
   def d14DedupVerdict(s: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(s)
-    val pairs = d3LshPairs(s, dir)
+    val pairs = lshPairsCached(s, dir)
     val sh = shingles(s, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs

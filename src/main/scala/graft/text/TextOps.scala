@@ -286,7 +286,7 @@ object TextOps {
     * pipeline either re-splits around (cluster-aware splitting: assign
     * d6 clusters, not documents, to splits) or purges (d10). */
   def t20SplitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.dedup.Dedup.d3LshPairs(s, dir)
+    val pairs = graft.dedup.Dedup.lshPairsCached(s, dir)
     val splits = Tables.documents(s, dir)
       .select($"doc_id", splitAssign($"doc_id").as("split"))
     pairs
