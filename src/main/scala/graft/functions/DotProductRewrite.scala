@@ -17,10 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * or `spark.experimental.extraOptimizations`) the user keeps the
   * portable spelling and still gets the tight generated loop.
   *
-  * The rewrite preserves DotF64's documented contract: sequential
-  * accumulation in index order (bit-identical to the fold) and non-null
-  * array ELEMENTS (a null element folds the HOF result to null but
-  * reads as 0.0 natively — same caveat as calling dot_f64 directly).
+  * The rewrite is semantics-preserving on ALL inputs since round 13:
+  * sequential accumulation in index order (bit-identical to the fold),
+  * and null array elements / mismatched lengths propagate NULL exactly
+  * like the fold does ([[ArrayFoldKernel]]'s contract — before r13 a
+  * null slot read as 0.0 natively, a documented caveat this rule
+  * inherited).
   * Guards: zero literal must be exactly 0.0 double, both arrays must be
   * array<double>, the multiply/add bodies must be exactly the two
   * lambda variables (either order), and the finish lambda must be the

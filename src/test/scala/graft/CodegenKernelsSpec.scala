@@ -140,4 +140,62 @@ class CodegenKernelsSpec extends AnyFunSuite {
       .collect().toSeq.map(_.toString).sorted
     assert(got == want)
   }
+
+  // --- NULL contract: kernels ≡ HOF folds on dirty inputs -------------
+  // (ADVICE round-12: null slots read as 0 would make a zero vector's
+  // cosq = dot/0 → NaN, which desc-sorts HIGHEST — silent top-rank.)
+
+  test("kernels propagate NULL on null elements and length mismatch (≡ HOF folds)") {
+    graft.functions.NativeFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+           dot_f64(array(1D, CAST(NULL AS DOUBLE), 3D), array(1D, 2D, 3D)) AS d_nul,
+           aggregate(zip_with(array(1D, CAST(NULL AS DOUBLE), 3D), array(1D, 2D, 3D),
+             (x, y) -> x * y), 0D, (a, z) -> a + z) AS d_nul_hof,
+           dot_f64(array(1D, 2D), array(1D, 2D, 3D)) AS d_mis,
+           aggregate(zip_with(array(1D, 2D), array(1D, 2D, 3D),
+             (x, y) -> x * y), 0D, (a, z) -> a + z) AS d_mis_hof,
+           l2sq_f64(array(1D, 2D), array(CAST(NULL AS DOUBLE), 2D)) AS l_nul,
+           aggregate(zip_with(array(1D, 2D), array(CAST(NULL AS DOUBLE), 2D),
+             (x, y) -> (x - y) * (x - y)), 0D, (a, z) -> a + z) AS l_nul_hof,
+           l2sq_f64(array(1D), array(1D, 2D)) AS l_mis,
+           dot_i64(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS i_nul,
+           aggregate(zip_with(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L),
+             (x, y) -> x * y), 0L, (a, z) -> a + z) AS i_nul_hof,
+           dot_i64(array(1L, 2L, 3L), array(1L, 2L)) AS i_mis,
+           dot_f64(array(1D, 2D), array(3D, 4D)) AS d_ok""").collect()(0)
+    (0 until 10).foreach(i => assert(r.isNullAt(i), s"column $i should be NULL"))
+    assert(r.getDouble(10) == 11.0) // clean inputs unchanged
+  }
+
+  test("kernels propagate NULL in the interpreted path too (nullSafeEval)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val at = ArrayType(LongType, containsNull = true)
+    val ad = ArrayType(DoubleType, containsNull = true)
+    def lit(v: Any, t: ArrayType) = Literal.create(v, t)
+    assert(graft.functions.DotI64(
+      lit(Seq[Any](1L, null), at), lit(Seq[Any](1L, 2L), at)).eval(null) == null)
+    assert(graft.functions.DotI64(
+      lit(Seq[Any](1L), at), lit(Seq[Any](1L, 2L), at)).eval(null) == null)
+    assert(graft.functions.DotF64(
+      lit(Seq[Any](1.0, null), ad), lit(Seq[Any](1.0, 2.0), ad)).eval(null) == null)
+    assert(graft.functions.L2SqF64(
+      lit(Seq[Any](1.0, 2.0), ad), lit(Seq[Any](1.0), ad)).eval(null) == null)
+    assert(graft.functions.DotI64(
+      lit(Seq[Any](2L, 3L), at), lit(Seq[Any](4L, 5L), at)).eval(null) == 23L)
+  }
+
+  test("s10 zero-vector: the quantization chain yields NULL qq, never 0/NaN") {
+    graft.functions.NativeFunctions.register(spark)
+    // the exact s5/s10 spelling: amax = 0 → scale NULL via nullif →
+    // q = all-null array → dot_i64(q, q) must be NULL (desc-sorts LAST),
+    // not 0 (which made cosq = dot/sqrt(0) → NaN, desc-sorting FIRST)
+    val r = spark.sql(
+      """SELECT dot_i64(q, q) AS qq FROM (
+           SELECT transform(v, x -> cast(floor(x / scale + 0.5d) AS bigint)) AS q
+           FROM (SELECT v, nullif(array_max(transform(v, x -> abs(x))), 0.0d) / 127.0 AS scale
+                 FROM (SELECT array(0D, 0D, 0D, 0D) AS v)))""").collect()(0)
+    assert(r.isNullAt(0), "zero-vector self-dot must be NULL, got " + r)
+  }
 }
