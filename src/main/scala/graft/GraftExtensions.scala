@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotF64, DotProductRewrite}
+import graft.functions.{AffineFloorF64, DotF64, DotProductRewrite, PhashAscii, QuantI64, SumF64, SumI64}
 import graft.plans.Sketches
 
 /** Library integration point: register graft's native Catalyst
@@ -25,6 +25,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
       (exprs: Seq[Expression]) => DotF64(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("quant_i64"),
+      new ExpressionInfo(classOf[QuantI64].getName, "quant_i64"),
+      (exprs: Seq[Expression]) => QuantI64(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("affine_floor_f64"),
+      new ExpressionInfo(classOf[AffineFloorF64].getName, "affine_floor_f64"),
+      (exprs: Seq[Expression]) => AffineFloorF64(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sum_i64"),
+      new ExpressionInfo(classOf[SumI64].getName, "sum_i64"),
+      (exprs: Seq[Expression]) => SumI64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("sum_f64"),
+      new ExpressionInfo(classOf[SumF64].getName, "sum_f64"),
+      (exprs: Seq[Expression]) => SumF64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("phash_ascii"),
+      new ExpressionInfo(classOf[PhashAscii].getName, "phash_ascii"),
+      (exprs: Seq[Expression]) => PhashAscii(exprs(0), PhashAscii.foldableBits(exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("bottom_k_sketch"),
       new ExpressionInfo(Sketches.getClass.getName, "bottom_k_sketch"),

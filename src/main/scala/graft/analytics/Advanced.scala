@@ -152,16 +152,19 @@ object Advanced {
     * op every dashboard asks for ("which shards?" as a label), made
     * deterministic by sorting the DISTINCT set numerically BEFORE
     * joining and bounding the list (3 smallest) so the output never
-    * grows with the corpus. collect_set → array_sort → slice →
+    * grows with the corpus. collect_set → sort_array → slice →
     * array_join is the portable spelling; the oracle's string_agg
     * carries an explicit ORDER BY — unordered listagg is
-    * nondeterministic in every engine and has no place in a gate. */
+    * nondeterministic in every engine and has no place in a gate.
+    * The element stringification is a plain array CAST, not a
+    * transform lambda (collect_set drops nulls, so sort_array ≡
+    * array_sort here, and the r13 codegen audit stays lambda-free). */
   def q50StringAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy($"event_type")
       .agg(countDistinct($"user_id").as("n_users"),
-        array_join(transform(slice(array_sort(collect_set($"user_id")), 1, 3),
-          c => c.cast("string")), ",").as("first_users"))
+        array_join(slice(sort_array(collect_set($"user_id")), 1, 3)
+          .cast("array<string>"), ",").as("first_users"))
       .orderBy($"event_type")
 
   /** Q-51 — RUNNING DISTINCT COUNT, the window op Spark doesn't have:

@@ -250,5 +250,16 @@ object NativeFunctions {
       "l2sq_f64", exprs => L2SqF64(exprs(0), exprs(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_i64", exprs => DotI64(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quant_i64", exprs => QuantI64(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "affine_floor_f64", exprs => AffineFloorF64(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sum_i64", exprs => SumI64(exprs(0)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sum_f64", exprs => SumF64(exprs(0)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "phash_ascii", exprs => PhashAscii(exprs(0), PhashAscii.foldableBits(exprs(1))),
+      "built-in")
   }
 }

@@ -303,25 +303,17 @@ object Binary {
     * byte comparison. */
   def m7PerceptualNearDup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(s, dir)
-      .select($"doc_id".as("asset_id"), $"text", length($"text").as("n"))
-      .withColumn("seg_len", ceil($"n" / lit(PhashBits.toDouble)).cast("int"))
-    // per-segment (byte count, byte sum); empty tail segments are (0, 0)
-    val withSegs = d
-      .withColumn("segs", expr(
-        s"""transform(sequence(0, ${PhashBits - 1}), j -> named_struct(
-              'sb', greatest(least((j + 1) * seg_len, n) - j * seg_len, 0),
-              'ss', CASE WHEN j * seg_len < n
-                    THEN aggregate(sequence(j * seg_len, least((j + 1) * seg_len, n) - 1),
-                         0L, (acc, k) -> acc + ascii(substring(text, k + 1, 1)))
-                    ELSE 0L END))"""))
-      .withColumn("total", expr("aggregate(segs, 0L, (acc, x) -> acc + x.ss)"))
-    // bit j: segment mean >= payload mean, exact via cross-multiply
-    val h = withSegs.select($"asset_id", expr(
-      s"""aggregate(transform(sequence(0, ${PhashBits - 1}), j ->
-            CASE WHEN segs[j].sb > 0 AND segs[j].ss * n >= total * segs[j].sb
-                 THEN shiftleft(1L, j) ELSE 0L END), 0L, (acc, x) -> acc + x)""")
-      .as("phash"))
+    // The whole aHash — segment sums, payload mean, cross-multiplied
+    // bit tests — runs as ONE native kernel call per asset
+    // (functions/Quant.phashAscii, pinned value-identical to the
+    // nested transform/aggregate spelling in CodegenKernelsSpec). The
+    // r12 lambda form evaluated an interpreted ascii(substring(...))
+    // closure per CHARACTER — O(payload) lambda dispatches per asset
+    // on a corpus-sized projection (r13 codegen audit).
+    graft.functions.NativeFunctions.register(s)
+    val h = Tables.documents(s, dir)
+      .select($"doc_id".as("asset_id"),
+        call_function("phash_ascii", $"text", lit(PhashBits)).as("phash"))
     val w = Window.partitionBy($"phash")
     h.select($"asset_id", $"phash",
         count(lit(1)).over(w).as("n_same"),

@@ -364,7 +364,9 @@ object Ann {
     * doubles so [[dot]] stays in codegen; qq = ‖q‖², exact). */
   private def quantCorpus(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir).select($"vec_id",
-        expr(s"transform(v, x -> CAST(floor(x * $KmScale + 0.5d) AS DOUBLE))").as("qd"))
+        // native kernel, not transform(...): this projection is
+        // corpus-sized and re-read every Lloyd's round (r13 audit)
+        call_function("affine_floor_f64", $"v", lit(KmScale.toDouble)).as("qd"))
       .withColumn("qq", dot($"qd", $"qd").cast("long"))
 
   /** Argmin cell assignment of a quantized corpus against a broadcast
@@ -390,14 +392,17 @@ object Ann {
         .groupBy($"cell_id", $"pos")
         .agg(floor(sum($"col") / count(lit(1))).as("cv"))
         .groupBy($"cell_id")
-        .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("pc"))
-        .select($"cell_id",
-          expr("transform(pc, x -> CAST(x.cv AS DOUBLE))").as("cqd"))
+        // sort_array ≡ array_sort here (struct asc by (pos, cv), no
+        // nulls) and the cv extraction is a struct-field walk + array
+        // cast — lambda-free (r13 audit; these rows are the k-cell
+        // legend, but keeping the sweep clean costs nothing)
+        .agg(sort_array(collect_list(struct($"pos", $"cv"))).as("pc"))
+        .select($"cell_id", $"pc".getField("cv").cast("array<double>").as("cqd"))
         .withColumn("cc", dot($"cqd", $"cqd").cast("long"))
       val stats = assigned.groupBy($"cell_id")
         .agg(count(lit(1)).as("n_vecs"), sum($"d2").as("inertia"))
         .join(newCents.select($"cell_id",
-          expr("CAST(aggregate(cqd, 0D, (a, x) -> a + x) AS BIGINT)")
+          call_function("sum_f64", $"cqd").cast("bigint")
             .as("centroid_sum")), Seq("cell_id"))
         .select(lit(r).as("round"), $"cell_id", $"n_vecs",
           $"inertia".cast("long").as("inertia"), $"centroid_sum")
@@ -451,19 +456,28 @@ object Ann {
     * library-specific round-half modes. Pure projection (no shuffle);
     * output is the audit view (scale + value-range + checksum per
     * vector) a pipeline materializes next to the quantized blobs. */
-  def s5Quantize(s: SparkSession, dir: String): DataFrame =
+  def s5Quantize(s: SparkSession, dir: String): DataFrame = {
+    // Lambda-free since r13 (codegen audit): absmax = greatest(max,
+    // -min) over the once-cast array (array_max/min skip null slots
+    // exactly like the abs-transform did); the quantization map and
+    // the element-sum run as native kernels, value-identical to the
+    // transform/aggregate folds incl. the NULL cases
+    // (functions/Quant.scala, pinned in CodegenKernelsSpec).
+    graft.functions.NativeFunctions.register(s)
     graft.io.Tables.embeddings(s, dir)
-      .select($"vec_id", $"label", $"embedding",
-        expr("array_max(transform(embedding, x -> abs(cast(x AS double))))").as("amax"))
-      .select($"vec_id", $"label", $"embedding",
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", $"label", $"v",
+        greatest(array_max($"v"), -array_min($"v")).as("amax"))
+      .select($"vec_id", $"label", $"v",
         (expr("nullif(amax, 0.0d)") / 127.0).as("scale"))
       .select($"vec_id", $"label", $"scale",
-        expr("transform(embedding, x -> cast(floor(cast(x AS double) / scale + 0.5d) AS bigint))").as("q"))
+        call_function("quant_i64", $"v", $"scale").as("q"))
       .select($"vec_id", $"label", round($"scale", 6).as("scale_r"),
         size($"q").as("dim"),
-        expr("aggregate(q, 0L, (a, x) -> a + x)").as("sum_q"),
+        call_function("sum_i64", $"q").as("sum_q"),
         expr("array_max(q)").as("max_q"), expr("array_min(q)").as("min_q"))
       .orderBy($"vec_id")
+  }
 
   /** S-6 — ANN quality evaluation: recall@k of the LSH index (S-2)
     * against brute-force ground truth (S-1), per query. The evaluation
@@ -488,13 +502,17 @@ object Ann {
     * sample after every index rebuild. */
   def s10QuantRecall(s: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(s)
+    // same lambda-free quantization as s5 (native quant_i64 kernel; a
+    // zero vector's NULL scale yields all-null q, so qq/cosq are NULL
+    // and desc-sort LAST — the HOF fold's behavior, kernel-pinned)
     val qz = graft.io.Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding",
-        expr("array_max(transform(embedding, x -> abs(cast(x AS double))))").as("amax"))
-      .select($"vec_id", $"embedding",
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", $"v",
+        greatest(array_max($"v"), -array_min($"v")).as("amax"))
+      .select($"vec_id", $"v",
         (expr("nullif(amax, 0.0d)") / 127.0).as("scale"))
       .select($"vec_id",
-        expr("transform(embedding, x -> cast(floor(cast(x AS double) / scale + 0.5d) AS bigint))").as("q"))
+        call_function("quant_i64", $"v", $"scale").as("q"))
       .withColumn("qq", call_function("dot_i64", $"q", $"q"))
     val queries = qz.filter(isQuery($"vec_id"))
       .select($"vec_id".as("query_id"), $"q".as("qa"), $"qq".as("qqa"))

@@ -108,19 +108,30 @@ object TextOps {
     * text (order-sensitive) + the minimum shingle hash (order-robust,
     * rolling-window flavored). */
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val norm = lower(trim(regexp_replace($"text", "\\s+", " ")))
-    val arr = split(norm, " ")
-    val shingleMin = array_min(expr(
-      """CASE WHEN size(split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')) >= 3
-           THEN transform(
-             sequence(0, size(split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')) - 3),
-             i -> md5(concat(
-               split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')[i], ' ',
-               split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')[i+1], ' ',
-               split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')[i+2])))
-           ELSE array(md5(lower(trim(regexp_replace(text, '\\s+', ' '))))) END"""))
-    Tables.documents(s, dir).select(
-        $"doc_id", md5(norm).as("fingerprint"), shingleMin.as("min_shingle_fp"))
+    // The normalized token array is computed ONCE per row in its own
+    // codegen'd projection. The pre-round-13 spelling re-derived
+    // split(lower(trim(regexp_replace(...)))) inside the lambda body —
+    // and interpreted lambda eval does no subexpression elimination, so
+    // every shingle re-normalized the whole document: O(tokens²) per
+    // doc. Shingle windows come from the arrays_zip slice trick
+    // (functions/Shingles.scala); the remaining per-element transform
+    // does exactly one concat + md5, which the digest dominates —
+    // allowlisted in PlanSpec's codegen audit with the measured
+    // verdict (SCALING.md §round-13). Keeping the min in-array keeps
+    // t4 a pure narrow map: no shuffle at any corpus size.
+    val d = Tables.documents(s, dir)
+      .withColumn("__norm", lower(trim(regexp_replace($"text", "\\s+", " "))))
+      .withColumn("__arr", split($"__norm", " "))
+    val n = size($"__arr")
+    val slices = (0 until 3).map(i =>
+      slice($"__arr", lit(i + 1), n - 2).as(s"w$i"))
+    val shingleMin = array_min(
+      when(n >= 3, expr(
+        "transform(__zip, g -> md5(concat(g.w0, ' ', g.w1, ' ', g.w2)))"))
+        .otherwise(array(md5($"__norm"))))
+    d.withColumn("__zip", arrays_zip(slices: _*))
+      .select($"doc_id", md5($"__norm").as("fingerprint"),
+        shingleMin.as("min_shingle_fp"))
       .orderBy($"doc_id")
   }
 

@@ -141,6 +141,110 @@ class CodegenKernelsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // --- r13 kernels ≡ their lambda reference spellings -----------------
+
+  test("quant_i64 / affine_floor_f64 ≡ transform spellings (values, null scale, null elems, empty)") {
+    graft.functions.NativeFunctions.register(spark)
+    val gen = Gen.listOfN(16, Gen.chooseNum(-1e3, 1e3))
+    val rows = samples(Gen.zip(gen, Gen.chooseNum(0.01, 50.0)), 120)
+      .map { case (a, sc) => (a.toArray, sc) }
+    val df = rows.toDF("v", "scale")
+      .select(
+        call_function("quant_i64", $"v", $"scale").as("nq"),
+        expr("transform(v, x -> cast(floor(x / scale + 0.5d) AS bigint))").as("hq"),
+        call_function("affine_floor_f64", $"v", $"scale").as("na"),
+        expr("transform(v, x -> CAST(floor(x * scale + 0.5d) AS DOUBLE))").as("ha"))
+    assert(df.collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1) &&
+      r.getSeq[Double](2) == r.getSeq[Double](3)))
+    // dirty cases: NULL scale → array of null slots (length preserved),
+    // null element → null slot, empty array → empty array
+    val dirty = spark.sql(
+      """SELECT
+           quant_i64(array(1D, 2D), CAST(NULL AS DOUBLE)) AS nq,
+           transform(array(1D, 2D), x -> cast(floor(x / CAST(NULL AS DOUBLE) + 0.5d) AS bigint)) AS hq,
+           quant_i64(array(1D, CAST(NULL AS DOUBLE)), 2D) AS nq2,
+           transform(array(1D, CAST(NULL AS DOUBLE)), x -> cast(floor(x / 2D + 0.5d) AS bigint)) AS hq2,
+           quant_i64(CAST(array() AS array<double>), 2D) AS nq3,
+           affine_floor_f64(array(1D, 2D), CAST(NULL AS DOUBLE)) AS na,
+           size(quant_i64(array(1D, 2D), CAST(NULL AS DOUBLE))) AS dim_null_scale""").collect()(0)
+    assert(dirty.getSeq[Any](0) == Seq(null, null) && dirty.getSeq[Any](0) == dirty.getSeq[Any](1))
+    assert(dirty.getSeq[Any](2) == Seq(1L, null) && dirty.getSeq[Any](2) == dirty.getSeq[Any](3))
+    assert(dirty.getSeq[Any](4) == Seq())
+    assert(dirty.getSeq[Any](5) == Seq(null, null))
+    assert(dirty.getInt(6) == 2, "s5's dim column must survive a NULL scale")
+  }
+
+  test("sum_i64 / sum_f64 ≡ aggregate folds (bit-exact; NULL elem → NULL)") {
+    graft.functions.NativeFunctions.register(spark)
+    val genL = Gen.listOfN(16, Gen.chooseNum(-1000000L, 1000000L))
+    val genD = Gen.listOfN(16, Gen.chooseNum(-1e3, 1e3))
+    val rows = samples(Gen.zip(genL, genD), 120).map { case (l, d) => (l.toArray, d.toArray) }
+    val df = rows.toDF("ql", "qd")
+      .select(call_function("sum_i64", $"ql").as("nl"),
+        expr("aggregate(ql, 0L, (a, x) -> a + x)").as("hl"),
+        call_function("sum_f64", $"qd").as("nd"),
+        expr("aggregate(qd, 0D, (a, x) -> a + x)").as("hd"))
+    assert(df.collect().forall { r =>
+      r.getLong(0) == r.getLong(1) &&
+        java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(3))
+    })
+    val dirty = spark.sql(
+      """SELECT sum_i64(array(1L, CAST(NULL AS BIGINT))) AS a,
+                sum_f64(array(1D, CAST(NULL AS DOUBLE))) AS b,
+                sum_i64(CAST(array() AS array<bigint>)) AS c""").collect()(0)
+    assert(dirty.isNullAt(0) && dirty.isNullAt(1) && dirty.getLong(2) == 0L)
+  }
+
+  test("phash_ascii ≡ the nested transform/aggregate aHash spelling") {
+    graft.functions.NativeFunctions.register(spark)
+    val bits = graft.multimodal.Binary.PhashBits
+    val edge = Seq("", "a", "ab", "abcdefghijklmnop", "abcdefghijklmnopq",
+      "aaaaaaaaaaaaaaaaaaaaaaaa", "zzzzaaaazzzzaaaazzzzaaaa",
+      " leading and trailing ", "é-unicode-χαρακτήρες-混合")
+    val rand = samples(Gen.listOfN(40,
+      Gen.oneOf(('a' to 'z') ++ ('0' to '9') ++ Seq(' ', '.', ','))).map(_.mkString), 80)
+    val df = (edge ++ rand).zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      .withColumn("n", length($"text"))
+      .withColumn("seg_len", ceil($"n" / lit(bits.toDouble)).cast("int"))
+      .withColumn("segs", expr(
+        s"""transform(sequence(0, ${bits - 1}), j -> named_struct(
+              'sb', greatest(least((j + 1) * seg_len, n) - j * seg_len, 0),
+              'ss', CASE WHEN j * seg_len < n
+                    THEN aggregate(sequence(j * seg_len, least((j + 1) * seg_len, n) - 1),
+                         0L, (acc, k) -> acc + ascii(substring(text, k + 1, 1)))
+                    ELSE 0L END))"""))
+      .withColumn("total", expr("aggregate(segs, 0L, (acc, x) -> acc + x.ss)"))
+      .select($"id",
+        call_function("phash_ascii", $"text", lit(bits)).as("native"),
+        expr(
+          s"""aggregate(transform(sequence(0, ${bits - 1}), j ->
+                CASE WHEN segs[j].sb > 0 AND segs[j].ss * n >= total * segs[j].sb
+                     THEN shiftleft(1L, j) ELSE 0L END), 0L, (acc, x) -> acc + x)""").as("hof"))
+    assert(df.collect().forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
+  test("t4 arrays_zip shingle-min ≡ the index-lambda spelling at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.text.TextOps.t4Fingerprint(spark, sf)
+      .collect().toSeq.map(_.toString)
+    val want = graft.io.Tables.documents(spark, sf).select($"doc_id", $"text",
+        md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("fingerprint"),
+        array_min(expr(
+          """CASE WHEN size(split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')) >= 3
+               THEN transform(
+                 sequence(0, size(split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')) - 3),
+                 i -> md5(concat(
+                   split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')[i], ' ',
+                   split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')[i+1], ' ',
+                   split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')[i+2])))
+               ELSE array(md5(lower(trim(regexp_replace(text, '\\s+', ' '))))) END"""))
+          .as("min_shingle_fp"))
+      .select($"doc_id", $"fingerprint", $"min_shingle_fp")
+      .orderBy($"doc_id").collect().toSeq.map(_.toString)
+    assert(got == want)
+  }
+
   // --- NULL contract: kernels ≡ HOF folds on dirty inputs -------------
   // (ADVICE round-12: null slots read as 0 would make a zero vector's
   // cosq = dot/0 → NaN, which desc-sorts HIGHEST — silent top-rank.)

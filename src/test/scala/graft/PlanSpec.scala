@@ -329,4 +329,57 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"entries with unguarded product joins: ${offenders.mkString(", ")}")
   }
+
+  test("codegen audit: CodegenFallback expressions ⊆ the documented allowlist (full sweep)") {
+    // The enforcement arm of the round-12 no-lambda-HOF rule (measured:
+    // a lambda HOF on a data-sized projection costs 1.6–4× the entry by
+    // dropping out of whole-stage codegen — SCALING.md §round-12/13).
+    // Every CodegenFallback expression in every gate entry's executed
+    // plan must be allowlisted here WITH its reason; a new lambda HOF —
+    // or any ScalaUDF — fails this test instead of landing unnoticed.
+    //
+    // Globally allowed: Spark's declarative AGGREGATE machinery and the
+    // INTERSECT/EXCEPT ALL generator. Imperative eval is how Spark
+    // executes every agg function (hash-agg buffers, partial → final);
+    // the CodegenFallback trait on them is incidental — they are
+    // map-side-combined and group-sized, never a per-row projection
+    // hot loop.
+    val aggMachinery = Set(
+      "CollectSet", "CollectList",            // bounded collects (d3 bucket cap, q50 top-3, kmeans 8-cell legend)
+      "Percentile", "ApproximatePercentile",  // q18/q23/q49
+      "HyperLogLogPlusPlus", "ApproxTopK",    // q23/q43 sketches
+      "HllSketchAgg", "HllSketchEstimate", "HllUnionAgg", // q44 mergeable HLL rollup
+      "PivotFirst",                           // q24/q38 pivot agg
+      "BloomFilterAggregate",                 // x8 bloom build (one sketch row)
+      "BottomKSketch",                        // x2 — graft's own KMV agg
+      "ReplicateRows")                        // q36 — Spark's INTERSECT/EXCEPT ALL generator
+    // Per-entry lambda allowances, each with its boundedness/measured
+    // argument. The lambda plumbing classes ride along with their HOF.
+    val lambdaPlumbing = Set("LambdaFunction", "NamedLambdaVariable")
+    val perEntry = Map(
+      // q25 IS the HOF showcase entry — lambdas are its semantics
+      "q25_array_hof" -> (Set("ArrayAggregate", "ArrayFilter", "ArraySort",
+        "ArrayTransform") ++ lambdaPlumbing),
+      // t4: one md5-per-shingle transform over a PRECOMPUTED zip array;
+      // the digest dominates the lambda dispatch (measured r13,
+      // SCALING.md) and the lambda-free alternative is a corpus
+      // shuffle — a worse trade at every scale
+      "t4_fingerprint" -> (Set("ArrayTransform") ++ lambdaPlumbing),
+      // x7 is the typed Aggregator API showcase — ScalaAggregator is
+      // the entry's point, allowed here and NOWHERE else
+      "x7_typed_aggregator" -> Set("ScalaAggregator"))
+    def skip(n: String) =
+      n.startsWith("st") || Set("p1_pipeline_e2e", "p5_stream_curation",
+        "o8_json_raw", "o2_jdbc_roundtrip", "o1_csv_source").contains(n)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
+      val got = graft.tools.CodegenAudit.fallbackNames(
+        SparkEntry.queries(name)(spark, sf))
+      val extra = got -- aggMachinery -- perEntry.getOrElse(name, Set.empty)
+      if (extra.nonEmpty) Some(s"$name: ${extra.toSeq.sorted.mkString(" ")}") else None
+    }
+    assert(offenders.isEmpty,
+      "non-allowlisted CodegenFallback expressions (new lambda HOF or UDF " +
+        "on a gate entry — respell it or document it here):\n" +
+        offenders.mkString("\n"))
+  }
 }
