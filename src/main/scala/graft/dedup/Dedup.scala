@@ -131,11 +131,53 @@ object Dedup {
     }
 
   private def signatures(s: SparkSession, dir: String): DataFrame = sigCache.synchronized {
+    hookEvictOnStop(s)
     sigCache.computeIfAbsent((s, dir), _ => {
       val aggs = hashCols
       shingles(s, dir, distinct = false)
         .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*).persist()
     })
+  }
+
+  /** Session-lifecycle hygiene (round-12 verdict): LRU eviction alone
+    * let a STOPPED session's cached frames linger until four newer
+    * dirs arrived. Each caching entry point registers one listener per
+    * SparkContext; on application end, every memo entry owned by a
+    * stopped session is dropped (and unpersisted — a no-op on a dead
+    * context, wrapped defensively) across all four dedup caches and
+    * the table-plan memo. */
+  private val evictHooked = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[org.apache.spark.SparkContext]())
+
+  private def hookEvictOnStop(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (evictHooked.add(sc)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          purgeStoppedSessions()
+          evictHooked.remove(sc)
+        }
+      })
+    }
+  }
+
+  /** Drop cache entries owned by stopped sessions — normally invoked
+    * by the application-end listener; public for tests/embedders. */
+  def purgeStoppedSessions(): Unit = {
+    def purge(m: java.util.LinkedHashMap[(SparkSession, String), DataFrame]): Unit =
+      m.synchronized {
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey._1.sparkContext.isStopped) {
+            scala.util.Try(e.getValue.unpersist())
+            it.remove()
+          }
+        }
+      }
+    purge(sigCache); purge(pairsCache); purge(d9Cache); purge(clusterCache)
+    graft.io.Tables.purgeStoppedSessions()
   }
 
   /** Drop (and unpersist) cached signatures — call after rewriting a
@@ -164,6 +206,7 @@ object Dedup {
   /** Memoized [[d3LshPairs]] for downstream consumers. */
   def lshPairsCached(s: SparkSession, dir: String): DataFrame =
     pairsCache.synchronized {
+      hookEvictOnStop(s)
       pairsCache.computeIfAbsent((s, dir), _ => d3LshPairs(s, dir).persist())
     }
 
@@ -226,11 +269,15 @@ object Dedup {
           .as("dropped_doc_slots"),
         max(size($"ids0")).as("max_bucket_size"))
       .select(slice(sort_array($"ids0"), 1, BucketCap).as("ids"))
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-             transform(slice(ids, i + 2, size(ids)),
-                       b -> struct(a AS doc_a, b AS doc_b))))""")).as("p"))
-      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b")).distinct()
+      // bucket-local pair expansion as two Generates + a column-arg
+      // slice — the same (i < j) enumeration the nested
+      // transform-lambda flatten produced, with every expression
+      // codegen'd (r13 audit; the lambda form dispatched an
+      // interpreted closure per emitted pair)
+      .select($"ids", posexplode($"ids").as(Seq("i", "doc_a")))
+      .select($"doc_a",
+        explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("doc_b"))
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
 
   /** D-4 — exact n-gram Jaccard on a deterministic pair sample
@@ -397,9 +444,18 @@ object Dedup {
     // candidate doc list broadcast-semi-joins into the shingle SCAN:
     // the corpus-wide stream never exchanges, and the distinct + size
     // aggregation run over candidate rows only (measured at sf10:
-    // 91.8 s → see SCALING.md §round-12). When near-dup density makes
-    // candidates ~ corpus, no plan avoids the shuffle — the broadcast
-    // threshold is then the signal to fall back, not a failure here.
+    // 91.8 s → see SCALING.md §round-12).
+    // PRECONDITION (r12 advice): the explicit broadcast() hint
+    // BYPASSES autoBroadcastJoinThreshold — there is no automatic
+    // fallback. Candidates ~ corpus (pathological near-dup density)
+    // would build a corpus-sized broadcast, not degrade to a shuffle;
+    // a deployment expecting that regime must drop the hint (AQE's
+    // runtime stats then choose broadcast exactly when candidates are
+    // small) and accept the corpus shuffle as the honest cost. The
+    // hint stays because a sparse candidate set is the operating
+    // assumption of the entire LSH family, and hintless planning with
+    // AQE off degrades THIS plan to the corpus-wide sort-merge the
+    // r12 rewrite removed.
     val candDocs = pairs.select($"doc_a".as("doc_id"))
       .union(pairs.select($"doc_b".as("doc_id"))).distinct()
     val sh = shingles(s, dir, distinct = false)
@@ -454,6 +510,7 @@ object Dedup {
 
   private def clusterTable(s: SparkSession, dir: String): DataFrame =
     clusterCache.synchronized {
+      hookEvictOnStop(s)
       clusterCache.computeIfAbsent((s, dir), _ => computeClusterTable(s, dir))
     }
 
@@ -671,6 +728,7 @@ object Dedup {
     }
 
   def d9Decontaminate(s: SparkSession, dir: String): DataFrame = d9Cache.synchronized {
+    hookEvictOnStop(s)
     d9Cache.computeIfAbsent((s, dir), _ => {
       val docs = graft.io.Tables.documents(s, dir)
       def shingles(df: DataFrame) = graft.functions.Shingles
@@ -716,8 +774,16 @@ object Dedup {
     require(bits % bands == 0, s"bands $bands must divide width $bits")
     val bw = bits / bands
     val mask = if (bw == 64) -1L else (1L << bw) - 1
-    val banded = fp.select($"doc_id", $"simhash", explode(expr(
-      s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, shiftrightunsigned(simhash, b * $bw) & $mask AS k))")).as("x"))
+    // Band structs as a LITERAL array (bands is a plan-time constant),
+    // not transform(sequence(...)): the lambda HOF form is
+    // CodegenFallback on a corpus-sized projection — the same respell
+    // the 128-bit variant below shipped with (round-13 codegen audit).
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned($"simhash", b * bw).bitwiseAND(mask).as("k"))
+    }
+    val banded = fp.select($"doc_id", $"simhash",
+        explode(array(bandStructs: _*)).as("x"))
       .select($"doc_id", $"simhash", $"x.band".as("band"), $"x.k".as("k"))
     // A pair colliding in SEVERAL bands used to be deduped by a
     // `.distinct()` over the candidate set — a second candidate-sized
@@ -980,43 +1046,74 @@ object Dedup {
     * corpus. A shingle shared by k sources contributes C(k,2) pairs;
     * ubiquitous boilerplate shingles are exactly what t17 strips
     * upstream of this audit at scale. */
-  def d17CrossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def d17CrossSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    crossSourceOverlap(s, Tables.documents(s, dir))
+
+  /** d17 core over an arbitrary documents frame (doc_id, source,
+    * text) — split out so the >63-source path is unit-gated on a
+    * synthetic fixture (Dedup17WideSpec) while the gate entry rides
+    * the driver testdata.
+    *
+    * Masks are MULTI-WORD since round 13: ⌈S/64⌉ BIGINT words
+    * (mask0..maskW−1), each a per-word `bit_or` partial aggregate, so
+    * the one-shuffle shape has no hard source cap (the r12 form
+    * `require`d S ≤ 63 and would THROW on a real crawl's source
+    * list). Word selection in the bit tests is a plan-time CASE chain
+    * over W — codegen'd, no lambda.
+    *
+    * Cost model (why the legend crossJoin is the right plan at the
+    * audit's regime, and what to do beyond it): the matrix pass does
+    * |distinct shingles| × C(S,2) codegen'd bit tests. The entry's
+    * OUTPUT is the S² matrix, so S is metadata-sized by semantics —
+    * crawl feeds, mirrors, licensed sets: dozens to a few hundred.
+    * There the broadcast pair legend (≤ ~50k rows at S=300) beats the
+    * old distinct+self-join's second candidate-sized shuffle. If S
+    * ever reached thousands, the move is to EXPLODE each mask row
+    * into its set source indices and equi-join on shingle — Σ C(k,2)
+    * work, the self-join shape but over the already-aggregated mask
+    * table — not to widen this legend. */
+  def crossSourceOverlap(s: SparkSession, docs: DataFrame): DataFrame = {
     // Source-index legend. |sources| is metadata-sized by the entry's
     // own semantics (the OUTPUT is the |sources|² matrix), so a
     // bounded driver collect here follows the repo's audit-scalar
-    // policy. 63 sources bound the BIGINT mask; a corpus with more
-    // wants per-source-group sharding, not a wider join.
+    // policy.
     val srcs = docs.select($"source").distinct().orderBy($"source")
       .collect().map(_.getString(0)).toSeq
-    require(srcs.length <= 63,
-      s"d17 bitmask overlap supports <= 63 sources, got ${srcs.length}")
+    val W = math.max(1, (srcs.length + 63) / 64)
     val srcIdx = s.createDataFrame(srcs.zipWithIndex).toDF("source", "idx")
-    // ONE corpus shuffle: per-shingle source bitmask. bit_or is
+    // ONE corpus shuffle: per-shingle source bitmask words. bit_or is
     // idempotent over duplicate (source, shingle) instances, so the
     // old plan's up-front `.distinct()` — a full (source, shingle)
     // shuffle — is unnecessary, and the raw shingle stream map-side
-    // combines into <= one row per shingle per partition. The old
-    // shape then SELF-JOINED the distinct table on shingle (a second
-    // candidate-sized shuffle whose output was Σ_sh C(k_sh, 2) rows);
-    // here every downstream step is a broadcast of the source legend
-    // against the mask table with codegen'd bit tests, partially
-    // aggregated straight into the <= |sources|² result.
+    // combines into <= one row per shingle per partition. Every
+    // downstream step is a broadcast of the source legend against the
+    // mask table with codegen'd bit tests, partially aggregated
+    // straight into the <= |sources|² result.
+    val maskCols = (0 until W).map { w =>
+      expr(s"""bit_or(CASE WHEN idx DIV 64 = $w
+                 THEN shiftleft(CAST(1 AS BIGINT), idx % 64)
+                 ELSE CAST(0 AS BIGINT) END)""").as(s"mask$w")
+    }
     val masks = graft.functions.Shingles.kgramRows(docs, Seq("source"), k = 3)
       .join(broadcast(srcIdx), "source")
       .groupBy($"shingle")
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx))").as("mask"))
+      .agg(maskCols.head, maskCols.tail: _*)
+    def bitTest(idxName: String): String = {
+      val wordSel = (0 until W)
+        .map(w => s"WHEN $idxName DIV 64 = $w THEN mask$w").mkString(" ")
+      s"(shiftright(CASE $wordSel END, CAST($idxName % 64 AS INT)) & 1) = 1"
+    }
     val pairTab = srcIdx.select($"source".as("src_a"), $"idx".as("ia"))
       .crossJoin(srcIdx.select($"source".as("src_b"), $"idx".as("ib")))
       .filter($"src_a" < $"src_b")
     val inter = masks.crossJoin(broadcast(pairTab))
-      .filter(expr("(shiftright(mask, ia) & 1) = 1 AND (shiftright(mask, ib) & 1) = 1"))
+      .filter(expr(s"${bitTest("ia")} AND ${bitTest("ib")}"))
       .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_inter"))
     // n_<src> = distinct shingles per source: each mask row IS one
     // distinct shingle; bit idx is set iff that source contained it.
     // Reads the same aggregated mask table (exchange reuse, x11).
     val counts = masks.crossJoin(broadcast(srcIdx))
-      .filter(expr("(shiftright(mask, idx) & 1) = 1"))
+      .filter(expr(bitTest("idx")))
       .groupBy($"source").agg(count(lit(1)).as("n"))
     inter
       .join(broadcast(counts.select($"source".as("src_a"), $"n".as("n_a"))), "src_a")
