@@ -46,6 +46,18 @@ import org.apache.spark.sql.SparkSession
   * instead of misreading it as a code regression (exactly what r8→r9
   * suffered), and partial runs (SPARK_GRAFT_BENCH_ONLY) self-identify
   * via "only".
+  *
+  * Memo cold/warm split (round-12 advice): the dedup family shares
+  * per-(session, dir) memos — the signature table, the LSH pair list,
+  * and the cluster map (Dedup.sigCache/pairsCache/clusterCache). A
+  * FRESH-JVM median therefore includes exactly one cold memo build in
+  * its first rep (later reps are steady-state warm); IN-SUITE numbers
+  * are order-coupled — whichever consumer (d3-family, d6, d8, d16,
+  * d19, t20) runs first in the suite pays the materialization and the
+  * rest read it warm. Cross-round per-entry comparisons of memo
+  * consumers must compare fresh-to-fresh (same cold-build placement)
+  * or same-suite-order in-suite numbers; SCALING.md's measurement
+  * protocol section records the same rule.
   */
 object Bench {
   /** The measurement session conf — ONE definition shared by Bench

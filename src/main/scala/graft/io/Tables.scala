@@ -72,6 +72,18 @@ object Tables {
     }
   }
 
+  /** Drop memo entries owned by STOPPED sessions (round-13 lifecycle
+    * hygiene — called from Dedup's application-end listener so a
+    * stopped session's plans don't linger until LRU pressure). */
+  def purgeStoppedSessions(): Unit = {
+    val it = tableMemo.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    val rt = rawTsMemo.keySet.iterator()
+    while (rt.hasNext) if (rt.next()._1.sparkContext.isStopped) rt.remove()
+    val rg = registered.keySet.iterator()
+    while (rg.hasNext) if (rg.next().sparkContext.isStopped) rg.remove()
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
