@@ -37,7 +37,10 @@ import graft.io.Tables
   * sort-merge-joined) are collected and dumped to
   * `target/cbo_plan_drift.txt` by the final audit test — a changed
   * plan with identical results is exactly what the CBO is FOR; a
-  * changed result is a gate failure in the entry's own test.
+  * changed result is a gate failure in the entry's own test. The
+  * committed copy of the ledger lives in `PLANS-CBO.md` (refresh it
+  * when this dump changes — it is part of the audited plan record,
+  * like PLANS.md).
   *
   * Mechanics: temp views SHADOW catalog names, so each test collects
   * the view-side rows first, then `Tables.unregisterViews` flips
