@@ -257,7 +257,10 @@ object Dedup {
     * metric (zero extra pass — piggybacks on the existing action). */
   val BucketCap = 1024
 
-  def d3LshPairs(s: SparkSession, dir: String): DataFrame =
+  /** The shared bucket subplan: capped, sorted member lists of every
+    * multi-doc (band, sig) bucket — exposed for D3Probe's expansion
+    * A/B and any future pair-expansion respell. */
+  def d3Buckets(s: SparkSession, dir: String): DataFrame =
     banded(s, dir)
       .groupBy($"band", $"sig").agg(collect_set($"doc_id").as("ids0"))
       .filter(size($"ids0") > 1)
@@ -269,6 +272,9 @@ object Dedup {
           .as("dropped_doc_slots"),
         max(size($"ids0")).as("max_bucket_size"))
       .select(slice(sort_array($"ids0"), 1, BucketCap).as("ids"))
+
+  def d3LshPairs(s: SparkSession, dir: String): DataFrame =
+    d3Buckets(s, dir)
       // bucket-local pair expansion as two Generates + a column-arg
       // slice — the same (i < j) enumeration the nested
       // transform-lambda flatten produced, with every expression
@@ -1067,11 +1073,22 @@ object Dedup {
     * OUTPUT is the S² matrix, so S is metadata-sized by semantics —
     * crawl feeds, mirrors, licensed sets: dozens to a few hundred.
     * There the broadcast pair legend (≤ ~50k rows at S=300) beats the
-    * old distinct+self-join's second candidate-sized shuffle. If S
-    * ever reached thousands, the move is to EXPLODE each mask row
-    * into its set source indices and equi-join on shingle — Σ C(k,2)
-    * work, the self-join shape but over the already-aggregated mask
-    * table — not to widen this legend. */
+    * old distinct+self-join's second candidate-sized shuffle. Past
+    * [[MatrixMaxSources]] the plan switches automatically: each mask
+    * row DECODES to its set source indices (native `bitmask_indices`
+    * kernel) and pairs enumerate bucket-locally — Σ C(k,2) work, the
+    * self-join's output without its second corpus-sized shuffle,
+    * since the mask table is already one row per distinct shingle. */
+  /** Above this source count [[crossSourceOverlap]] switches from the
+    * broadcast-legend matrix pass (|shingles| × C(S,2) codegen'd bit
+    * tests — unbeatable while C(S,2) is legend-sized) to the exploded
+    * set-index plan (Σ C(k,2) bucket-local pair enumeration). The
+    * crossover is soft — at S = 128 the matrix does 8128 bit tests
+    * per shingle, ~the cost where decode+Generate wins on real k
+    * distributions — and both sides are equality-gated on the same
+    * fixture (Dedup17WideSpec). */
+  val MatrixMaxSources = 128
+
   def crossSourceOverlap(s: SparkSession, docs: DataFrame): DataFrame = {
     // Source-index legend. |sources| is metadata-sized by the entry's
     // own semantics (the OUTPUT is the |sources|² matrix), so a
@@ -1103,18 +1120,50 @@ object Dedup {
         .map(w => s"WHEN $idxName DIV 64 = $w THEN mask$w").mkString(" ")
       s"(shiftright(CASE $wordSel END, CAST($idxName % 64 AS INT)) & 1) = 1"
     }
-    val pairTab = srcIdx.select($"source".as("src_a"), $"idx".as("ia"))
-      .crossJoin(srcIdx.select($"source".as("src_b"), $"idx".as("ib")))
-      .filter($"src_a" < $"src_b")
-    val inter = masks.crossJoin(broadcast(pairTab))
-      .filter(expr(s"${bitTest("ia")} AND ${bitTest("ib")}"))
-      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_inter"))
-    // n_<src> = distinct shingles per source: each mask row IS one
-    // distinct shingle; bit idx is set iff that source contained it.
-    // Reads the same aggregated mask table (exchange reuse, x11).
-    val counts = masks.crossJoin(broadcast(srcIdx))
-      .filter(expr(bitTest("idx")))
-      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val (inter, counts) = if (srcs.length <= MatrixMaxSources) {
+      val pairTab = srcIdx.select($"source".as("src_a"), $"idx".as("ia"))
+        .crossJoin(srcIdx.select($"source".as("src_b"), $"idx".as("ib")))
+        .filter($"src_a" < $"src_b")
+      val i = masks.crossJoin(broadcast(pairTab))
+        .filter(expr(s"${bitTest("ia")} AND ${bitTest("ib")}"))
+        .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_inter"))
+      // n_<src> = distinct shingles per source: each mask row IS one
+      // distinct shingle; bit idx is set iff that source contained it.
+      // Reads the same aggregated mask table (exchange reuse, x11).
+      val c = masks.crossJoin(broadcast(srcIdx))
+        .filter(expr(bitTest("idx")))
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+      (i, c)
+    } else {
+      // Thousands-of-sources regime: the matrix pass's
+      // |shingles| × C(S,2) bit tests stop being metadata-cheap, so
+      // DECODE each mask row to its set source indices (native
+      // bitmask_indices kernel — the HOF spelling is two
+      // CodegenFallback lambdas on a shingle-sized projection) and
+      // enumerate each shingle's C(k,2) member pairs bucket-locally,
+      // the same two-Generate (i < j) expansion d3 uses. Work is
+      // Σ C(k,2) over shingles — the self-join's output size without
+      // its second corpus-sized shuffle (the mask table is already
+      // one row per distinct shingle). Ubiquitous boilerplate
+      // shingles (k → S) dominate Σ C(k,2) in either plan; t17
+      // boilerplate stripping upstream is the mitigation, as the
+      // scaladoc above records.
+      graft.functions.NativeFunctions.register(s)
+      val idxArr = masks.select(call_function("bitmask_indices",
+        array((0 until W).map(w => col(s"mask$w")): _*)).as("idxs"))
+      val i = idxArr
+        .select($"idxs", posexplode($"idxs").as(Seq("i", "ia")))
+        .select($"ia",
+          explode(slice($"idxs", $"i" + lit(2), size($"idxs"))).as("ib"))
+        .groupBy($"ia", $"ib").agg(count(lit(1)).as("n_inter"))
+        .join(broadcast(srcIdx.select($"source".as("src_a"), $"idx".as("ia"))), "ia")
+        .join(broadcast(srcIdx.select($"source".as("src_b"), $"idx".as("ib"))), "ib")
+        .select($"src_a", $"src_b", $"n_inter")
+      val c = idxArr.select(explode($"idxs").as("idx"))
+        .groupBy($"idx").agg(count(lit(1)).as("n"))
+        .join(broadcast(srcIdx), "idx").select($"source", $"n")
+      (i, c)
+    }
     inter
       .join(broadcast(counts.select($"source".as("src_a"), $"n".as("n_a"))), "src_a")
       .join(broadcast(counts.select($"source".as("src_b"), $"n".as("n_b"))), "src_b")

@@ -261,5 +261,7 @@ object NativeFunctions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "phash_ascii", exprs => PhashAscii(exprs(0), PhashAscii.foldableBits(exprs(1))),
       "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitmask_indices", exprs => BitmaskIndices(exprs(0)), "built-in")
   }
 }

@@ -290,6 +290,81 @@ class CodegenKernelsSpec extends AnyFunSuite {
       lit(Seq[Any](2L, 3L), at), lit(Seq[Any](4L, 5L), at)).eval(null) == 23L)
   }
 
+  test("bitmask_indices ≡ filter/transform HOF decode (multi-word, edges, null word)") {
+    graft.functions.NativeFunctions.register(spark)
+    // random masks up to 4 words, plus edges: empty, zero words,
+    // all-ones, single high bit, word-boundary bits
+    val rand = samples(Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue))), 120)
+    val edges: Seq[Seq[Long]] = Seq(
+      Seq(), Seq(0L), Seq(0L, 0L, 0L), Seq(-1L), Seq(-1L, -1L),
+      Seq(1L << 63), Seq(0L, 1L), Seq(Long.MinValue, Long.MaxValue))
+    val df = (edges ++ rand).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.toArray) }.toDF("id", "words")
+    val rows = df.select($"id",
+      call_function("bitmask_indices", $"words").as("native"),
+      expr("""CASE WHEN size(words) = 0 THEN array()
+              ELSE filter(transform(sequence(0, size(words) * 64 - 1),
+                     i -> CASE WHEN (shiftright(element_at(words, CAST(i DIV 64 AS INT) + 1),
+                                     CAST(i % 64 AS INT)) & 1) = 1 THEN i END),
+                   x -> x IS NOT NULL) END""").as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"mask id ${r.getLong(0)}")
+    }
+    // a null WORD slot must refuse (NULL), not silently drop 64 sources
+    // (which is what the HOF spelling's null-dropping filter would do)
+    val nul = spark.sql(
+      "SELECT bitmask_indices(array(1L, CAST(NULL AS BIGINT))) AS x").collect()(0)
+    assert(nul.isNullAt(0))
+    assert(graft.functions.BitmaskIndices(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq[Any](1L, null),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true)))
+      .eval(null) == null, "interpreted path must refuse null words too")
+  }
+
+  test("every native kernel's doGenCode COMPILES — no silent interpreted fallback") {
+    // Spark catches Janino compile errors from bad generated code and
+    // silently re-runs the stage interpreted, so a value-equality test
+    // alone cannot distinguish "codegen'd kernel" from "broken codegen
+    // + fallback" (this caught a wrong UnsafeArrayData package in
+    // bitmask_indices that every value test sailed through).
+    // GenerateUnsafeProjection.generate THROWS on a compile error.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+    import graft.functions._
+    val aL = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true)
+    val bL = BoundReference(1, ArrayType(LongType, containsNull = false), nullable = true)
+    val aD = BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = true)
+    val bD = BoundReference(1, ArrayType(DoubleType, containsNull = false), nullable = true)
+    val sD = BoundReference(1, DoubleType, nullable = true)
+    val txt = BoundReference(0, StringType, nullable = true)
+    val kernels: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+      "dot_f64" -> DotF64(aD, bD),
+      "l2sq_f64" -> L2SqF64(aD, bD),
+      "dot_i64" -> DotI64(aL, bL),
+      "quant_i64" -> QuantI64(aD, sD),
+      "affine_floor_f64" -> AffineFloorF64(aD, sD),
+      "sum_i64" -> SumI64(aL),
+      "sum_f64" -> SumF64(aD),
+      "phash_ascii" -> PhashAscii(txt, 64),
+      "bitmask_indices" -> BitmaskIndices(aL))
+    kernels.foreach { case (name, e) =>
+      val proj = GenerateUnsafeProjection.generate(Seq(e)) // throws if codegen is broken
+      assert(proj != null, name)
+    }
+    // and the compiled bitmask_indices actually computes
+    val proj = GenerateUnsafeProjection.generate(Seq(BitmaskIndices(aL)))
+    val got = proj(InternalRow(new GenericArrayData(Array(5L, 1L)), null))
+      .getArray(0).toIntArray.toSeq
+    assert(got == Seq(0, 2, 64))
+  }
+
   test("s10 zero-vector: the quantization chain yields NULL qq, never 0/NaN") {
     graft.functions.NativeFunctions.register(spark)
     // the exact s5/s10 spelling: amax = 0 → scale NULL via nullif →

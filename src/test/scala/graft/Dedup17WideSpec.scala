@@ -51,6 +51,42 @@ class Dedup17WideSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("d17 exploded-index plan ≡ self-join reference past MatrixMaxSources (150 sources, W=3)") {
+    // 150 > MatrixMaxSources=128 → the bitmask_indices decode +
+    // bucket-local pair enumeration path. Same engineered-overlap
+    // construction as the 100-source fixture, now crossing TWO word
+    // boundaries (idx 64 and 128); mod-11 families so family overlap
+    // is sparser than the all-pairs boilerplate floor.
+    assert(150 > graft.dedup.Dedup.MatrixMaxSources)
+    val docs = (0 until 150).flatMap { s0 =>
+      (0 until 4).map { d =>
+        val fam = s0 % 11
+        val text = s"shared boilerplate line common to all sources " +
+          s"family f$fam marker line for group f$fam overlap " +
+          s"unique filler s$s0 d$d tail token$s0 token$d end"
+        (s0.toLong * 10 + d, f"src$s0%03d", text)
+      }
+    }.toDF("doc_id", "source", "text")
+
+    val got = graft.dedup.Dedup.crossSourceOverlap(spark, docs)
+      .collect().toSeq.map(_.toString).sorted
+
+    val sh = graft.functions.Shingles.kgramRows(docs, Seq("source"), k = 3)
+      .distinct()
+    val counts = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val want = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(counts.select($"source".as("src_a"), $"n".as("n_a")), "src_a")
+      .join(counts.select($"source".as("src_b"), $"n".as("n_b")), "src_b")
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_inter")
+      .collect().toSeq.map(_.toString).sorted
+
+    assert(got.size == 150 * 149 / 2, s"expected 11175 pairs, got ${got.size}")
+    assert(got == want)
+  }
+
   test("d17 gate-width (W=1) plan is unchanged in shape: one corpus aggregate, broadcast legends only") {
     val sf = "/root/testdata/sf0.001"
     val p = graft.dedup.Dedup.d17CrossSourceOverlap(spark, sf)
