@@ -545,22 +545,35 @@ object Dedup {
       // recovers each doc's previous label (labels holds exactly one
       // row per doc), and the changed-count rides the materialization
       // job as an observe metric instead of a second action.
-      // invocation-unique metric name: the observe node stays in the
-      // returned plan's lineage, and two cluster plans meeting in ONE
-      // query (d18's spec joins d18 against d6) must not collide on
-      // DUPLICATED_METRICS_NAME
+      // invocation-unique metric name: two cluster builds may overlap
+      // in one session (d18's spec joins d18 against d6) and must not
+      // collide on DUPLICATED_METRICS_NAME.
       val obs = org.apache.spark.sql.Observation(
         s"d6_i${metricSeq.getAndIncrement()}_round_$rounds")
       val tagged = labels.select($"doc_id", $"label", lit(1).as("own"))
         .unionAll(viaNeighbors.select($"doc_id", $"label", lit(0).as("own")))
+      // Eager localCheckpoint, NOT cache: `labels` appears twice in
+      // this round's plan (own-label arm + neighbor join), so a cached
+      // lineage DOUBLES the logical tree every round — O(2^rounds)
+      // analysis/canonicalization cost even though caching bounds
+      // execution (measured: the dumped d19 plan hit 240k lines at 3
+      // converged rounds; a diameter-20 component would hit 2^20 nodes
+      // long before the 48-round cap). The checkpoint truncates the
+      // plan to a LogicalRDD per round, its eager job fires the
+      // observe metric (no separate count), and each round's blocks
+      // are freed by the ContextCleaner once the next round's
+      // truncated plan no longer references them. Trade-off, recorded:
+      // localCheckpoint is not fault-tolerant — losing an executor
+      // mid-build fails the JOB (loudly, retryable), never the answer;
+      // a long-lived production build would pass a reliable checkpoint
+      // dir instead, same plan shape.
       val next = tagged.groupBy($"doc_id")
         .agg(min($"label").as("label"),
           min(when($"own" === 1, $"label")).as("old"))
         .observe(obs, sum(($"label" < $"old").cast("long")).as("changed"))
-        .select($"doc_id", $"label").cache()
-      next.count()
+        .select($"doc_id", $"label").localCheckpoint()
       val changed = obs.get("changed").asInstanceOf[Long]
-      labels.unpersist()
+      labels.unpersist() // frees the round-0 seed cache; no-op on checkpointed rounds
       labels = next
       converged = changed == 0
       rounds += 1
@@ -577,9 +590,10 @@ object Dedup {
         ($"doc_id" === coalesce($"cluster", $"doc_id")).cast("int").as("is_kept"))
       .persist()
     // Force the persisted assignment, then release the loop's
-    // intermediates — the memoized plan must not pin them.
+    // intermediates. The FINAL round's checkpoint blocks deliberately
+    // stay referenced by the memoized plan: they are the recompute
+    // path if the persisted assignment is ever evicted.
     assignment.count()
-    labels.unpersist()
     sym.unpersist()
     assignment
   }
