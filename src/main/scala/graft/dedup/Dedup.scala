@@ -359,57 +359,46 @@ object Dedup {
     * weight is Long.MinValue: adding it to a sum of distinct lower
     * powers of two cannot carry, so the two's-complement pattern is
     * exact and ANSI-overflow-safe. */
-  /** Per-doc nibble votes for a `bits`-wide SimHash — the shared core
-    * of [[simhashFingerprint]] (≤ 64 bits, one BIGINT word) and
-    * [[simhashFingerprint128]] (two words). Output: doc_id, v0..v_{bits-1}. */
-  private def simhashVotes(s: SparkSession, dir: String, bits: Int): DataFrame = {
-    val groups = (bits + 31) / 32
-    // ONE narrow shuffle, then everything doc-local. The naive
-    // `.distinct()` → groupBy(doc_id) shape costs TWO wide shuffles:
-    // the distinct hashes on (doc_id, tok) so a doc's tokens scatter
-    // across every partition, which makes the vote aggregation's
-    // map-side partials collapse nothing — the second shuffle carries
-    // ~token-count rows × `bits` partial-sum columns (measured at
-    // sf100/128-bit: spill past the box's disk; 64-bit survived only
-    // by spilling ~minutes). Hash-partitioning by doc_id up front
-    // satisfies ClusteredDistribution for BOTH the (doc_id, tok)
-    // dedup and the doc_id vote aggregation, so both run
-    // partition-local and the only shuffle moves raw (doc_id, tok)
-    // pairs — no digest strings, no wide partials. AQE picks the
-    // width (RepartitionByExpression with no fixed N).
-    val tok0 = Tables.documents(s, dir)
-      .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .filter($"tok" =!= "")
-      .repartition($"doc_id")
-      .dropDuplicates("doc_id", "tok")
-    val tok = (0 until groups).foldLeft(tok0) { (df, g) =>
-      df.withColumn(s"h$g", if (g == 0) md5($"tok") else md5(concat(lit(s"$g:"), $"tok")))
-    }
-    // Parse each 32-hex digest into 4 × 32-bit integer chunks ONCE,
-    // then pull each vote bit with shift+mask: 4 conv() string parses
-    // per digest instead of 32 substring+instr character scans (the
-    // former per-token hot cost). Bit j is the TOP bit of hex nibble
-    // j — nibble value ≥ 8 — exactly the old instr() ≥ 8 predicate,
-    // so fingerprints are bit-identical.
-    val nChunks = (bits + 7) / 8
-    val chunked = (0 until nChunks).foldLeft(tok) { (df, c) =>
-      df.withColumn(s"c$c",
-        conv(substring(col(s"h${c / 4}"), (c % 4) * 8 + 1, 8), 16, 10).cast("long"))
-    }
-    val votes = (0 until bits).map { j =>
-      val c = (j / 32) * 4 + (j % 32) / 8    // which 8-hex-char chunk
-      val shift = (7 - j % 8) * 4 + 3        // top bit of nibble j within it
-      sum(shiftrightunsigned(col(s"c$c"), shift).bitwiseAND(1) * 2 - 1).as(s"v$j")
-    }
-    chunked.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+  /** Packed SimHash words per doc — the shared core of
+    * [[simhashFingerprint]] (≤ 64 bits, one BIGINT word) and
+    * [[simhashFingerprint128]] (two words).
+    *
+    * SHUFFLE-FREE since round 13: a document's tokens live in its own
+    * `text` cell, so the signature is row-local by construction — the
+    * [[graft.functions.SimhashWords]] kernel tokenizes, dedups and
+    * votes inside the projection and nothing exchanges until the
+    * consumer's banding groupBy. The history matters for scale math:
+    * the r12 spelling (explode → repartition(doc_id) →
+    * dropDuplicates → groupBy votes) did the digest work doc-locally
+    * but still shuffled the RAW TOKEN STREAM — fine to sf100 (~2 B
+    * tokens), physically impossible at sf1000sel (~20 B tokens ≈
+    * 150 GB of shuffle on a 94 GB box). Votes-per-token semantics and
+    * every fingerprint bit are pinned against the old spelling in
+    * CodegenKernelsSpec, and against DuckDB's independent md5 by the
+    * d5/d11 oracle gates. Docs with NO tokens are dropped — the
+    * boundary the old explode+filter produced. */
+  private def simhashWordsTable(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    // The digest work now lives in the scan projection, so its
+    // parallelism is the SCAN's split count. At corpus scale that is
+    // thousands of file splits and this branch is dead; on a small
+    // single-file corpus (bench SFs: sf10 ≈ 13 × 128 MB splits on 32
+    // cores) the projection would underuse the box, so widen with one
+    // (doc_id, text) round-robin exchange — corpus bytes, one pass,
+    // still ~token-stream-size/30 cheaper than what the retired
+    // explode spelling shuffled.
+    val par = s.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    wide.select($"doc_id",
+        call_function("simhash_words", $"text", lit(bits)).as("words"))
+      .filter($"words".isNotNull)
   }
 
   def simhashFingerprint(s: SparkSession, dir: String, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 64, s"simhash width $bits outside [1,64]")
-    simhashVotes(s, dir, bits)
-      .select($"doc_id",
-        (0 until bits).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    simhashWordsTable(s, dir, bits)
+      .select($"doc_id", $"words".getItem(0).as("simhash"))
     // NO trailing sort here: d11/d11b band-join this table next, and a
     // fingerprint-table orderBy survives Catalyst as a corpus-sized
     // range-exchange + sort on BOTH self-join sides (seen in PLANS.md
@@ -423,13 +412,10 @@ object Dedup {
     * scale limit of simhash dedup (see [[d11cSimhashWideband]]), and
     * capacity grows only with band width, which at a fixed hamming
     * budget grows only with fingerprint width. */
-  def simhashFingerprint128(s: SparkSession, dir: String): DataFrame = {
-    def word(w: Int) =
-      (64 * w until 64 * w + 64)
-        .map(j => when(col(s"v$j") >= 0, lit(1L << (j - 64 * w))).otherwise(0L))
-        .reduce(_ + _).as(s"sim$w")
-    simhashVotes(s, dir, 128).select($"doc_id", word(0), word(1))
-  }
+  def simhashFingerprint128(s: SparkSession, dir: String): DataFrame =
+    simhashWordsTable(s, dir, 128)
+      .select($"doc_id",
+        $"words".getItem(0).as("sim0"), $"words".getItem(1).as("sim1"))
 
   /** D-5 — the 16-bit gate configuration (brute-forceable oracle; the
     * orderBy matches the oracle's ORDER BY at the entry boundary). */
@@ -1103,7 +1089,14 @@ object Dedup {
     * fixture (Dedup17WideSpec). */
   val MatrixMaxSources = 128
 
-  def crossSourceOverlap(s: SparkSession, docs: DataFrame): DataFrame = {
+  def crossSourceOverlap(s: SparkSession, docs: DataFrame): DataFrame =
+    crossSourceOverlap(s, docs, MatrixMaxSources)
+
+  /** `matrixMax` is exposed for the A/B measurement harness
+    * (D17WideProbe times both plans at the SAME source count); every
+    * production caller goes through the [[MatrixMaxSources]] default. */
+  def crossSourceOverlap(s: SparkSession, docs: DataFrame,
+      matrixMax: Int): DataFrame = {
     // Source-index legend. |sources| is metadata-sized by the entry's
     // own semantics (the OUTPUT is the |sources|² matrix), so a
     // bounded driver collect here follows the repo's audit-scalar
@@ -1134,7 +1127,7 @@ object Dedup {
         .map(w => s"WHEN $idxName DIV 64 = $w THEN mask$w").mkString(" ")
       s"(shiftright(CASE $wordSel END, CAST($idxName % 64 AS INT)) & 1) = 1"
     }
-    val (inter, counts) = if (srcs.length <= MatrixMaxSources) {
+    val (inter, counts) = if (srcs.length <= matrixMax) {
       val pairTab = srcIdx.select($"source".as("src_a"), $"idx".as("ia"))
         .crossJoin(srcIdx.select($"source".as("src_b"), $"idx".as("ib")))
         .filter($"src_a" < $"src_b")

@@ -263,5 +263,8 @@ object NativeFunctions {
       "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bitmask_indices", exprs => BitmaskIndices(exprs(0)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_words", exprs => SimhashWords(exprs(0), Simhash.foldableBits(exprs(1))),
+      "built-in")
   }
 }

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A/B of d17's two overlap plans at corpus scale and configurable
+  * source width. The testdata dirs carry only a handful of real
+  * sources, so the wide regime is synthesized by re-keying `source`
+  * to `doc_id % S` — pair counts become C(S,2) and every shingle's
+  * membership set is data-driven, which is exactly the work both
+  * plans price. For each S in the list, times (fresh warm + reps over
+  * one JVM, same memoized inputs):
+  *   matrix   — the broadcast pair-legend bit-test pass
+  *              (|distinct shingles| × C(S,2) codegen'd tests)
+  *   exploded — bitmask_indices decode + bucket-local two-Generate
+  *              pair enumeration (Σ C(k,2))
+  * plus an xxhash64 digest over the sorted output so the two plans'
+  * value identity is checked on the REAL corpus, not just the spec
+  * fixture. Usage:
+  *   tools/graft_java.sh graft.tools.D17WideProbe target/sf10 3 64,150
+  */
+object D17WideProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/target/sf10")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val widths = (if (args.length > 2) args(2) else "64,150")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = graft.Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+
+    def wideDocs(sCount: Int): DataFrame =
+      graft.io.Tables.documents(spark, dir)
+        .withColumn("source",
+          format_string("src%04d", pmod($"doc_id", lit(sCount)).cast("int")))
+
+    def digestAndTime(label: String, mk: () => DataFrame): Long = {
+      val d0 = digest(mk()) // warm (memoized inputs + codegen)
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); digest(mk()); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"D17PROBE $label digest=$d0 median=${ts.sorted.apply(ts.size / 2)}%.3f " +
+        ts.map(t => f"$t%.3f").mkString("[", ",", "]"))
+      d0
+    }
+
+    def digest(df: DataFrame): Long =
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(sum($"h")).collect()(0).getLong(0)
+
+    widths.foreach { sCount =>
+      val docs = wideDocs(sCount)
+      val dm = digestAndTime(s"S=$sCount matrix",
+        () => graft.dedup.Dedup.crossSourceOverlap(spark, docs, Int.MaxValue))
+      val de = digestAndTime(s"S=$sCount exploded",
+        () => graft.dedup.Dedup.crossSourceOverlap(spark, docs, 0))
+      println(s"D17PROBE S=$sCount identical=${dm == de}")
+    }
+    spark.stop()
+  }
+}

@@ -353,7 +353,8 @@ class CodegenKernelsSpec extends AnyFunSuite {
       "sum_i64" -> SumI64(aL),
       "sum_f64" -> SumF64(aD),
       "phash_ascii" -> PhashAscii(txt, 64),
-      "bitmask_indices" -> BitmaskIndices(aL))
+      "bitmask_indices" -> BitmaskIndices(aL),
+      "simhash_words" -> SimhashWords(txt, 128))
     kernels.foreach { case (name, e) =>
       val proj = GenerateUnsafeProjection.generate(Seq(e)) // throws if codegen is broken
       assert(proj != null, name)
@@ -363,6 +364,67 @@ class CodegenKernelsSpec extends AnyFunSuite {
     val got = proj(InternalRow(new GenericArrayData(Array(5L, 1L)), null))
       .getArray(0).toIntArray.toSeq
     assert(got == Seq(0, 2, 64))
+  }
+
+  test("simhash_words ≡ the retired explode/groupBy md5-vote spelling (bits 16/64/128)") {
+    graft.functions.NativeFunctions.register(spark)
+    // the r12 SQL spelling, verbatim minus its repartition (a pure
+    // distribution hint — values are unaffected), over real corpus
+    // text plus the tokenizer edges
+    def reference(docs: org.apache.spark.sql.DataFrame, bits: Int) = {
+      val groups = (bits + 31) / 32
+      val tok0 = docs
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .filter($"tok" =!= "")
+        .dropDuplicates("doc_id", "tok")
+      val tok = (0 until groups).foldLeft(tok0) { (df, g) =>
+        df.withColumn(s"h$g", if (g == 0) md5($"tok") else md5(concat(lit(s"$g:"), $"tok")))
+      }
+      val nChunks = (bits + 7) / 8
+      val chunked = (0 until nChunks).foldLeft(tok) { (df, c) =>
+        df.withColumn(s"c$c",
+          conv(substring(col(s"h${c / 4}"), (c % 4) * 8 + 1, 8), 16, 10).cast("long"))
+      }
+      val votes = (0 until bits).map { j =>
+        val c = (j / 32) * 4 + (j % 32) / 8
+        val shift = (7 - j % 8) * 4 + 3
+        sum(shiftrightunsigned(col(s"c$c"), shift).bitwiseAND(1) * 2 - 1).as(s"v$j")
+      }
+      def word(w: Int) = {
+        val lo = 64 * w
+        (lo until math.min(bits, lo + 64))
+          .map(j => when(col(s"v$j") >= 0, lit(1L << (j - lo))).otherwise(0L))
+          .reduce(_ + _).as(s"w$w")
+      }
+      chunked.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+        .select($"doc_id" +: (0 until (bits + 63) / 64).map(word): _*)
+    }
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").limit(300)
+    val edges = Seq(
+      (100001L, "a"), (100002L, "a a a"), (100003L, "a  b  a"),
+      (100004L, " leading and trailing "), (100005L, "x y x y x"),
+      (100006L, "unicode tøken prøve tøken"))
+      .toDF("doc_id", "text")
+    val docs = real.unionAll(edges).cache()
+    for (bits <- Seq(16, 64, 128)) {
+      val nw = (bits + 63) / 64
+      val kernel = docs.select($"doc_id",
+          call_function("simhash_words", $"text", lit(bits)).as("words"))
+        .filter($"words".isNotNull)
+        .select($"doc_id" +: (0 until nw).map(w => $"words".getItem(w).as(s"w$w")): _*)
+      val want = reference(docs, bits).collect().map(_.toString).sorted.toSeq
+      val got = kernel.collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"bits=$bits")
+    }
+    // no-token docs return NULL (the old spelling dropped them); the
+    // fingerprint builders filter on it
+    val empt = docs.sparkSession.createDataFrame(Seq((1L, ""), (2L, "   "), (3L, "a")))
+      .toDF("doc_id", "text")
+      .select($"doc_id", call_function("simhash_words", $"text", lit(16)).as("words"))
+      .collect().sortBy(_.getLong(0))
+    assert(empt(0).isNullAt(1) && empt(1).isNullAt(1) && !empt(2).isNullAt(1))
+    docs.unpersist()
   }
 
   test("s10 zero-vector: the quantization chain yields NULL qq, never 0/NaN") {
