@@ -1081,13 +1081,18 @@ object Dedup {
     * since the mask table is already one row per distinct shingle. */
   /** Above this source count [[crossSourceOverlap]] switches from the
     * broadcast-legend matrix pass (|shingles| × C(S,2) codegen'd bit
-    * tests — unbeatable while C(S,2) is legend-sized) to the exploded
-    * set-index plan (Σ C(k,2) bucket-local pair enumeration). The
-    * crossover is soft — at S = 128 the matrix does 8128 bit tests
-    * per shingle, ~the cost where decode+Generate wins on real k
-    * distributions — and both sides are equality-gated on the same
-    * fixture (Dedup17WideSpec). */
-  val MatrixMaxSources = 128
+    * tests) to the exploded set-index plan (Σ C(k,2) bucket-local
+    * pair enumeration). MEASURED crossover, not derived
+    * (D17WideProbe at sf10, 5 M docs, doc_id%S source synthesis,
+    * digest-identical outputs): matrix/exploded seconds were
+    * S=8: 19.9/20.4, S=16: 21.4/19.9, S=32: 22.0/19.2,
+    * S=64: 23.8/19.9, S=150: 31.8/22.4 — the exploded plan is FLAT in
+    * S (cost ≈ the shared bit_or aggregate + Σ C(k,2) output work)
+    * while the matrix grows with C(S,2), so the matrix earns its keep
+    * only at legend-tiny S where it keeps the plan
+    * one-aggregate-simple. Both sides are equality-gated on the same
+    * fixtures (Dedup17WideSpec). */
+  val MatrixMaxSources = 16
 
   def crossSourceOverlap(s: SparkSession, docs: DataFrame): DataFrame =
     crossSourceOverlap(s, docs, MatrixMaxSources)

@@ -45,7 +45,7 @@ object D17WideProbe {
 
     def digest(df: DataFrame): Long =
       df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(sum($"h")).collect()(0).getLong(0)
+        .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
 
     widths.foreach { sCount =>
       val docs = wideDocs(sCount)

@@ -19,7 +19,10 @@ class Dedup17WideSpec extends AnyFunSuite {
     // every source carries a shared boilerplate line (all-pairs
     // overlap), sources in the same mod-7 family share a family line
     // (block overlap crossing the word boundary at idx 64), and each
-    // doc adds unique filler.
+    // doc adds unique filler. matrixMax = MaxValue forces the MATRIX
+    // pass (the production default switches to the exploded plan past
+    // MatrixMaxSources = 16) so the multi-word bit-test path keeps
+    // dedicated multi-word coverage.
     val docs = (0 until 100).flatMap { s0 =>
       (0 until 6).map { d =>
         val fam = s0 % 7
@@ -30,7 +33,8 @@ class Dedup17WideSpec extends AnyFunSuite {
       }
     }.toDF("doc_id", "source", "text")
 
-    val got = graft.dedup.Dedup.crossSourceOverlap(spark, docs)
+    val got = graft.dedup.Dedup
+      .crossSourceOverlap(spark, docs, matrixMax = Int.MaxValue)
       .collect().toSeq.map(_.toString).sorted
 
     val sh = graft.functions.Shingles.kgramRows(docs, Seq("source"), k = 3)
@@ -52,11 +56,12 @@ class Dedup17WideSpec extends AnyFunSuite {
   }
 
   test("d17 exploded-index plan ≡ self-join reference past MatrixMaxSources (150 sources, W=3)") {
-    // 150 > MatrixMaxSources=128 → the bitmask_indices decode +
-    // bucket-local pair enumeration path. Same engineered-overlap
-    // construction as the 100-source fixture, now crossing TWO word
-    // boundaries (idx 64 and 128); mod-11 families so family overlap
-    // is sparser than the all-pairs boilerplate floor.
+    // 150 > MatrixMaxSources → the default path is the
+    // bitmask_indices decode + bucket-local pair enumeration. Same
+    // engineered-overlap construction as the 100-source fixture, now
+    // crossing TWO word boundaries (idx 64 and 128); mod-11 families
+    // so family overlap is sparser than the all-pairs boilerplate
+    // floor.
     assert(150 > graft.dedup.Dedup.MatrixMaxSources)
     val docs = (0 until 150).flatMap { s0 =>
       (0 until 4).map { d =>
