@@ -32,14 +32,21 @@ object Dedup {
     * every pair look similar; 3-grams give a ~vocab³ shingle space).
     * Spark arrays are 0-based; the oracle's DuckDB lists are 1-based —
     * both enumerate the same trigrams. */
-  /** `distinct = false` skips the dedup shuffle — safe wherever the
+  /** `distinct = false` skips the dedup entirely — safe wherever the
     * consumer is duplicate-insensitive (min() for MinHash signatures);
-    * set-cardinality consumers (Jaccard counts) need `distinct = true`. */
-  private def shingles(s: SparkSession, dir: String, distinct: Boolean = true): DataFrame = {
-    val sh = graft.functions.Shingles.kgramRows(
-      Tables.documents(s, dir), Seq("doc_id"), k = 3)
-    if (distinct) sh.distinct() else sh
-  }
+    * set-cardinality consumers (Jaccard counts) need `distinct = true`.
+    * Since round 13 the distinct runs IN-ROW (`array_distinct` on the
+    * zipped k-grams — per-doc dedup is global dedup because the rows
+    * are doc-keyed), so neither variant exchanges anything: the old
+    * corpus-sized (doc_id, shingle) distinct shuffle is gone from
+    * every Jaccard consumer (d4/d8/d16/t20). */
+  private def shingles(s: SparkSession, dir: String, distinct: Boolean = true): DataFrame =
+    if (distinct)
+      graft.functions.Shingles.kgramRowsDistinct(
+        Tables.documents(s, dir), Seq("doc_id"), k = 3)
+    else
+      graft.functions.Shingles.kgramRows(
+        Tables.documents(s, dir), Seq("doc_id"), k = 3)
 
   /** D-1 — exact dedup: hash-groupBy on content. Output one row per
     * distinct content hash with the kept (minimum) doc_id and the
@@ -450,9 +457,18 @@ object Dedup {
     // r12 rewrite removed.
     val candDocs = pairs.select($"doc_a".as("doc_id"))
       .union(pairs.select($"doc_b".as("doc_id"))).distinct()
-    val sh = shingles(s, dir, distinct = false)
-      .join(broadcast(candDocs), "doc_id")
-      .distinct()
+    // Candidate filter at the DOC level, dedup IN-ROW (r13): the old
+    // spelling joined candDocs into the exploded shingle stream and
+    // then ran a global (doc_id, shingle) DISTINCT — a candidate-
+    // shingle-sized exchange (~1.8 B rows at the fourth decade; it
+    // filled this box's disk). Filtering before the Generate touches
+    // ~400× fewer rows, and per-doc array_distinct is the same dedup
+    // with zero exchange. `sizes` partial-aggregates map-side to one
+    // row per doc (a doc's shingles never leave their partition), so
+    // its shuffle is doc-count-sized.
+    val sh = graft.functions.Shingles.kgramRowsDistinct(
+      Tables.documents(s, dir).join(broadcast(candDocs), "doc_id"),
+      Seq("doc_id"), k = 3)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")

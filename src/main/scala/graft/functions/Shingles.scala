@@ -26,15 +26,35 @@ import org.apache.spark.sql.functions._
 object Shingles {
   /** Append an exploded `shingle` column to `keys`, consuming `text`.
     * One Generate per row — no shuffle, no lambda. */
-  def kgramRows(df: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+  def kgramRows(df: DataFrame, keys: Seq[String], k: Int): DataFrame =
+    kgram(df, keys, k, distinct = false)
+
+  /** [[kgramRows]] with the PER-DOC duplicates removed in-row
+    * (`array_distinct` on the zipped k-gram structs, before the
+    * explode). When `keys` identify the row (doc_id), per-row dedup
+    * IS global dedup — the output multiset is exactly
+    * `kgramRows(...).distinct()` — but the corpus-sized
+    * (key, shingle) distinct EXCHANGE is gone: the dedup runs inside
+    * the scan projection. (Struct-triple dedup ≡ string dedup because
+    * tokens are space-free, so `concat_ws(" ", ...)` is injective on
+    * the triples.) This was the single biggest shuffle in the LSH
+    * verify family — d8's fourth-decade run filled the box's disk on
+    * exactly this exchange. */
+  def kgramRowsDistinct(df: DataFrame, keys: Seq[String], k: Int): DataFrame =
+    kgram(df, keys, k, distinct = true)
+
+  private def kgram(df: DataFrame, keys: Seq[String], k: Int,
+      distinct: Boolean): DataFrame = {
     require(k >= 2, s"shingle width $k must be >= 2")
     val keyCols = keys.map(col)
     val n = size(col("__arr"))
     val slices: Seq[Column] =
       (0 until k).map(i => slice(col("__arr"), lit(i + 1), n - (k - 1)).as(s"w$i"))
+    val zipped = when(n >= k, arrays_zip(slices: _*))
     val grams = (0 until k).map(i => col(s"__g.w$i"))
     df.select(keyCols :+ split(col("text"), " ").as("__arr"): _*)
-      .select(keyCols :+ explode(when(n >= k, arrays_zip(slices: _*))).as("__g"): _*)
+      .select(keyCols :+
+        explode(if (distinct) array_distinct(zipped) else zipped).as("__g"): _*)
       .select(keyCols :+ concat_ws(" ", grams: _*).as("shingle"): _*)
   }
 }

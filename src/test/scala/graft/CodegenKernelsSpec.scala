@@ -54,6 +54,19 @@ class CodegenKernelsSpec extends AnyFunSuite {
         .orderBy($"id", $"shingle").collect().toSeq
       assert(got == want)
     }
+
+    test(s"kgramRowsDistinct(k=$k) ≡ kgramRows(...).distinct() (in-row dedup ≡ exchange dedup)") {
+      // repeats engineered: duplicated docs-with-repeats plus random
+      // text where small vocab forces duplicate k-grams
+      val rand = samples(Gen.listOfN(12, Gen.oneOf("a", "b", "a", "cc")).map(_.mkString(" ")), 40)
+      val df = (edgeDocs ++ rand ++ Seq("a b a b a b a b", "x x x x x"))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = graft.functions.Shingles.kgramRowsDistinct(df, Seq("id"), k)
+        .orderBy($"id", $"shingle").collect().toSeq
+      val want = graft.functions.Shingles.kgramRows(df, Seq("id"), k).distinct()
+        .orderBy($"id", $"shingle").collect().toSeq
+      assert(got == want)
+    }
   }
 
   // --- native folds ≡ HOF folds (bit-exact) ---------------------------
