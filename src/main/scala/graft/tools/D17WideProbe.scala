@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   *              pair enumeration (Σ C(k,2))
   * plus an xxhash64 digest over the sorted output so the two plans'
   * value identity is checked on the REAL corpus, not just the spec
-  * fixture. Usage:
+  * fixture. Optional 4th arg restricts which plans run ("matrix",
+  * "exploded", or the default "both") — at S in the thousands the
+  * matrix pass is the plan the crossover REJECTED (C(S,2) ≈ 500 k bit
+  * tests per distinct shingle at S=1000), so the wide probe times the
+  * exploded plan alone rather than burning an hour proving the
+  * documented quadratic. Usage:
   *   tools/graft_java.sh graft.tools.D17WideProbe target/sf10 3 64,150
+  *   tools/graft_java.sh graft.tools.D17WideProbe target/sf10 3 1000 exploded
   */
 object D17WideProbe {
   def main(args: Array[String]): Unit = {
@@ -25,6 +31,7 @@ object D17WideProbe {
     val reps = if (args.length > 1) args(1).toInt else 3
     val widths = (if (args.length > 2) args(2) else "64,150")
       .split(",").map(_.trim.toInt).toSeq
+    val plans = if (args.length > 3) args(3) else "both"
     val spark = graft.Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import spark.implicits._
 
@@ -49,11 +56,15 @@ object D17WideProbe {
 
     widths.foreach { sCount =>
       val docs = wideDocs(sCount)
-      val dm = digestAndTime(s"S=$sCount matrix",
-        () => graft.dedup.Dedup.crossSourceOverlap(spark, docs, Int.MaxValue))
-      val de = digestAndTime(s"S=$sCount exploded",
-        () => graft.dedup.Dedup.crossSourceOverlap(spark, docs, 0))
-      println(s"D17PROBE S=$sCount identical=${dm == de}")
+      val dm = if (plans != "exploded")
+        Some(digestAndTime(s"S=$sCount matrix",
+          () => graft.dedup.Dedup.crossSourceOverlap(spark, docs, Int.MaxValue)))
+      else None
+      val de = if (plans != "matrix")
+        Some(digestAndTime(s"S=$sCount exploded",
+          () => graft.dedup.Dedup.crossSourceOverlap(spark, docs, 0)))
+      else None
+      for (m <- dm; e <- de) println(s"D17PROBE S=$sCount identical=${m == e}")
     }
     spark.stop()
   }
