@@ -114,6 +114,12 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val spark = session(cpus)
 
+    // Pre-sweep ALL graft work dirs before any timing: stale zone
+    // debris from earlier processes must not age past the production
+    // sweep's 1h cutoff mid-suite and bill its deletion to a timed
+    // entry (see Pipeline.sweepOldWorkDirs — the r13 p6 anomaly).
+    graft.pipeline.Pipeline.sweepOldWorkDirs(0)
+
     // Session warmup: touch the scheduler, parquet reader, and codegen
     // paths once. Non-fatal: a bad sfDir must still produce the JSON
     // line (with per-query -1 markers), not a silent crash before it.

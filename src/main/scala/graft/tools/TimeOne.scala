@@ -13,6 +13,14 @@ package graft.tools
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Pre-sweep all graft work dirs before timing (cutoff 0): another
+    // process's zone debris aging past the production sweep's 1h
+    // boundary mid-rep otherwise bills its deletion I/O to this
+    // entry's median (the r13 p6 anomaly — Pipeline.sweepOldWorkDirs).
+    // The aggressive cutoff leans on the measurement protocol's
+    // idle-box requirement; the only live dirs during Bench's fresh
+    // phase are the parent's already-drained in-suite leftovers.
+    graft.pipeline.Pipeline.sweepOldWorkDirs(0)
     val spark = graft.Bench.session(cpus)
     val (name, dir) = (args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 1
