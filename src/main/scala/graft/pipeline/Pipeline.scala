@@ -209,12 +209,26 @@ object Pipeline {
     * aggressive cutoff is safe there because the measurement protocol
     * already requires an idle box; it is NOT exposed to production
     * entries, which all call the 1h default. */
-  private[graft] def sweepOldWorkDirs(maxAgeS: Long = 3600): Unit = {
-    val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
+  private[graft] def sweepOldWorkDirs(maxAgeS: Long = 3600): Unit =
+    sweepWorkDirs(Paths.get(System.getProperty("java.io.tmpdir")), maxAgeS)
+
+  /** Root-parameterized body of [[sweepOldWorkDirs]] — the seam the
+    * cutoff-semantics spec sweeps a scratch root through (mutating
+    * java.io.tmpdir in-test would misdirect the live session's own
+    * temp writes). */
+  private[graft] def sweepWorkDirs(tmpRoot: java.nio.file.Path,
+      maxAgeS: Long): Unit = {
     val cutoff = java.time.Instant.now().minusSeconds(maxAgeS)
     val old = Files.list(tmpRoot)
     try old.toArray.map(_.asInstanceOf[java.nio.file.Path])
       .filter(_.getFileName.toString.startsWith("graft_"))
+      // DIRECTORIES only: work zones are dirs, while plain graft_*
+      // FILES in tmp are other processes' live plumbing — Bench
+      // redirects each fresh-JVM child's stdout to graft_fresh_*.out,
+      // and the child's own cutoff-0 pre-sweep must not delete the
+      // file its parent is about to read (caught live: every fresh
+      // re-measure "failed" with a vanished out-file).
+      .filter(Files.isDirectory(_))
       .filter(p => try Files.getLastModifiedTime(p).toInstant.isBefore(cutoff)
                    catch { case _: java.io.IOException => false })
       .foreach { p =>

@@ -368,4 +368,38 @@ class StorageSpec extends AnyFunSuite {
     assert(graft.io.Tables.documents(spark, dir).count() == 7,
       "invalidateSignatureCache did not cascade to the table memo")
   }
+
+  test("work-dir sweep cutoff: 1h default spares fresh dirs, the measurement pre-sweep (0) clears them") {
+    // The sweep's two regimes are a contract (SCALING.md §round-13
+    // sweep debt): production entries must NEVER delete a concurrent
+    // invocation's fresh zones (1h guard), while Bench/TimeOne's
+    // pre-sweep must clear EVERYTHING so stale debris can't age past
+    // the cutoff mid-run and bill its deletion to a timed entry.
+    val root = Files.createTempDirectory("sweep_root_")
+    def plant(name: String): java.nio.file.Path = {
+      val d = root.resolve(name)
+      Files.createDirectories(d.resolve("zone"))
+      Files.write(d.resolve("zone/part-0"), "x".getBytes("UTF-8"))
+      d
+    }
+    val fresh = plant("graft_fresh_123")
+    val stale = plant("graft_stale_456")
+    val other = plant("unrelated_789") // non-graft prefix: never touched
+    // plain graft_* FILES are other processes' live plumbing (Bench
+    // pipes each fresh-JVM child's stdout to graft_fresh_*.out and
+    // reads it AFTER the child's own pre-sweep ran) — never swept
+    val pipeFile = root.resolve("graft_fresh_42.out")
+    Files.write(pipeFile, "TIMED…".getBytes("UTF-8"))
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600 * 1000L))
+    graft.pipeline.Pipeline.sweepWorkDirs(root, 3600)
+    assert(Files.exists(fresh), "1h sweep deleted a fresh dir (concurrent-run guard broken)")
+    assert(!Files.exists(stale), "1h sweep spared a 2h-old dir")
+    assert(Files.exists(other), "sweep touched a non-graft dir")
+    graft.pipeline.Pipeline.sweepWorkDirs(root, 0)
+    assert(!Files.exists(fresh), "pre-sweep (cutoff 0) spared a graft dir")
+    assert(Files.exists(other), "pre-sweep touched a non-graft dir")
+    assert(Files.exists(pipeFile), "sweep deleted a graft_* FILE (the Bench fresh-pipe regression)")
+  }
 }
