@@ -146,32 +146,25 @@ object Dedup {
     })
   }
 
-  /** Session-lifecycle hygiene (round-12 verdict): LRU eviction alone
-    * let a STOPPED session's cached frames linger until four newer
-    * dirs arrived. Each caching entry point registers one listener per
-    * SparkContext; on application end, every memo entry owned by a
-    * stopped session is dropped (and unpersisted — a no-op on a dead
-    * context, wrapped defensively) across all four dedup caches and
-    * the table-plan memo. */
-  private val evictHooked = java.util.Collections.synchronizedSet(
-    new java.util.HashSet[org.apache.spark.SparkContext]())
+  /** Session-lifecycle hygiene (round-12 verdict; generalized r13):
+    * LRU eviction alone let a STOPPED session's cached frames linger
+    * until four newer dirs arrived. The application-end listener lives
+    * at the shared seam ([[graft.io.Tables.hookEvictOnStop]] — every
+    * memoizing entry point routes through it), and THIS module's purge
+    * is registered as a callback the listener runs on a daemon thread:
+    * the dedup caches' monitors are held for entire multi-job memo
+    * builds (computeClusterTable's label-propagation loop runs minutes
+    * of jobs inside clusterCache.synchronized), and a listener-bus
+    * thread blocking on one would stall SparkContext.stop() until the
+    * build finished. Registration happens at object init — an app that
+    * never touches Dedup has no dedup caches to purge either. */
+  private def hookEvictOnStop(s: SparkSession): Unit =
+    graft.io.Tables.hookEvictOnStop(s)
 
-  private def hookEvictOnStop(s: SparkSession): Unit = {
-    val sc = s.sparkContext
-    if (evictHooked.add(sc)) {
-      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          purgeStoppedSessions()
-          evictHooked.remove(sc)
-        }
-      })
-    }
-  }
+  private val purgeRegistered: Unit =
+    graft.io.Tables.registerPurgeCallback(() => purgeDedupCaches())
 
-  /** Drop cache entries owned by stopped sessions — normally invoked
-    * by the application-end listener; public for tests/embedders. */
-  def purgeStoppedSessions(): Unit = {
+  private def purgeDedupCaches(): Unit = {
     def purge(m: java.util.LinkedHashMap[(SparkSession, String), DataFrame]): Unit =
       m.synchronized {
         val it = m.entrySet().iterator()
@@ -184,6 +177,14 @@ object Dedup {
         }
       }
     purge(sigCache); purge(pairsCache); purge(d9Cache); purge(clusterCache)
+    val it = docSplitMemo.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
+
+  /** Drop cache entries owned by stopped sessions — normally driven
+    * by the application-end listener; public for tests/embedders. */
+  def purgeStoppedSessions(): Unit = {
+    purgeDedupCaches()
     graft.io.Tables.purgeStoppedSessions()
   }
 
@@ -218,6 +219,7 @@ object Dedup {
     }
 
   def invalidateSignatureCache(): Unit = {
+    docSplitMemo.clear() // a rewritten dir changes the file layout
     sigCache.synchronized {
       sigCache.values.forEach(df => scala.util.Try(df.unpersist()))
       sigCache.clear()
@@ -280,16 +282,22 @@ object Dedup {
         max(size($"ids0")).as("max_bucket_size"))
       .select(slice(sort_array($"ids0"), 1, BucketCap).as("ids"))
 
+  /** Bucket-local (i < j) ordered-pair enumeration over a SORTED array
+    * column: two Generates + a column-arg slice — the same pair set a
+    * nested transform-lambda flatten produces, with every expression
+    * codegen'd (r13 audit; the lambda form dispatched an interpreted
+    * closure per emitted pair). posexplode's pos is 0-based and slice
+    * is 1-based, so "everything after position i" starts at i + 2 —
+    * that off-by-one lives HERE and nowhere else (d3's doc pairs and
+    * d17's exploded source pairs both enumerate through this). */
+  private[graft] def pairsFromSortedArray(df: DataFrame, arr: String,
+      aName: String, bName: String): DataFrame =
+    df.select(col(arr), posexplode(col(arr)).as(Seq("__i", aName)))
+      .select(col(aName),
+        explode(slice(col(arr), col("__i") + lit(2), size(col(arr)))).as(bName))
+
   def d3LshPairs(s: SparkSession, dir: String): DataFrame =
-    d3Buckets(s, dir)
-      // bucket-local pair expansion as two Generates + a column-arg
-      // slice — the same (i < j) enumeration the nested
-      // transform-lambda flatten produced, with every expression
-      // codegen'd (r13 audit; the lambda form dispatched an
-      // interpreted closure per emitted pair)
-      .select($"ids", posexplode($"ids").as(Seq("i", "doc_a")))
-      .select($"doc_a",
-        explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("doc_b"))
+    pairsFromSortedArray(d3Buckets(s, dir), "ids", "doc_a", "doc_b")
       .distinct()
       .orderBy($"doc_a", $"doc_b")
 
@@ -384,6 +392,14 @@ object Dedup {
     * CodegenKernelsSpec, and against DuckDB's independent md5 by the
     * d5/d11 oracle gates. Docs with NO tokens are dropped — the
     * boundary the old explode+filter produced. */
+  /** Scan split count of the documents table per (session, dir) —
+    * `.rdd.getNumPartitions` forces a full physical-planning pass of
+    * the docs plan, and every d5/d11* fingerprint consumer was paying
+    * it per CALL just to decide the widen branch below. The dirs are
+    * immutable per the memo contract, so the count is too. */
+  private val docSplitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+
   private def simhashWordsTable(s: SparkSession, dir: String, bits: Int): DataFrame = {
     graft.functions.NativeFunctions.register(s)
     val docs = Tables.documents(s, dir).select($"doc_id", $"text")
@@ -396,7 +412,9 @@ object Dedup {
     // still ~token-stream-size/30 cheaper than what the retired
     // explode spelling shuffled.
     val par = s.sparkContext.defaultParallelism
-    val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val splits = docSplitMemo.computeIfAbsent((s, dir),
+      _ => Integer.valueOf(docs.rdd.getNumPartitions))
+    val wide = if (splits < par) docs.repartition(par) else docs
     wide.select($"doc_id",
         call_function("simhash_words", $"text", lit(bits)).as("words"))
       .filter($"words".isNotNull)
@@ -1179,10 +1197,7 @@ object Dedup {
       graft.functions.NativeFunctions.register(s)
       val idxArr = masks.select(call_function("bitmask_indices",
         array((0 until W).map(w => col(s"mask$w")): _*)).as("idxs"))
-      val i = idxArr
-        .select($"idxs", posexplode($"idxs").as(Seq("i", "ia")))
-        .select($"ia",
-          explode(slice($"idxs", $"i" + lit(2), size($"idxs"))).as("ib"))
+      val i = pairsFromSortedArray(idxArr, "idxs", "ia", "ib")
         .groupBy($"ia", $"ib").agg(count(lit(1)).as("n_inter"))
         .join(broadcast(srcIdx.select($"source".as("src_a"), $"idx".as("ia"))), "ia")
         .join(broadcast(srcIdx.select($"source".as("src_b"), $"idx".as("ib"))), "ib")

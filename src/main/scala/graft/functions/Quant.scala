@@ -30,34 +30,66 @@ object Quant {
     * s5/s10's int8 quantization. scale NULL → every element NULL
     * (length preserved), exactly the lambda's behavior on a zero
     * vector's nullif'd scale. Precondition |x/scale| < 2^63 (holds by
-    * construction: scale = absmax/127 bounds the ratio to ±127). */
+    * construction: scale = absmax/127 bounds the ratio to ±127).
+    *
+    * The clean path (non-null scale, no null slots — every production
+    * row after the s10 zero-vector filter) fills a primitive long[]
+    * and returns UnsafeArrayData: these kernels exist to remove
+    * per-element interpreted dispatch from corpus-sized projections,
+    * and an Object[] of boxed Longs per row would reintroduce
+    * per-element allocation in its place. Rows with a null scale or a
+    * null slot take the boxed GenericArrayData path (they must carry
+    * null elements). */
   def quantI64(arr: ArrayData, scale: Double, scaleNull: Boolean): ArrayData = {
     val n = arr.numElements()
-    val out = new Array[Any](n)
+    if (!scaleNull) {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n && !arr.isNullAt(i)) {
+        out(i) = math.floor(arr.getDouble(i) / scale + 0.5).toLong
+        i += 1
+      }
+      if (i == n)
+        return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(out)
+    }
+    val boxed = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) =
+      boxed(i) =
         if (scaleNull || arr.isNullAt(i)) null
         else java.lang.Long.valueOf(math.floor(arr.getDouble(i) / scale + 0.5).toLong)
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(boxed)
   }
 
   /** transform(arr, x -> CAST(floor(x * scale + 0.5) AS DOUBLE)) —
     * s12's integer-quantized k-means corpus (values carried as
-    * exactly-representable doubles so dot_f64 applies). */
+    * exactly-representable doubles so dot_f64 applies). Same primitive
+    * fast path as [[quantI64]]. */
   def affineFloorF64(arr: ArrayData, scale: Double, scaleNull: Boolean): ArrayData = {
     val n = arr.numElements()
-    val out = new Array[Any](n)
+    if (!scaleNull) {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n && !arr.isNullAt(i)) {
+        out(i) = math.floor(arr.getDouble(i) * scale + 0.5)
+        i += 1
+      }
+      if (i == n)
+        return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(out)
+    }
+    val boxed = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) =
+      boxed(i) =
         if (scaleNull || arr.isNullAt(i)) null
         else java.lang.Double.valueOf(math.floor(arr.getDouble(i) * scale + 0.5))
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(boxed)
   }
 
   /** The m7 aHash in one compiled pass: text split into `bits`

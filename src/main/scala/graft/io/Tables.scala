@@ -40,7 +40,51 @@ object Tables {
   private val tableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Session-lifecycle hook (round-13 hygiene, generalized): ONE
+    * application-end listener per SparkContext, registered from every
+    * memoizing entry point — here at the shared table seam, so an app
+    * that only ever reads tables/SQL (never a dedup entry) still gets
+    * its stopped sessions purged (the r13 first cut hooked only from
+    * Dedup's entry points, leaving tableMemo/rawTsMemo/registered to
+    * leak in exactly that common case). The listener itself purges
+    * only this object's lock-free ConcurrentHashMaps; module purges
+    * that must take cache monitors (Dedup's LinkedHashMap caches) are
+    * registered as callbacks and run on a DAEMON thread — a memo
+    * build can hold its cache monitor for a whole multi-job compute,
+    * and blocking the listener-bus thread on it would stall
+    * SparkContext.stop() until the build finished. */
+  private val evictHooked = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[org.apache.spark.SparkContext]())
+  private val purgeCallbacks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  /** Modules with their own (session, dir) memos register their
+    * stopped-session purge here (Dedup does at object init — an app
+    * that never touches Dedup has nothing to purge there either). */
+  def registerPurgeCallback(cb: () => Unit): Unit =
+    if (!purgeCallbacks.contains(cb)) purgeCallbacks.add(cb)
+
+  private[graft] def hookEvictOnStop(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (evictHooked.add(sc)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          purgeStoppedSessions() // lock-free: safe on the bus thread
+          if (!purgeCallbacks.isEmpty) {
+            val t = new Thread(() => purgeCallbacks.forEach(_.apply()),
+              "graft-memo-purge")
+            t.setDaemon(true)
+            t.start()
+          }
+          evictHooked.remove(sc)
+        }
+      })
+    }
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    hookEvictOnStop(spark)
     tableMemo.computeIfAbsent((spark, dir, name), { _ =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
@@ -53,6 +97,7 @@ object Tables {
         case _ => df
       }
     })
+  }
 
   /** Drop memoized plans (file index + schema) for `dir` — the
     * invalidation contract for the immutability assumption above. A
@@ -240,6 +285,7 @@ object Tables {
     (SparkSession, String), org.apache.spark.sql.types.DataType]()
 
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    hookEvictOnStop(spark) // rawTsMemo is a memo too
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Footer read decides the ts encoding; mirrors the batch reader's
     // LongType match so batch and stream always agree on semantics.

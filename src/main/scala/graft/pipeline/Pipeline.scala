@@ -218,19 +218,26 @@ object Pipeline {
     * temp writes). */
   private[graft] def sweepWorkDirs(tmpRoot: java.nio.file.Path,
       maxAgeS: Long): Unit = {
-    val cutoff = java.time.Instant.now().minusSeconds(maxAgeS)
+    val now = java.time.Instant.now()
+    val cutoff = now.minusSeconds(maxAgeS)
+    // Plain graft_* FILES in tmp are live plumbing — Bench redirects
+    // each fresh-JVM child's stdout to graft_fresh_*.out, and the
+    // child's own cutoff-0 pre-sweep must not delete the file its
+    // parent is about to read (caught live: every fresh re-measure
+    // "failed" with a vanished out-file). So files ALWAYS use the 1h
+    // concurrent-run cutoff regardless of maxAgeS: a >1h-old out-file
+    // cannot belong to a live rep (a fresh-JVM re-measure is minutes),
+    // and never reclaiming crash orphans would re-create the unbounded
+    // debris the sweep exists to prevent.
+    val fileCutoff = now.minusSeconds(math.max(maxAgeS, 3600L))
+    def olderThan(p: java.nio.file.Path, c: java.time.Instant): Boolean =
+      try Files.getLastModifiedTime(p).toInstant.isBefore(c)
+      catch { case _: java.io.IOException => false }
     val old = Files.list(tmpRoot)
     try old.toArray.map(_.asInstanceOf[java.nio.file.Path])
       .filter(_.getFileName.toString.startsWith("graft_"))
-      // DIRECTORIES only: work zones are dirs, while plain graft_*
-      // FILES in tmp are other processes' live plumbing — Bench
-      // redirects each fresh-JVM child's stdout to graft_fresh_*.out,
-      // and the child's own cutoff-0 pre-sweep must not delete the
-      // file its parent is about to read (caught live: every fresh
-      // re-measure "failed" with a vanished out-file).
-      .filter(Files.isDirectory(_))
-      .filter(p => try Files.getLastModifiedTime(p).toInstant.isBefore(cutoff)
-                   catch { case _: java.io.IOException => false })
+      .filter(p => olderThan(p,
+        if (Files.isDirectory(p)) cutoff else fileCutoff))
       .foreach { p =>
         try Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(Files.delete(_))

@@ -129,7 +129,14 @@ object TextOps {
       when(n >= 3, expr(
         "transform(__zip, g -> md5(concat(g.w0, ' ', g.w1, ' ', g.w2)))"))
         .otherwise(array(md5($"__norm"))))
-    d.withColumn("__zip", arrays_zip(slices: _*))
+    // __zip is guarded by the SAME n >= 3 predicate as its consumer:
+    // slice's length operand (n - 2) is negative on 0/1-token docs and
+    // slice THROWS on negative length. Unguarded, the projection only
+    // survived because CollapseProject inlined the single-use alias
+    // into the lazy CaseWhen branch above — an optimizer artifact, not
+    // a structural guarantee (D3Probe itself demonstrates excluding
+    // optimizer rules). Shingles.kgram uses the same pattern.
+    d.withColumn("__zip", when(n >= 3, arrays_zip(slices: _*)))
       .select($"doc_id", md5($"__norm").as("fingerprint"),
         shingleMin.as("min_shingle_fp"))
       .orderBy($"doc_id")

@@ -387,9 +387,16 @@ class StorageSpec extends AnyFunSuite {
     val other = plant("unrelated_789") // non-graft prefix: never touched
     // plain graft_* FILES are other processes' live plumbing (Bench
     // pipes each fresh-JVM child's stdout to graft_fresh_*.out and
-    // reads it AFTER the child's own pre-sweep ran) — never swept
+    // reads it AFTER the child's own pre-sweep ran) — files keep the
+    // 1h cutoff even under the cutoff-0 pre-sweep, but crash-orphaned
+    // out-files older than 1h ARE reclaimed
     val pipeFile = root.resolve("graft_fresh_42.out")
     Files.write(pipeFile, "TIMED…".getBytes("UTF-8"))
+    val orphanFile = root.resolve("graft_fresh_41.out")
+    Files.write(orphanFile, "TIMED…".getBytes("UTF-8"))
+    Files.setLastModifiedTime(orphanFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600 * 1000L))
     Files.setLastModifiedTime(stale,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 2 * 3600 * 1000L))
@@ -400,6 +407,9 @@ class StorageSpec extends AnyFunSuite {
     graft.pipeline.Pipeline.sweepWorkDirs(root, 0)
     assert(!Files.exists(fresh), "pre-sweep (cutoff 0) spared a graft dir")
     assert(Files.exists(other), "pre-sweep touched a non-graft dir")
-    assert(Files.exists(pipeFile), "sweep deleted a graft_* FILE (the Bench fresh-pipe regression)")
+    assert(Files.exists(pipeFile),
+      "sweep deleted a FRESH graft_* file (the Bench fresh-pipe regression)")
+    assert(!Files.exists(orphanFile),
+      "sweep spared a >1h-old orphaned graft_* file (unbounded debris)")
   }
 }
