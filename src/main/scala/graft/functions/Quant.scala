@@ -32,27 +32,20 @@ object Quant {
     * vector's nullif'd scale. Precondition |x/scale| < 2^63 (holds by
     * construction: scale = absmax/127 bounds the ratio to ±127).
     *
-    * The clean path (non-null scale, no null slots — every production
-    * row after the s10 zero-vector filter) fills a primitive long[]
-    * and returns UnsafeArrayData: these kernels exist to remove
-    * per-element interpreted dispatch from corpus-sized projections,
-    * and an Object[] of boxed Longs per row would reintroduce
-    * per-element allocation in its place. Rows with a null scale or a
-    * null slot take the boxed GenericArrayData path (they must carry
-    * null elements). */
+    * HONEST NEGATIVE (r13 review follow-up, measured): a "clean path"
+    * that fills a primitive array and returns
+    * UnsafeArrayData.fromPrimitiveArray — the obvious
+    * boxing-elimination — is NOT faster here. Interleaved fresh-JVM
+    * A/B at sf10: s12 (affine_floor per Lloyd round over the 2 M-row
+    * corpus) regressed 4.97-5.07 s → 5.89-6.02 s on the Unsafe path
+    * and recovered on revert; s10 (quant_i64) was a wash (8.78 vs
+    * 8.74 s). The boxed Object[] rows are small (64 elems), die in
+    * TLAB, and JIT-inline well in the consuming kernels, while
+    * fromPrimitiveArray pays a second allocation + copyMemory per
+    * row. Keep the one boxed path; re-measure before "optimizing"
+    * this again. */
   def quantI64(arr: ArrayData, scale: Double, scaleNull: Boolean): ArrayData = {
     val n = arr.numElements()
-    if (!scaleNull) {
-      val out = new Array[Long](n)
-      var i = 0
-      while (i < n && !arr.isNullAt(i)) {
-        out(i) = math.floor(arr.getDouble(i) / scale + 0.5).toLong
-        i += 1
-      }
-      if (i == n)
-        return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-          .fromPrimitiveArray(out)
-    }
     val boxed = new Array[Any](n)
     var i = 0
     while (i < n) {
@@ -66,21 +59,10 @@ object Quant {
 
   /** transform(arr, x -> CAST(floor(x * scale + 0.5) AS DOUBLE)) —
     * s12's integer-quantized k-means corpus (values carried as
-    * exactly-representable doubles so dot_f64 applies). Same primitive
-    * fast path as [[quantI64]]. */
+    * exactly-representable doubles so dot_f64 applies). Boxed path by
+    * measurement — see [[quantI64]]'s honest negative. */
   def affineFloorF64(arr: ArrayData, scale: Double, scaleNull: Boolean): ArrayData = {
     val n = arr.numElements()
-    if (!scaleNull) {
-      val out = new Array[Double](n)
-      var i = 0
-      while (i < n && !arr.isNullAt(i)) {
-        out(i) = math.floor(arr.getDouble(i) * scale + 0.5)
-        i += 1
-      }
-      if (i == n)
-        return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-          .fromPrimitiveArray(out)
-    }
     val boxed = new Array[Any](n)
     var i = 0
     while (i < n) {
