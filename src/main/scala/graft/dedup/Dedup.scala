@@ -40,13 +40,18 @@ object Dedup {
     * are doc-keyed), so neither variant exchanges anything: the old
     * corpus-sized (doc_id, shingle) distinct shuffle is gone from
     * every Jaccard consumer (d4/d8/d16/t20). */
-  private def shingles(s: SparkSession, dir: String, distinct: Boolean = true): DataFrame =
+  private def shingles(s: SparkSession, dir: String, distinct: Boolean = true): DataFrame = {
+    // Widened-when-starved (Tables.documentsWide): the shingle
+    // enumeration + in-row dedup + every consumer's map-side partial
+    // agg (MinHash mins, Jaccard counts) fuse into the SCAN stage,
+    // whose width is row-group-bound. All consumers are
+    // digest/min/count math — order-independent.
+    val docs = Tables.documentsWide(s, dir, Seq("doc_id", "text"))
     if (distinct)
-      graft.functions.Shingles.kgramRowsDistinct(
-        Tables.documents(s, dir), Seq("doc_id"), k = 3)
+      graft.functions.Shingles.kgramRowsDistinct(docs, Seq("doc_id"), k = 3)
     else
-      graft.functions.Shingles.kgramRows(
-        Tables.documents(s, dir), Seq("doc_id"), k = 3)
+      graft.functions.Shingles.kgramRows(docs, Seq("doc_id"), k = 3)
+  }
 
   /** D-1 — exact dedup: hash-groupBy on content. Output one row per
     * distinct content hash with the kept (minimum) doc_id and the
@@ -177,8 +182,6 @@ object Dedup {
         }
       }
     purge(sigCache); purge(pairsCache); purge(d9Cache); purge(clusterCache)
-    val it = docSplitMemo.keySet.iterator()
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
   }
 
   /** Drop cache entries owned by stopped sessions — normally driven
@@ -219,7 +222,6 @@ object Dedup {
     }
 
   def invalidateSignatureCache(): Unit = {
-    docSplitMemo.clear() // a rewritten dir changes the file layout
     sigCache.synchronized {
       sigCache.values.forEach(df => scala.util.Try(df.unpersist()))
       sigCache.clear()
@@ -392,30 +394,21 @@ object Dedup {
     * CodegenKernelsSpec, and against DuckDB's independent md5 by the
     * d5/d11 oracle gates. Docs with NO tokens are dropped — the
     * boundary the old explode+filter produced. */
-  /** Scan split count of the documents table per (session, dir) —
-    * `.rdd.getNumPartitions` forces a full physical-planning pass of
-    * the docs plan, and every d5/d11* fingerprint consumer was paying
-    * it per CALL just to decide the widen branch below. The dirs are
-    * immutable per the memo contract, so the count is too. */
-  private val docSplitMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
-
   private def simhashWordsTable(s: SparkSession, dir: String, bits: Int): DataFrame = {
     graft.functions.NativeFunctions.register(s)
-    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-    // The digest work now lives in the scan projection, so its
-    // parallelism is the SCAN's split count. At corpus scale that is
-    // thousands of file splits and this branch is dead; on a small
-    // single-file corpus (bench SFs: sf10 ≈ 13 × 128 MB splits on 32
-    // cores) the projection would underuse the box, so widen with one
-    // (doc_id, text) round-robin exchange — corpus bytes, one pass,
-    // still ~token-stream-size/30 cheaper than what the retired
-    // explode spelling shuffled.
-    val par = s.sparkContext.defaultParallelism
-    val splits = docSplitMemo.computeIfAbsent((s, dir),
-      _ => Integer.valueOf(docs.rdd.getNumPartitions))
-    val wide = if (splits < par) docs.repartition(par) else docs
-    wide.select($"doc_id",
+    // The digest work lives in the scan projection, so its
+    // parallelism is the scan's EFFECTIVE split count — row-group-
+    // bound, not planned-split-bound (Tables.scanStarved; the r13
+    // first cut compared planned splits and only fired by luck on
+    // files whose byte count ALSO planned narrow — sf100's 16 GB
+    // docs planned 32 splits but carried 5 row groups, so the md5
+    // kernel ran 5-wide on 32 cores with the predicate dark). At
+    // corpus scale row groups are abundant and this branch is dead;
+    // when starved, widen with one (doc_id, text) round-robin
+    // exchange — corpus bytes, one pass, still ~token-stream-size/30
+    // cheaper than what the retired explode spelling shuffled.
+    Tables.documentsWide(s, dir, Seq("doc_id", "text"))
+      .select($"doc_id",
         call_function("simhash_words", $"text", lit(bits)).as("words"))
       .filter($"words".isNotNull)
   }
@@ -1087,7 +1080,9 @@ object Dedup {
     * ubiquitous boilerplate shingles are exactly what t17 strips
     * upstream of this audit at scale. */
   def d17CrossSourceOverlap(s: SparkSession, dir: String): DataFrame =
-    crossSourceOverlap(s, Tables.documents(s, dir))
+    // widened-when-starved: the shingle explode + map-side bit_or
+    // partials fuse into the scan stage (bit math — order-safe)
+    crossSourceOverlap(s, Tables.documentsWide(s, dir, Seq("source", "text")))
 
   /** d17 core over an arbitrary documents frame (doc_id, source,
     * text) — split out so the >63-source path is unit-gated on a

@@ -64,6 +64,47 @@ object Tables {
   def registerPurgeCallback(cb: () => Unit): Unit =
     if (!purgeCallbacks.contains(cb)) purgeCallbacks.add(cb)
 
+  /** Effective scan parallelism of `dir/name.parquet`, and the widen
+    * predicate built on it (round-13 finding, measured): parquet
+    * assigns each ROW GROUP to the byte-split containing its start
+    * offset, so a file's non-empty scan tasks are
+    * min(planned splits, row groups) — a 520 MB file written by one
+    * task holds 4 × 128 MB row groups and runs its scan-stage
+    * projection 4-wide on a 32-core box no matter how many byte
+    * splits planning reports (probed: `graft.tools.ProbeSplits`).
+    * Consumers that run corpus-sized per-row compute INSIDE the scan
+    * projection (simhash/shingle digests, ANN dot products) widen
+    * with one narrow round-robin exchange when this predicate holds.
+    * At cluster scale a corpus is thousands of files/row groups and
+    * the branch is dead; it exists so single-box runs over
+    * coarse-row-group files (bench dirs, vendor dumps) measure the
+    * plan, not the writer's layout. Only order-independent consumers
+    * (digest/count/min/bit math) may widen — a round-robin exchange
+    * reorders rows, which would move float-sum bits. */
+  private val rowGroupMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
+  private val plannedSplitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Integer]()
+
+  def scanStarved(s: SparkSession, dir: String, name: String): Boolean =
+    effectiveScanSplits(s, dir, name) < s.sparkContext.defaultParallelism
+
+  /** min(planned FilePartitions, footer row groups); both memoized —
+    * `.rdd.getNumPartitions` costs a planning pass and the footer
+    * read an open+parse, each paid once per (session,) dir/table. */
+  def effectiveScanSplits(s: SparkSession, dir: String, name: String): Int = {
+    val planned = plannedSplitMemo.computeIfAbsent((s, dir, name),
+      _ => Integer.valueOf(table(s, dir, name).rdd.getNumPartitions))
+    val groups = rowGroupMemo.computeIfAbsent((dir, name), { _ =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, s.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Integer.valueOf(r.getRowGroups.size) finally r.close()
+    })
+    math.min(planned.intValue(), groups.intValue())
+  }
+
   private[graft] def hookEvictOnStop(s: SparkSession): Unit = {
     val sc = s.sparkContext
     if (evictHooked.add(sc)) {
@@ -115,6 +156,10 @@ object Tables {
       val rg = registered.entrySet().iterator()
       while (rg.hasNext) { val e = rg.next(); if (dir == null || e.getValue == dir) rg.remove() }
     }
+    val rgm = rowGroupMemo.keySet.iterator()
+    while (rgm.hasNext) { val k = rgm.next(); if (dir == null || k._1 == dir) rgm.remove() }
+    val ps = plannedSplitMemo.keySet.iterator()
+    while (ps.hasNext) { val k = ps.next(); if (dir == null || k._2 == dir) ps.remove() }
   }
 
   /** Drop memo entries owned by STOPPED sessions (round-13 lifecycle
@@ -127,6 +172,27 @@ object Tables {
     while (rt.hasNext) if (rt.next()._1.sparkContext.isStopped) rt.remove()
     val rg = registered.keySet.iterator()
     while (rg.hasNext) if (rg.next().sparkContext.isStopped) rg.remove()
+    val ps = plannedSplitMemo.keySet.iterator()
+    while (ps.hasNext) if (ps.next()._1.sparkContext.isStopped) ps.remove()
+    // rowGroupMemo is session-free (keyed by dir/table only)
+  }
+
+  /** The documents table (optionally narrowed to `cols` first, so the
+    * exchange ships only what the consumer reads), round-robin-widened
+    * when [[scanStarved]] says the file's row-group layout would
+    * starve a compute-heavy scan projection. ONLY for consumers whose
+    * downstream math is order-independent (digest/count/min/bit
+    * aggregation, or per-row outputs under a total-order final sort) —
+    * the exchange reorders rows, which would move the bits of a float
+    * sum. Consumers with order-sensitive float accumulation stay on
+    * [[documents]]. */
+  def documentsWide(s: SparkSession, dir: String,
+      cols: Seq[String] = Nil): DataFrame = {
+    val base = documents(s, dir)
+    val docs = if (cols.isEmpty) base else base.select(cols.map(col): _*)
+    if (scanStarved(s, dir, "documents"))
+      docs.repartition(s.sparkContext.defaultParallelism)
+    else docs
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")

@@ -110,8 +110,28 @@ object Ann {
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(s)
     val v = col("embedding").cast("array<double>")
-    Tables.embeddings(s, dir)
-      .select($"vec_id", $"label", v.as("v"), sqrt(dot(v, v)).as("nrm"))
+    val base = Tables.embeddings(s, dir)
+    // Every tier's corpus-sized math (the 8 plane dots of the LSH
+    // bucket id, quantization, Lloyd's-round assignment, the brute
+    // dot products themselves) runs in the SCAN stage projection, so
+    // its parallelism is the scan's EFFECTIVE split count — which is
+    // row-group-bound, not planned-split-bound (Tables.scanStarved's
+    // scaladoc; probed r13: sf100's 520 MB embeddings = 4 row groups
+    // → the whole brute-force pair loop ran 4-wide on 32 cores, and
+    // a planned-splits predicate never fired because planning said
+    // 32). Widen with one round-robin exchange of the RAW float rows
+    // (pre-cast: half the bytes of the double form). Dead branch at
+    // corpus scale; consumers' downstream math is order-independent
+    // per pair/row (dots, int-quantized sums, windowed top-k with
+    // total-order tie-breaks), so the reorder moves no output bits.
+    // Filters on corpus consumers (the query panel, centroid seeds)
+    // still push below the exchange, so query-side subplans stay
+    // metadata-sized.
+    val wide =
+      if (Tables.scanStarved(s, dir, "embeddings"))
+        base.repartition(s.sparkContext.defaultParallelism)
+      else base
+    wide.select($"vec_id", $"label", v.as("v"), sqrt(dot(v, v)).as("nrm"))
   }
 
   /** S-1 — exact brute-force cosine top-k: queries = every 100th vector,

@@ -119,7 +119,11 @@ object TextOps {
     // allowlisted in PlanSpec's codegen audit with the measured
     // verdict (SCALING.md §round-13). Keeping the min in-array keeps
     // t4 a pure narrow map: no shuffle at any corpus size.
-    val d = Tables.documents(s, dir)
+    // Widened-when-starved (Tables.documentsWide): the md5-per-window
+    // work fuses into the scan stage, whose width is row-group-bound;
+    // per-row digests under the total-order final sort are
+    // order-independent, so the round-robin exchange moves no bits.
+    val d = Tables.documentsWide(s, dir, Seq("doc_id", "text"))
       .withColumn("__norm", lower(trim(regexp_replace($"text", "\\s+", " "))))
       .withColumn("__arr", split($"__norm", " "))
     val n = size($"__arr")
@@ -733,7 +737,9 @@ object TextOps {
     // and measured at sf10 the lambda spelling cost 1.6× the whole
     // entry by dropping the scan-side projection out of whole-stage
     // codegen.
-    val docs = Tables.documents(s, dir)
+    // widened-when-starved: tokenize + bigram zip + the count
+    // partials fuse into the scan stage (integer counts — order-safe)
+    val docs = Tables.documentsWide(s, dir, Seq("doc_id", "source", "text"))
       .select($"doc_id", $"source",
         array_remove(split($"text", " "), "").as("toks"))
     val bigrams = docs
@@ -815,8 +821,11 @@ object TextOps {
     * shuffle-on-shingle — co-partitioned with the DF aggregate, so AQE
     * reuses the exchange. */
   def t17Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    // widened-when-starved: the shingle explode + both count partials
+    // fuse into the scan stage (count math — order-safe)
     val sh = graft.functions.Shingles.kgramRows(
-        Tables.documents(s, dir), Seq("doc_id"), k = BoilerShingle)
+        Tables.documentsWide(s, dir, Seq("doc_id", "text")),
+        Seq("doc_id"), k = BoilerShingle)
       .select($"doc_id", $"shingle".as("sh"))
     val docFreq = sh.groupBy($"sh").agg(countDistinct($"doc_id").as("n_docs"))
     val perDoc = sh.join(docFreq, "sh")
