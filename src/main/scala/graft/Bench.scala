@@ -229,7 +229,12 @@ object Bench {
       try {
         outFile = java.nio.file.Files.createTempFile("graft_fresh_", ".out")
         val pb = new ProcessBuilder(cmd)
-        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        // stderr merges into the same file: on a failed child the tail
+        // (the actual exception) is printed below instead of being
+        // silently discarded — a fresh phase that fails without its
+        // stack trace is undiagnosable after the fact (r13 lesson; the
+        // TIMED regex is unaffected by interleaved log noise)
+        pb.redirectErrorStream(true)
         pb.redirectOutput(outFile.toFile)
         val p = pb.start()
         val ok = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
@@ -250,9 +255,12 @@ object Bench {
           val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
           (g.group(1).toDouble, sd, ts.size)
         }.filter(_ => p.exitValue() == 0)
-        if (m.isEmpty)
+        if (m.isEmpty) {
           System.err.println(s"[bench] fresh re-measure of $name produced no " +
             s"TIMED line (exit ${p.exitValue()}) — reporting the in-suite median")
+          out.linesIterator.toSeq.takeRight(15).foreach(l =>
+            System.err.println(s"[bench]   child| ${l.take(300)}"))
+        }
         m
       } catch { case e: Exception =>
         System.err.println(s"[bench] fresh re-measure of $name failed: ${e.getMessage}")

@@ -91,16 +91,31 @@ object Tables {
 
   /** min(planned FilePartitions, footer row groups); both memoized —
     * `.rdd.getNumPartitions` costs a planning pass and the footer
-    * read an open+parse, each paid once per (session,) dir/table. */
+    * read an open+parse, each paid once per (session,) dir/table.
+    * Handles both layouts: the driver's single FILE named
+    * `<name>.parquet` and a Spark-written DIRECTORY of part files
+    * (row groups summed across parts). If the footer read fails for
+    * any reason the row-group bound falls back to "not limiting"
+    * (MaxValue) — the conservative direction: no widen, plan exactly
+    * as before the predicate existed. */
   def effectiveScanSplits(s: SparkSession, dir: String, name: String): Int = {
     val planned = plannedSplitMemo.computeIfAbsent((s, dir, name),
       _ => Integer.valueOf(table(s, dir, name).rdd.getNumPartitions))
     val groups = rowGroupMemo.computeIfAbsent((dir, name), { _ =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(p, s.sessionState.newHadoopConf())
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try Integer.valueOf(r.getRowGroups.size) finally r.close()
+      def footerGroups(f: java.io.File): Int = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), s.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      }
+      scala.util.Try {
+        val root = new java.io.File(s"$dir/$name.parquet")
+        if (root.isDirectory)
+          root.listFiles.filter(_.getName.endsWith(".parquet"))
+            .map(footerGroups).sum
+        else footerGroups(root)
+      }.toOption.map(Integer.valueOf)
+        .getOrElse(Integer.valueOf(Integer.MAX_VALUE))
     })
     math.min(planned.intValue(), groups.intValue())
   }

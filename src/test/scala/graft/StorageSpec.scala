@@ -412,4 +412,80 @@ class StorageSpec extends AnyFunSuite {
     assert(!Files.exists(orphanFile),
       "sweep spared a >1h-old orphaned graft_* file (unbounded debris)")
   }
+
+  test("effective scan splits are row-group-bound; documentsWide widens only when starved") {
+    // The r13 contract (SCALING.md §effective scan parallelism):
+    // parquet assigns a row group to the byte-split holding its start,
+    // so scan-stage width is min(planned splits, row groups) — a
+    // single coalesced write is ONE row group per 128 MB however many
+    // byte splits planning reports. scanStarved drives the widen at
+    // every compute-heavy scan seam; this pins the signal itself, the
+    // widen/no-widen branch, and the invalidation contract.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rg_").toString
+    // ~20 MB of INCOMPRESSIBLE rows (hex-mixed tokens — repetitive
+    // text snappy-compressed below one byte split and planned=1 hid
+    // the row-group assertion): big enough that byte-split planning
+    // alone says "wide" (bytes/openCost >= cores), so the starved
+    // case below isolates the ROW-GROUP bound — the exact blind spot
+    // the old planned-splits predicate had
+    def write(blockBytes: Int): Unit = {
+      val tmp = s"$dir/_gen_documents"
+      def text(i: Int): String = (0 until 40).map { j =>
+        java.lang.Long.toHexString((i.toLong * 40 + j) * 0x9E3779B97F4A7C15L)
+      }.mkString(" ")
+      (0 until 50000).map(i =>
+          (i.toLong, text(i), "en", "web", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", blockBytes).parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val tgt = java.nio.file.Paths.get(dir, "documents.parquet")
+      Files.deleteIfExists(tgt)
+      Files.move(part.toPath, tgt)
+    }
+    val par = spark.sparkContext.defaultParallelism
+
+    write(512 * 1024 * 1024) // one giant block → ONE row group
+    assert(graft.io.Tables.effectiveScanSplits(spark, dir, "documents") == 1,
+      "a single-row-group file must report effective width 1")
+    assert(graft.io.Tables.scanStarved(spark, dir, "documents"))
+    val widePartitions = graft.io.Tables
+      .documentsWide(spark, dir, Seq("doc_id", "text")).rdd.getNumPartitions
+    assert(widePartitions == par,
+      s"starved file should widen to defaultParallelism, got $widePartitions")
+    // value identity: the widen is a pure repartition
+    val narrow = graft.io.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect().sortBy(_.getLong(0))
+    val wide = graft.io.Tables.documentsWide(spark, dir, Seq("doc_id", "text"))
+      .collect().sortBy(_.getLong(0))
+    assert(narrow.sameElements(wide), "widen changed row content")
+
+    // rewrite with tiny blocks → many row groups; the memo must serve
+    // the NEW layout only after the documented invalidation call
+    write(64 * 1024)
+    assert(graft.io.Tables.effectiveScanSplits(spark, dir, "documents") == 1,
+      "row-group memo must hold until invalidateTableCache (immutable-dir contract)")
+    graft.io.Tables.invalidateTableCache(dir)
+    val eff = graft.io.Tables.effectiveScanSplits(spark, dir, "documents")
+    assert(eff >= par,
+      s"64 KB blocks over ~20 MB should clear the row-group bound, got $eff")
+    assert(!graft.io.Tables.scanStarved(spark, dir, "documents"))
+    val p = graft.io.Tables
+      .documentsWide(spark, dir, Seq("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "un-starved file must NOT pay the widen exchange:\n" + p.take(1500))
+
+    // a Spark-written DIRECTORY layout must not break the footer read
+    // (row groups sum across part files)
+    val dir2 = Files.createTempDirectory("graft_rgdir_").toString
+    (0 until 100).map(i => (i.toLong, "a b c", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(3).write.parquet(s"$dir2/documents.parquet")
+    val effDir = graft.io.Tables.effectiveScanSplits(spark, dir2, "documents")
+    assert(effDir >= 1 && effDir <= par,
+      s"directory-layout footer read returned $effDir")
+  }
 }
