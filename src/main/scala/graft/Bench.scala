@@ -1,9 +1,17 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Driver-run benchmark: times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  *
+  * Timing contract (round 14): every entry is timed by consuming its
+  * FULL output ([[consumeAll]] — `max(xxhash64(all columns))` +
+  * count in one pass), never by `.count()`. Rationale and the two
+  * entry classes the old contract silently floored are documented on
+  * [[consumeAll]]; the conf fingerprint carries `"consume":"full"` so
+  * pre-/post-r14 artifacts can't be compared without noticing.
   *
   * Measurement protocol (round-2 verdict: single-shot timings inside one
   * 82-query JVM run can't separate JIT/GC/run-order noise from real
@@ -77,6 +85,40 @@ object Bench {
     * degrade from page-cache/disk pressure that isn't theirs (q31
     * 4.4 s fresh vs 33 s late-suite at sf10). Harness hygiene so
     * per-entry numbers stay per-entry. */
+  /** Full-output consumption — ONE timing contract for every entry
+    * (round-13 verdict finding 1): `.count()` lets Catalyst prune any
+    * projection the count doesn't need, so two whole entry classes
+    * timed as the scan floor — map-only entries (t3/t4/s5/t17/m2/m7…)
+    * whose entire cost IS the pruned projection, and entries ending in
+    * a left-join-back whose plan collapses to count(base). t17 shipped
+    * as "0.33 s" in BENCH_r13 while its honest cost was 32.8 s at
+    * sf10; every artifact consumer (the driver's bench gate,
+    * scaling_report) silently under-counted those entries. This fold
+    * consumes EVERY output column through `max(xxhash64(cols…))` —
+    * the projection, the join, and the output-sized work all actually
+    * run; the added per-row hash + 1-row aggregate is a measurement
+    * constant shared by all entries and both sides of any A/B. Columns
+    * xxhash64 can't take (MapType, nested or not — none exist in the
+    * current surface; defensive) go through to_json first. Returns
+    * (output hash, row count) from the same single pass so TimeOne can
+    * report rows without a second, differently-planned job. */
+  def consumeAll(df: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.types._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      if (hashable(f.dataType)) df(f.name) else to_json(df(f.name))
+    }
+    val r = df.agg(
+      coalesce(max(xxhash64(cols: _*)), lit(0L)).as("h"),
+      count(lit(1)).as("n")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
   def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -133,7 +175,7 @@ object Bench {
       .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        consumeAll(fn(spark, sfDir)) // full-output contract, see consumeAll
         (System.nanoTime() - t0) / 1e9
       }
       def stats(ts: Seq[Double]): (Double, Double) = {
@@ -198,13 +240,27 @@ object Bench {
     val freshFloor =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH_FLOOR", "1.0").toDouble
     val FreshFamilies = Seq("st", "p")
+    // Pinned keep-list (round-13 verdict finding 4 / task 7): the floor
+    // criterion alone lets scale-sensitive entries FLAP in and out of
+    // fresh selection between rounds as their in-suite medians cross
+    // 1.0 s (r13 lost fresh provenance on d11b/d11c/d19/s11/x12 that
+    // r12 had), which breaks per-entry cross-round comparison — fresh
+    // and in-suite numbers are different populations. These entries are
+    // always fresh-measured regardless of their in-suite median, and
+    // the list ships in the conf fingerprint so a change to it reads as
+    // a conf change, not a code delta.
+    val FreshKeep: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_FRESH_KEEP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("d11b_simhash_neardup64", "d11c_simhash_wideband",
+        "d19_cluster_split", "s11_hamming_rerank", "x12_dpp"))
     def inFreshFamily(name: String): Boolean =
       FreshFamilies.exists(f => name.startsWith(f) &&
         name.length > f.length && name.charAt(f.length).isDigit)
     val freshTargets =
       if (!freshOn) Seq.empty
       else results.filter(_._2 > 0)
-        .filter { case (name, med, _, _) => med >= freshFloor || inFreshFamily(name) }
+        .filter { case (name, med, _, _) =>
+          med >= freshFloor || inFreshFamily(name) || FreshKeep(name) }
         .sortBy(-_._2).map(_._1)
     /** One fresh JVM: returns (median, stddev-over-reps, n). Timeout
       * scales with the entry's own in-suite cost (ADVICE: a flat 10 min
@@ -215,19 +271,27 @@ object Bench {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments
-      val cmd = new java.util.ArrayList[String]()
-      cmd.add(javaBin)
-      jvmArgs.forEach(a => cmd.add(a))
-      cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
-      cmd.add("graft.tools.TimeOne"); cmd.add(name); cmd.add(sfDir)
-      cmd.add(reps.toString)
       val timeoutSec =
         math.max(600L, math.ceil((reps + 1) * insuiteMed * 10).toLong + 180L)
       // stdout → temp file (not a pipe): the parent never blocks on a
       // stream read, so the waitFor timeout below is always reachable
       var outFile: java.nio.file.Path = null
+      // TIMED record → its OWN file (r13 ADVICE): with stderr merged
+      // into stdout, buffer-granularity interleaving can in principle
+      // split the TIMED line mid-token and the stdout regex misses —
+      // the fallback is loud but the fresh sample is lost. The child
+      // writes the record to this file exclusively; stdout stays merged
+      // for the failure-diagnosis tail and as a parse fallback.
+      var timedFile: java.nio.file.Path = null
       try {
         outFile = java.nio.file.Files.createTempFile("graft_fresh_", ".out")
+        timedFile = java.nio.file.Files.createTempFile("graft_fresh_", ".timed")
+        val cmd = new java.util.ArrayList[String]()
+        cmd.add(javaBin)
+        jvmArgs.forEach(a => cmd.add(a))
+        cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+        cmd.add("graft.tools.TimeOne"); cmd.add(name); cmd.add(sfDir)
+        cmd.add(reps.toString); cmd.add(timedFile.toString)
         val pb = new ProcessBuilder(cmd)
         // stderr merges into the same file: on a failed child the tail
         // (the actual exception) is printed below instead of being
@@ -246,10 +310,14 @@ object Bench {
             s"(${timeoutSec}s) — reporting the in-suite median for this entry")
           return None
         }
+        val timed = new String(java.nio.file.Files.readAllBytes(timedFile), "UTF-8")
         val out = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
         val re =
           """TIMED \S+ rows=\d+ median=([0-9.]+) s over \d+ reps \[([0-9.,]+)\]""".r
-        val m = re.findFirstMatchIn(out).map { g =>
+        // dedicated file first (log noise can't touch it), stdout as
+        // the fallback so a child that died before the file write but
+        // after the println still yields its sample
+        val m = re.findFirstMatchIn(timed).orElse(re.findFirstMatchIn(out)).map { g =>
           val ts = g.group(2).split(",").map(_.toDouble).toSeq
           val mean = ts.sum / ts.size
           val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
@@ -267,6 +335,7 @@ object Bench {
         None
       } finally {
         if (outFile != null) java.nio.file.Files.deleteIfExists(outFile)
+        if (timedFile != null) java.nio.file.Files.deleteIfExists(timedFile)
       }
     }
     val insuiteMedians = results.map(r => r._1 -> r._2).toMap
@@ -303,7 +372,13 @@ object Bench {
       s""""aqeInitialPartitionNum":${spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")},""" +
       s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")},""" +
       s""""freshEnabled":$freshOn,"freshFloor":$freshFloor,""" +
-      s""""freshFamilies":"${FreshFamilies.mkString(",")}"}"""
+      s""""freshFamilies":"${FreshFamilies.mkString(",")}",""" +
+      s""""freshKeep":"${FreshKeep.toSeq.sorted.mkString(",")}",""" +
+      // the r14 measurement-contract change: every entry's timing now
+      // consumes its FULL output (consumeAll) instead of .count() —
+      // totals are not comparable to pre-r14 artifacts, and this field
+      // is how a consumer detects that protocol boundary
+      s""""consume":"full"}"""
     val onlyField = only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")
     val failedField = "\"fresh_failed\":" +
       freshFailed.map("\"" + _ + "\"").mkString("[", ",", "]")

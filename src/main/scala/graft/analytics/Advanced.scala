@@ -313,7 +313,7 @@ object Advanced {
         .agg(count(lit(1)).as("n"))
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      graft.streaming.Stream.awaitDrained(q)
     }
     s.table(name)
       .select($"w.start".as("wstart"), $"event_type", $"n")

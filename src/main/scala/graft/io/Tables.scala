@@ -94,27 +94,43 @@ object Tables {
     * read an open+parse, each paid once per (session,) dir/table.
     * Handles both layouts: the driver's single FILE named
     * `<name>.parquet` and a Spark-written DIRECTORY of part files
-    * (row groups summed across parts). If the footer read fails for
-    * any reason the row-group bound falls back to "not limiting"
-    * (MaxValue) — the conservative direction: no widen, plan exactly
-    * as before the predicate existed. */
+    * (row groups summed across parts, listed RECURSIVELY through the
+    * Hadoop FileSystem API — a partitioned `key=val/` layout nests its
+    * leaves, and the FS API means hdfs://s3a:// paths probe like local
+    * ones instead of silently failing through java.io.File; both were
+    * r13 ADVICE). If the footer probe fails or finds NO parquet leaves,
+    * the row-group bound falls back to "unknown = not limiting"
+    * (MaxValue) — the conservative direction: no widen, plan exactly as
+    * before the predicate existed. (A literal 0 would be the opposite
+    * failure: scanStarved pinned true, the widen exchange taxed onto
+    * every consumer of that dir forever.) */
   def effectiveScanSplits(s: SparkSession, dir: String, name: String): Int = {
     val planned = plannedSplitMemo.computeIfAbsent((s, dir, name),
       _ => Integer.valueOf(table(s, dir, name).rdd.getNumPartitions))
     val groups = rowGroupMemo.computeIfAbsent((dir, name), { _ =>
-      def footerGroups(f: java.io.File): Int = {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getPath), s.sessionState.newHadoopConf())
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRowGroups.size finally r.close()
+      val conf = s.sessionState.newHadoopConf()
+      def footerGroups(p: org.apache.hadoop.fs.Path): Long = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try r.getRowGroups.size.toLong finally r.close()
       }
       scala.util.Try {
-        val root = new java.io.File(s"$dir/$name.parquet")
-        if (root.isDirectory)
-          root.listFiles.filter(_.getName.endsWith(".parquet"))
-            .map(footerGroups).sum
-        else footerGroups(root)
-      }.toOption.map(Integer.valueOf)
+        val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+        val fs = root.getFileSystem(conf)
+        val leaves: Seq[org.apache.hadoop.fs.Path] =
+          if (fs.getFileStatus(root).isDirectory) {
+            val it = fs.listFiles(root, /* recursive = */ true)
+            val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+                buf += f.getPath
+            }
+            buf.toSeq
+          } else Seq(root)
+        if (leaves.isEmpty) Integer.MAX_VALUE.toLong
+        else math.min(leaves.map(footerGroups).sum, Integer.MAX_VALUE.toLong)
+      }.toOption.map(n => Integer.valueOf(n.toInt))
         .getOrElse(Integer.valueOf(Integer.MAX_VALUE))
     })
     math.min(planned.intValue(), groups.intValue())

@@ -444,7 +444,7 @@ object Pipeline {
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      graft.streaming.Stream.awaitDrained(q)
     }
     graft.ops.Snapshot.readZone(s, admitted)
       .groupBy($"source")

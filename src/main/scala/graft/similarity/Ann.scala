@@ -107,7 +107,16 @@ object Ann {
                  for i in range(1, ${Dim + 1})]) >= 0 THEN ${1L << b} ELSE 0 END)"""
     }.mkString(" + ")
 
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  /** `heavy = false` (r13 ADVICE, measured): the starved-scan widen
+    * below pays one round-robin exchange of the raw corpus to buy scan
+    * parallelism — a clear win for consumers whose per-row compute
+    * dominates (brute dots, quantization, Lloyd's assignment, rerank),
+    * but a measured REGRESSION for the light bucket-hash tiers (s2
+    * 1.5 → 2.3 s at sf100: 8 plane dots per row is cheaper than
+    * exchanging the row). Light consumers opt out and keep the narrow
+    * scan. */
+  private def corpus(s: SparkSession, dir: String,
+      heavy: Boolean = true): DataFrame = {
     graft.functions.NativeFunctions.register(s)
     val v = col("embedding").cast("array<double>")
     val base = Tables.embeddings(s, dir)
@@ -128,7 +137,7 @@ object Ann {
     // still push below the exchange, so query-side subplans stay
     // metadata-sized.
     val wide =
-      if (Tables.scanStarved(s, dir, "embeddings"))
+      if (heavy && Tables.scanStarved(s, dir, "embeddings"))
         base.repartition(s.sparkContext.defaultParallelism)
       else base
     wide.select($"vec_id", $"label", v.as("v"), sqrt(dot(v, v)).as("nrm"))
@@ -154,7 +163,9 @@ object Ann {
     * corpus vectors in the query's sign bucket. Output includes the
     * bucket so recall vs S-1 is inspectable. */
   def s2LshTopK(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir).withColumn("bucket", bucketOf($"v"))
+    // light tier: bucket hash + in-bucket dots — the widen exchange
+    // costs more than it buys here (corpus() scaladoc, measured)
+    val c = corpus(s, dir, heavy = false).withColumn("bucket", bucketOf($"v"))
     val q = c.filter(isQuery($"vec_id"))
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"bucket")
     val scored = c.join(broadcast(q), "bucket")
@@ -182,7 +193,8 @@ object Ann {
     * partition-pruned read; rerank cost is |candidates|·dim, linear in
     * the probe count. */
   def s9MultiProbe(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir).withColumn("bucket", bucketOf($"v"))
+    // light tier, same reasoning as s2
+    val c = corpus(s, dir, heavy = false).withColumn("bucket", bucketOf($"v"))
     val q0 = c.filter(isQuery($"vec_id"))
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"bucket")
     // probe 0 = the bucket itself; probes 1..8 flip one sign bit each.

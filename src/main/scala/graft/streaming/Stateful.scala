@@ -74,7 +74,7 @@ object Stateful {
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      graft.streaming.Stream.awaitDrained(q)
     }
     s.table(name).orderBy(col("user_id"), col("session_seq"))
   }
@@ -132,7 +132,7 @@ object Stateful {
           .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Update())
           .writeStream.outputMode("update").format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination() finally q.stop()
+        graft.streaming.Stream.awaitDrained(q)
       }
       s.table(name).groupBy(col("user_id"))
         .agg(max(col("n_events")).as("n_events"),

@@ -4,13 +4,12 @@ import org.apache.spark.sql.functions._
 
 /** [[TimeOne]] variant that defeats count-pruning: Catalyst prunes an
   * unconsumed projection under `.count()`, so MAP-ONLY entries (t3,
-  * t4, s5, t17 …) time as the scan floor there — fine for the bench
-  * contract (documented), useless for measuring a projection respell.
-  * This timer consumes EVERY output column through one cheap
-  * `max(xxhash64(struct(*)))` aggregate, so the projection actually
-  * runs; the added hash+1-row-agg cost is the same on both sides of a
-  * before/after comparison. Not part of the bench path — a
-  * measurement tool for SCALING.md work. */
+  * t4, s5, t17 …) time as the scan floor there. Since round 14 the
+  * bench path itself shares this contract (`Bench.consumeAll` —
+  * TimeOne and the in-suite pass both consume full outputs), so this
+  * tool's remaining distinct value is the printed OUTPUT HASH: an A/B
+  * respell proves value-identity (`hash=` equal old vs new) and
+  * timing in one run. */
 object TimeFull {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -9,7 +9,16 @@ package graft.tools
   * stddev trigger can never catch it). The session comes from
   * `Bench.session` — the SAME builder the in-suite pass uses — so the
   * two numbers differ only by suite state, which is the thing being
-  * removed; conf drift between the two is impossible by construction. */
+  * removed; conf drift between the two is impossible by construction.
+  *
+  * Round 14: timing consumes the entry's FULL output
+  * (`Bench.consumeAll` — the shared contract; `.count()` let Catalyst
+  * prune map-only projections and join-backs to the scan floor, see
+  * consumeAll's scaladoc), and the TIMED record is additionally
+  * written to a dedicated file (optional 4th arg) so the parent's
+  * parse can never be broken by interleaved log noise on the merged
+  * stdout/stderr stream (r13 ADVICE).
+  */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,17 +33,24 @@ object TimeOne {
     val spark = graft.Bench.session(cpus)
     val (name, dir) = (args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 1
+    val timedFile = if (args.length > 3) Some(args(3)) else None
     val fn = graft.SparkEntry.queries(name)
-    val n0 = fn(spark, dir).count() // warm
+    val (_, n0) = graft.Bench.consumeAll(fn(spark, dir)) // warm
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      graft.Bench.consumeAll(fn(spark, dir))
       (System.nanoTime() - t0) / 1e9
     }
     val med = times.sorted.apply(times.size / 2)
-    // Machine-parseable: Bench greps "^TIMED " and reads median=.
-    println(f"TIMED $name rows=$n0 median=$med%.6f s over $reps reps " +
-      times.map(t => f"$t%.3f").mkString("[", ",", "]"))
+    // Machine-parseable: Bench reads the dedicated file first, then
+    // greps "^TIMED " on merged stdout as the fallback.
+    val line = f"TIMED $name rows=$n0 median=$med%.6f s over $reps reps " +
+      times.map(t => f"$t%.3f").mkString("[", ",", "]")
+    timedFile.foreach { f =>
+      scala.util.Try(java.nio.file.Files.write(
+        java.nio.file.Paths.get(f), (line + "\n").getBytes("UTF-8")))
+    }
+    println(line)
     spark.streams.active.foreach { q =>
       scala.util.Try(q.stop()); scala.util.Try(q.awaitTermination(30000))
     }

@@ -1,0 +1,55 @@
+package graft.tools
+
+/** [[TimeOne]] variant that also reports SPILL: a SparkListener sums
+  * memoryBytesSpilled / diskBytesSpilled / shuffle bytes over every
+  * task of the timed reps. Exists for the r13-verdict d3 finding —
+  * "no spill in the event log" must be a measured claim, not an
+  * inference from wall clock (the old collect_set bucket build spilled
+  * 28 GB at sf1000sel while still completing). Same session/consume
+  * contract as Bench/TimeOne, so its medians are comparable. */
+object TimeSpill {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    graft.pipeline.Pipeline.sweepOldWorkDirs(0)
+    val spark = graft.Bench.session(cpus)
+    val (name, dir) = (args(0), args(1))
+    val reps = if (args.length > 2) args(2).toInt else 1
+    val mem = new java.util.concurrent.atomic.AtomicLong()
+    val disk = new java.util.concurrent.atomic.AtomicLong()
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            mem.addAndGet(m.memoryBytesSpilled)
+            disk.addAndGet(m.diskBytesSpilled)
+            shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    val fn = graft.SparkEntry.queries(name)
+    val (h0, n0) = graft.Bench.consumeAll(fn(spark, dir)) // warm
+    // counters reset AFTER warm-up: the reported spill is per the
+    // timed reps only (divide by reps for per-run)
+    mem.set(0); disk.set(0); shuffleW.set(0)
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      graft.Bench.consumeAll(fn(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val med = times.sorted.apply(times.size / 2)
+    // listener bus is async — settle before reading the counters
+    Thread.sleep(2000)
+    def gb(b: Long): String = f"${b / 1e9}%.2f"
+    println(f"TIMEDS $name hash=$h0 rows=$n0 median=$med%.6f s over $reps reps " +
+      times.map(t => f"$t%.3f").mkString("[", ",", "]") +
+      s" spillMemGB=${gb(mem.get)} spillDiskGB=${gb(disk.get)} " +
+      s"shuffleWriteGB=${gb(shuffleW.get)}")
+    spark.streams.active.foreach { q =>
+      scala.util.Try(q.stop()); scala.util.Try(q.awaitTermination(30000))
+    }
+    scala.util.Try(spark.stop())
+  }
+}

@@ -315,8 +315,9 @@ class PlanSpec extends AnyFunSuite {
       "d17_source_overlap", // mask table x broadcast source legend (<=63 rows) / pair legend (<=1953) — the r12 bitmask plan that REMOVED the shingle self-join
       "mt6_clustered_layout", // per-file stat table (<=ClusterFiles rows) range-overlap self-join
       "mt7_partition_overwrite") // 1-row max-day broadcast across the table
-    // Streaming drains / external-side-effect mains are exercised by their
-    // own specs and the gate; their DataFrames are post-sink reads.
+    // Streaming drains / external-side-effect mains: their DataFrames
+    // are post-sink reads; their EXECUTED plans are audited by the
+    // runtime sweep test below.
     def skip(n: String) =
       n.startsWith("st") || Set("p1_pipeline_e2e", "p5_stream_curation",
         "o8_json_raw", "o2_jdbc_roundtrip", "o1_csv_source").contains(n)
@@ -338,21 +339,7 @@ class PlanSpec extends AnyFunSuite {
     // plan must be allowlisted here WITH its reason; a new lambda HOF —
     // or any ScalaUDF — fails this test instead of landing unnoticed.
     //
-    // Globally allowed: Spark's declarative AGGREGATE machinery and the
-    // INTERSECT/EXCEPT ALL generator. Imperative eval is how Spark
-    // executes every agg function (hash-agg buffers, partial → final);
-    // the CodegenFallback trait on them is incidental — they are
-    // map-side-combined and group-sized, never a per-row projection
-    // hot loop.
-    val aggMachinery = Set(
-      "CollectSet", "CollectList",            // bounded collects (d3 bucket cap, q50 top-3, kmeans 8-cell legend)
-      "Percentile", "ApproximatePercentile",  // q18/q23/q49
-      "HyperLogLogPlusPlus", "ApproxTopK",    // q23/q43 sketches
-      "HllSketchAgg", "HllSketchEstimate", "HllUnionAgg", // q44 mergeable HLL rollup
-      "PivotFirst",                           // q24/q38 pivot agg
-      "BloomFilterAggregate",                 // x8 bloom build (one sketch row)
-      "BottomKSketch",                        // x2 — graft's own KMV agg
-      "ReplicateRows")                        // q36 — Spark's INTERSECT/EXCEPT ALL generator
+    val aggMachinery = PlanSpec.AggMachinery
     // Per-entry lambda allowances, each with its boundedness/measured
     // argument. The lambda plumbing classes ride along with their HOF.
     val lambdaPlumbing = Set("LambdaFunction", "NamedLambdaVariable")
@@ -382,4 +369,65 @@ class PlanSpec extends AnyFunSuite {
         "on a gate entry — respell it or document it here):\n" +
         offenders.mkString("\n"))
   }
+
+  test("codegen audit: streaming/pipeline entries — EXECUTED micro-batch + batch side-effect plans (runtime sweep)") {
+    // Round-13 verdict finding 2: the static sweep above audits the
+    // RETURNED DataFrame, which for streaming/pipeline/side-effect
+    // entries is only a post-sink read — a lambda HOF in a streaming
+    // projection executed inside a micro-batch was invisible to it.
+    // This sweep runs each such entry once and audits every plan that
+    // actually EXECUTED: micro-batch plans captured synchronously at
+    // the Stream.drainObserver seam (every drain site funnels through
+    // Stream.awaitDrained) and batch actions (zone writes, JDBC
+    // round-trip, memory-sink reads) via a QueryExecutionListener.
+    // Anti-vacuity: a streaming entry that yields ZERO captured
+    // micro-batch plans fails — a Spark-internals rename breaking the
+    // lastExecution reflection must read as a broken audit, not a
+    // clean one.
+    val entries = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
+      n.startsWith("st") || Set("p1_pipeline_e2e", "p5_stream_curation",
+        "o8_json_raw", "o2_jdbc_roundtrip", "o1_csv_source").contains(n)
+    }
+    // Entries that drain at least one streaming query (everything here
+    // except the batch-side-effect trio o1/o2/o8 and the batch-zone
+    // pipeline p1).
+    val streamless = Set("o1_csv_source", "o2_jdbc_roundtrip",
+      "o8_json_raw", "p1_pipeline_e2e")
+    val problems = entries.flatMap { name =>
+      val r = graft.tools.CodegenAudit.runtimeFallbackNames(spark, name, sf)
+      val extra = r.names -- PlanSpec.AggMachinery
+      val vacuous = !streamless(name) && r.streamPlans == 0
+      if (extra.nonEmpty)
+        Some(s"$name: non-allowlisted ${extra.toSeq.sorted.mkString(" ")}")
+      else if (vacuous)
+        Some(s"$name: no micro-batch plan captured (audit went vacuous)")
+      else if (r.batchPlans == 0)
+        Some(s"$name: no batch execution captured (audit went vacuous)")
+      else None
+    }
+    assert(problems.isEmpty,
+      "runtime codegen audit failures (lambda HOF/UDF inside a " +
+        "micro-batch or side-effect execution, or a vacuous capture):\n" +
+        problems.mkString("\n"))
+  }
+}
+
+object PlanSpec {
+  /** Globally allowed CodegenFallback names: Spark's declarative
+    * AGGREGATE machinery and the INTERSECT/EXCEPT ALL generator.
+    * Imperative eval is how Spark executes every agg function
+    * (hash-agg buffers, partial → final); the CodegenFallback trait on
+    * them is incidental — they are map-side-combined and group-sized,
+    * never a per-row projection hot loop. Shared by the static sweep
+    * (returned-DF plans) and the runtime sweep (micro-batch +
+    * side-effect plans). */
+  val AggMachinery: Set[String] = Set(
+    "CollectSet", "CollectList",            // bounded collects (d3 bucket cap, q50 top-3, kmeans 8-cell legend)
+    "Percentile", "ApproximatePercentile",  // q18/q23/q49
+    "HyperLogLogPlusPlus", "ApproxTopK",    // q23/q43 sketches
+    "HllSketchAgg", "HllSketchEstimate", "HllUnionAgg", // q44 mergeable HLL rollup
+    "PivotFirst",                           // q24/q38 pivot agg
+    "BloomFilterAggregate",                 // x8 bloom build (one sketch row)
+    "BottomKSketch",                        // x2 — graft's own KMV agg
+    "ReplicateRows")                        // q36 — Spark's INTERSECT/EXCEPT ALL generator
 }

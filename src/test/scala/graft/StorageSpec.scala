@@ -468,15 +468,32 @@ class StorageSpec extends AnyFunSuite {
     assert(graft.io.Tables.effectiveScanSplits(spark, dir, "documents") == 1,
       "row-group memo must hold until invalidateTableCache (immutable-dir contract)")
     graft.io.Tables.invalidateTableCache(dir)
-    val eff = graft.io.Tables.effectiveScanSplits(spark, dir, "documents")
-    assert(eff >= par,
-      s"64 KB blocks over ~20 MB should clear the row-group bound, got $eff")
-    assert(!graft.io.Tables.scanStarved(spark, dir, "documents"))
-    val p = graft.io.Tables
-      .documentsWide(spark, dir, Seq("doc_id", "text"))
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"),
-      "un-starved file must NOT pay the widen exchange:\n" + p.take(1500))
+    // Pin the split-planning confs for the eff >= par assertions (r13
+    // ADVICE): with the session defaults, "a ~30 MB file plans >= par
+    // splits" is an accident of defaultParallelism × 128 MB-partition
+    // arithmetic — a test master with more cores or a Spark default
+    // bump would flip scanStarved and fail this spuriously. 1 MB
+    // partitions + zero open cost make planned splits ≈ fileBytes/1 MB,
+    // deterministically >= par for this ~30 MB fixture.
+    val pinKeys = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes")
+    val prevPins = pinKeys.map(k => k -> spark.conf.getOption(k))
+    pinKeys.foreach(k => spark.conf.set(k, (1024 * 1024).toString))
+    try {
+      val eff = graft.io.Tables.effectiveScanSplits(spark, dir, "documents")
+      assert(eff >= par,
+        s"64 KB blocks over ~30 MB at 1 MB planned partitions should clear the row-group bound, got $eff")
+      assert(!graft.io.Tables.scanStarved(spark, dir, "documents"))
+      val p = graft.io.Tables
+        .documentsWide(spark, dir, Seq("doc_id", "text"))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "un-starved file must NOT pay the widen exchange:\n" + p.take(1500))
+    } finally {
+      prevPins.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      graft.io.Tables.invalidateTableCache(dir) // drop pinned-conf plans
+    }
 
     // a Spark-written DIRECTORY layout must not break the footer read
     // (row groups sum across part files)
@@ -487,5 +504,32 @@ class StorageSpec extends AnyFunSuite {
     val effDir = graft.io.Tables.effectiveScanSplits(spark, dir2, "documents")
     assert(effDir >= 1 && effDir <= par,
       s"directory-layout footer read returned $effDir")
+
+    // a PARTITIONED directory layout (nested lang=…/ subdirs) must list
+    // recursively — the r13 non-recursive listFiles saw zero leaves,
+    // reported groups=0, and pinned scanStarved TRUE forever (widen
+    // exchange taxed onto every consumer of the dir)
+    val dir3 = Files.createTempDirectory("graft_rgnest_").toString
+    (0 until 100).map(i => (i.toLong, "a b c", if (i % 2 == 0) "en" else "de", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.partitionBy("lang").parquet(s"$dir3/documents.parquet")
+    val effNested = graft.io.Tables.effectiveScanSplits(spark, dir3, "documents")
+    assert(effNested >= 1,
+      s"partitioned layout must sum row groups across nested leaves, got $effNested")
+
+    // a directory whose leaves don't carry the .parquet suffix (foreign
+    // writers) is UNKNOWN, not starved: the probe must fall back to
+    // planned splits (MaxValue bound), never report groups=0
+    val dir4 = Files.createTempDirectory("graft_rgnoext_").toString
+    (0 until 100).map(i => (i.toLong, "a b c", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir4/documents.parquet")
+    new java.io.File(s"$dir4/documents.parquet").listFiles
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        Files.move(f.toPath, f.toPath.resolveSibling("data-noext"))
+      }
+    val effNoExt = graft.io.Tables.effectiveScanSplits(spark, dir4, "documents")
+    assert(effNoExt >= 1,
+      s"suffix-less leaves must read as unknown (planned-split bound), got $effNoExt")
   }
 }
