@@ -73,8 +73,13 @@ object Dedup {
     * with the `parse_url` built-ins: host and path extracted, `www.` /
     * `m.` subdomains stripped, query+fragment dropped (PATH excludes
     * them), trailing slash removed. d1's keep-lowest-id shape over the
-    * canonical key, plus the id-sum checksum that pins exact group
-    * membership. At 100 TB this is a single hash-aggregate on the
+    * canonical key, plus the id-XOR checksum that pins exact group
+    * membership (bit_xor, not sum: id magnitudes scale with the corpus
+    * — strided generators, snowflake ids — and a 50 M-doc id sum
+    * overflowed BIGINT at the fourth decade, failing the job under
+    * ANSI mode; xor is order-independent, overflow-free, and pins set
+    * membership just as hard — the round-14 respell applied to every
+    * *_checksum/kept_id_sum column engine-wide, oracles in lockstep). At 100 TB this is a single hash-aggregate on the
     * canonical string — map-side combinable, no join, and the key
     * cardinality (distinct pages) is what bounds the shuffle, not the
     * crawl size. */
@@ -98,7 +103,7 @@ object Dedup {
           .as("canon_url"))
       .groupBy($"canon_url")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"),
-        sum($"doc_id").as("id_checksum"))
+        expr("bit_xor(doc_id)").as("id_checksum"))
       .orderBy($"canon_url")
   }
 
@@ -621,6 +626,11 @@ object Dedup {
     // from the oracle's transitive closure) — fail loudly instead
     require(converged,
       s"label propagation did not converge in $maxRounds rounds; component diameter exceeds cap")
+    // one line per cold cluster-map build: the round count is the CC
+    // loop's scale signal (≈ log₂ of the largest component diameter),
+    // and the memo means it prints once per (session, dir), not per
+    // consumer
+    System.err.println(s"[graft] d6 cluster map converged in $rounds rounds")
     val docs = Tables.documents(s, dir).select($"doc_id")
     val assignment = docs
       .join(labels.withColumnRenamed("label", "cluster"), Seq("doc_id"), "left")
@@ -659,7 +669,7 @@ object Dedup {
       .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
       .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
     val sizes = splits.groupBy($"split")
-      .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_checksum"))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("id_checksum"))
     val within = tagged.filter($"split_a" === $"split_b")
       .groupBy($"split_a".as("split")).agg(count(lit(1)).as("n_pairs_within"))
     val strays = tagged.filter($"split_a" =!= $"split_b")
@@ -1388,7 +1398,7 @@ object Dedup {
                                     '/$', '') AS canon_url
            FROM u)
          SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_dups,
-                CAST(sum(doc_id) AS BIGINT) AS id_checksum
+                CAST(bit_xor(doc_id) AS BIGINT) AS id_checksum
          FROM canon GROUP BY 1 ORDER BY canon_url""",
     "d2_minhash_sig" -> {
       val cat = (0 until NumHashes).map(i => s"m$i").mkString("||")
@@ -1416,7 +1426,7 @@ object Dedup {
                 JOIN sp a ON p.doc_a = a.doc_id
                 JOIN sp b ON p.doc_b = b.doc_id),
           sizes AS (SELECT split, count(*) AS n_docs,
-                           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+                           CAST(bit_xor(doc_id) AS BIGINT) AS id_checksum
                     FROM sp GROUP BY 1),
           wi AS (SELECT sa AS split, count(*) AS n_pairs_within
                  FROM w WHERE sa = sb GROUP BY 1),

@@ -445,7 +445,7 @@ object Maintenance {
         coalesce($"cb", lit(0L)).as("cb"), $"k")
       .groupBy($"verdict")
       .agg(count(lit(1)).as("n_keys"), sum($"cb").as("sum_next_c"),
-        sum($"k").as("key_checksum"))
+        expr("bit_xor(k)").as("key_checksum"))
       .orderBy($"verdict")
   }
 
@@ -643,7 +643,7 @@ object Maintenance {
            FROM base b FULL OUTER JOIN next n ON b.k = n.k)
          SELECT verdict, count(*) AS n_keys,
                 CAST(sum(cb) AS BIGINT) AS sum_next_c,
-                CAST(sum(k) AS BIGINT) AS key_checksum
+                CAST(bit_xor(k) AS BIGINT) AS key_checksum
          FROM d GROUP BY 1 ORDER BY verdict""",
     "mt9_compact_small_files" ->
       """SELECT count(*) AS n_rows,

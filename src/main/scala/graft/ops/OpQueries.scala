@@ -64,7 +64,7 @@ object OpQueries {
       .agg(count(lit(1)).as("n_rows"),
         sum(length($"field")).as("sum_chars"),
         countDistinct(md5($"field")).as("n_digests"),
-        sum($"doc_id").as("id_checksum"))
+        expr("bit_xor(doc_id)").as("id_checksum"))
   }
 
   /** O-37 — XML source round-trip over Spark 4's NATIVE StAX datasource
@@ -379,7 +379,7 @@ object OpQueries {
          SELECT count(*) AS n_rows,
                 CAST(sum(length(field)) AS BIGINT) AS sum_chars,
                 count(DISTINCT md5(field)) AS n_digests,
-                CAST(sum(doc_id) AS BIGINT) AS id_checksum
+                CAST(bit_xor(doc_id) AS BIGINT) AS id_checksum
          FROM f""",
     "o37_xml_source" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS s_key,

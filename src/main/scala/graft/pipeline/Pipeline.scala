@@ -288,7 +288,7 @@ object Pipeline {
       .withColumn("split", graft.text.TextOps.splitAssign($"doc_id"))
       .groupBy($"source", $"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
-        sum($"doc_id").as("id_checksum"))
+        expr("bit_xor(doc_id)").as("id_checksum"))
       .orderBy($"source", $"split")
 
   /** P-3 — the incremental-ingest STEADY-STATE loop, end-to-end: the
@@ -324,7 +324,7 @@ object Pipeline {
     Snapshot.readZone(s, s"$work/next")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
-        sum($"doc_id").as("id_checksum"))
+        expr("bit_xor(doc_id)").as("id_checksum"))
       .orderBy($"source")
   }
 
@@ -350,7 +350,7 @@ object Pipeline {
       .withColumn("split", graft.text.TextOps.splitAssign($"doc_id"))
       .groupBy($"source", $"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
-        sum($"doc_id").as("id_checksum"))
+        expr("bit_xor(doc_id)").as("id_checksum"))
       .orderBy($"source", $"split")
   }
 
@@ -449,7 +449,7 @@ object Pipeline {
     graft.ops.Snapshot.readZone(s, admitted)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
-        sum($"doc_id").as("id_checksum"))
+        expr("bit_xor(doc_id)").as("id_checksum"))
       .orderBy($"source")
   }
 
@@ -466,7 +466,7 @@ object Pipeline {
                  FROM kept)
           SELECT source, count(*) AS n_docs,
                  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
+                 CAST(bit_xor(doc_id) AS BIGINT) AS id_checksum
           FROM dd WHERE arrival_rk = 1
           GROUP BY 1 ORDER BY source"""
     },
@@ -484,7 +484,7 @@ object Pipeline {
                  FROM dd WHERE doc_id = keep_id)
           SELECT source, split, count(*) AS n_docs,
                  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
+                 CAST(bit_xor(doc_id) AS BIGINT) AS id_checksum
           FROM sp GROUP BY 1, 2 ORDER BY source, split"""
     },
     "p3_incremental_ingest" ->
@@ -506,7 +506,7 @@ object Pipeline {
             UNION ALL SELECT doc_id, source, n_chars FROM admitted)
           SELECT source, count(*) AS n_docs,
                  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
+                 CAST(bit_xor(doc_id) AS BIGINT) AS id_checksum
           FROM final GROUP BY 1 ORDER BY source""",
     "p2_training_corpus" -> {
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
@@ -533,7 +533,7 @@ object Pipeline {
                  FROM samp)
           SELECT source, split, count(*) AS n_docs,
                  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
+                 CAST(bit_xor(doc_id) AS BIGINT) AS id_checksum
           FROM sp GROUP BY 1, 2 ORDER BY source, split"""
     },
     "p1_pipeline_e2e" -> Scoring.oracleSql,

@@ -324,7 +324,7 @@ object Ann {
     * real embeddings) form within cells only, and the HIGHER vec id of
     * every pair is dropped — a deterministic keep rule, no iterative
     * clustering. Output audits each cell: population, drops, and the
-    * survivor id-sum checksum that pins the exact surviving set
+    * survivor id-XOR checksum that pins the exact surviving set
     * cross-engine (p2's checksum idiom). Semantic dedup catches what
     * d1/d11 cannot: paraphrases with different bytes but near-identical
     * embeddings. */
@@ -338,13 +338,13 @@ object Ann {
       .filter($"cos" >= 0.3)
     val drops = pairs.select($"cell_id", $"b_id").distinct()
     val cellStats = a.groupBy($"cell_id")
-      .agg(count(lit(1)).as("n_vecs"), sum($"vec_id").as("sum_all"))
+      .agg(count(lit(1)).as("n_vecs"), expr("bit_xor(vec_id)").as("sum_all"))
     val dropStats = drops.groupBy($"cell_id")
-      .agg(count(lit(1)).as("n_dropped"), sum($"b_id").as("sum_dropped"))
+      .agg(count(lit(1)).as("n_dropped"), expr("bit_xor(b_id)").as("sum_dropped"))
     cellStats.join(dropStats, Seq("cell_id"), "left")
       .select($"cell_id", $"n_vecs",
         coalesce($"n_dropped", lit(0L)).cast("bigint").as("n_dropped"),
-        ($"sum_all" - coalesce($"sum_dropped", lit(0L))).cast("bigint")
+        $"sum_all".bitwiseXOR(coalesce($"sum_dropped", lit(0L))).cast("bigint")
           .as("survivor_id_sum"))
       .orderBy($"cell_id")
   }
@@ -944,15 +944,15 @@ object Ann {
             SELECT DISTINCT cell_id, b_id FROM pairs WHERE cos >= 0.3),
           cellstats AS (
             SELECT cell_id, count(*) AS n_vecs,
-                   CAST(sum(vec_id) AS BIGINT) AS sum_all
+                   CAST(bit_xor(vec_id) AS BIGINT) AS sum_all
             FROM asg GROUP BY 1),
           dropstats AS (
             SELECT cell_id, count(*) AS n_dropped,
-                   CAST(sum(b_id) AS BIGINT) AS sum_dropped
+                   CAST(bit_xor(b_id) AS BIGINT) AS sum_dropped
             FROM drops GROUP BY 1)
           SELECT s.cell_id AS cell_id, s.n_vecs AS n_vecs,
                  CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
-                 CAST(s.sum_all - coalesce(d.sum_dropped, 0) AS BIGINT)
+                 CAST(xor(s.sum_all, coalesce(d.sum_dropped, 0)) AS BIGINT)
                    AS survivor_id_sum
           FROM cellstats s LEFT JOIN dropstats d ON s.cell_id = d.cell_id
           ORDER BY cell_id""",

@@ -437,7 +437,7 @@ object Stream {
       inputBytes = tableBytes(dir, "events"), joinStores = true)
       .groupBy($"v_user".as("user_id"))
       .agg(count(lit(1)).as("n_converted_views"),
-        sum($"v_id").as("view_id_checksum"))
+        expr("bit_xor(v_id)").as("view_id_checksum"))
       .orderBy($"user_id")
   }
 
@@ -593,7 +593,7 @@ object Stream {
     Snapshot.readZone(s, admitted)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
-        sum($"doc_id").as("id_checksum"))
+        expr("bit_xor(doc_id)").as("id_checksum"))
       .orderBy($"source")
   }
 
@@ -763,7 +763,7 @@ object Stream {
       s"""WITH ${graft.text.TextOps.qualityMaskCtes}
           SELECT d.source AS source, count(*) AS n_docs,
                  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
-                 CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+                 CAST(bit_xor(d.doc_id) AS BIGINT) AS id_checksum
           FROM documents d JOIN qmask q ON d.doc_id = q.doc_id
           WHERE q.reason_mask = 0
           GROUP BY 1 ORDER BY source""",
@@ -898,7 +898,7 @@ object Stream {
     "st20_stream_semi_join" ->
       """SELECT v.user_id AS user_id,
                 count(*) AS n_converted_views,
-                CAST(sum(v.event_id) AS BIGINT) AS view_id_checksum
+                CAST(bit_xor(v.event_id) AS BIGINT) AS view_id_checksum
          FROM events v
          WHERE v.event_type = 'view' AND EXISTS (
            SELECT 1 FROM events p

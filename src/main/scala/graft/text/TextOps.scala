@@ -289,7 +289,7 @@ object TextOps {
         Window.partitionBy($"source").orderBy($"h", $"doc_id")))
     ranked.join(broadcast(cap)).filter($"rk" <= $"cap")
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("kept_id_sum"))
+      .agg(count(lit(1)).as("n_kept"), expr("bit_xor(doc_id)").as("kept_id_sum"))
       .join(counts, "source")
       .select($"source", $"n_total", $"n_kept", $"kept_id_sum")
       .orderBy($"source")
@@ -316,7 +316,7 @@ object TextOps {
       .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
       .groupBy($"split_a", $"split_b")
       .agg(count(lit(1)).as("n_pairs"),
-        sum($"doc_a" + $"doc_b").as("pair_checksum"))
+        expr("bit_xor(doc_a + doc_b)").as("pair_checksum"))
       .select($"split_a", $"split_b", $"n_pairs", $"pair_checksum",
         ($"split_a" =!= $"split_b").cast("int").as("leak"))
       .orderBy($"split_a", $"split_b")
@@ -418,7 +418,7 @@ object TextOps {
           sp AS (SELECT doc_id, ${splitCaseSql("doc_id")} AS split FROM documents)
           SELECT a.split AS split_a, b.split AS split_b,
                  count(*) AS n_pairs,
-                 CAST(sum(p.doc_a + p.doc_b) AS BIGINT) AS pair_checksum,
+                 CAST(bit_xor(p.doc_a + p.doc_b) AS BIGINT) AS pair_checksum,
                  CAST(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END AS INT) AS leak
           FROM lsh_pairs p
           JOIN sp a ON p.doc_a = a.doc_id
@@ -435,7 +435,7 @@ object TextOps {
                FROM documents)
          SELECT r.source AS source, c.n_total AS n_total,
                 count(*) AS n_kept,
-                CAST(sum(r.doc_id) AS BIGINT) AS kept_id_sum
+                CAST(bit_xor(r.doc_id) AS BIGINT) AS kept_id_sum
          FROM r JOIN c ON r.source = c.source, cap
          WHERE r.rk <= cap.cap
          GROUP BY 1, 2 ORDER BY source""",

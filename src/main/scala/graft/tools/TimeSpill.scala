@@ -30,20 +30,32 @@ object TimeSpill {
         }
       })
     val fn = graft.SparkEntry.queries(name)
+    val w0 = System.nanoTime()
     val (h0, n0) = graft.Bench.consumeAll(fn(spark, dir)) // warm
+    // warm duration is REPORTED (not discarded): for memoized entries
+    // (dedup sig/pair/cluster caches) the warm pass IS the cold build
+    // cost — the number a fresh pipeline pays once — while the timed
+    // reps are the steady state
+    val warmSec = (System.nanoTime() - w0) / 1e9
     // counters reset AFTER warm-up: the reported spill is per the
     // timed reps only (divide by reps for per-run)
     mem.set(0); disk.set(0); shuffleW.set(0)
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       graft.Bench.consumeAll(fn(spark, dir))
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release the rep's shuffle files NOW (ContextCleaner acts on
+      // GC): at the fourth decade one rep's shuffle is tens of GB and
+      // letting reps' files stack until the periodic GC can exhaust
+      // the disk the next rep needs (measured: d3@sf1000sel ENOSPC)
+      System.gc()
+      dt
     }
     val med = times.sorted.apply(times.size / 2)
     // listener bus is async — settle before reading the counters
     Thread.sleep(2000)
     def gb(b: Long): String = f"${b / 1e9}%.2f"
-    println(f"TIMEDS $name hash=$h0 rows=$n0 median=$med%.6f s over $reps reps " +
+    println(f"TIMEDS $name hash=$h0 rows=$n0 warm=$warmSec%.3f median=$med%.6f s over $reps reps " +
       times.map(t => f"$t%.3f").mkString("[", ",", "]") +
       s" spillMemGB=${gb(mem.get)} spillDiskGB=${gb(disk.get)} " +
       s"shuffleWriteGB=${gb(shuffleW.get)}")
