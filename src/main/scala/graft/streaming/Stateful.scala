@@ -118,11 +118,7 @@ object Stateful {
   def st10TransformWithState(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val name = "st10_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    graft.streaming.Stream.withRocksDBStateStore(s) {
       graft.streaming.Stream.withDrainPartitions(s,
         graft.streaming.Stream.drainPartitionsFor(s, graft.streaming.Stream.tableBytes(dir, "events"), storeWeight = 4)) {
         val q = graft.io.Tables.eventsStream(s, dir)
@@ -134,14 +130,11 @@ object Stateful {
           .trigger(Trigger.AvailableNow()).start()
         graft.streaming.Stream.awaitDrained(q)
       }
-      s.table(name).groupBy(col("user_id"))
-        .agg(max(col("n_events")).as("n_events"),
-          expr("max_by(sum_value_c, n_events)").as("sum_value_c"))
-        .orderBy(col("user_id"))
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
     }
+    s.table(name).groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        expr("max_by(sum_value_c, n_events)").as("sum_value_c"))
+      .orderBy(col("user_id"))
   }
 
   /** Same output contract as q22 — shares its oracle. */

@@ -533,13 +533,42 @@ object Stream {
       .orderBy($"user_id")
   }
 
+  /** Run `body` with the RocksDB state store provider pinned on the
+    * session, previous value restored after. Shared by the entries
+    * whose per-partition state must NOT live on executor heap: the
+    * default HDFSBackedStateStoreProvider keeps every retained store
+    * version as on-heap object maps whose UnsafeRows pin their shared
+    * backing pages — measured on st12's session store at ~103 KB of
+    * reported residency PER SESSION (329 MB for 3,200 sessions at
+    * sf10; 44.2 GB for 320 k at sf100, where it killed a 48 g heap —
+    * the r14 verdict's one `weak`). RocksDB holds the same state
+    * native + on-disk: st10's store on the same panel was 2.3 MB for
+    * 1.5 M keys. This IS the provider a production cluster runs;
+    * pinning it here makes executor sizing follow throughput, not the
+    * open-state set. */
+  private[graft] def withRocksDBStateStore[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** ST-12 — STREAMING `session_window` (30-min gap) with watermark +
     * append + file sink: Spark's dedicated session-merge state (late
     * events extend/merge sessions while inside the watermark) — the
     * built-in that replaces st3's hand-rolled flatMapGroupsWithState
     * when plain gap sessions are all that's needed. A session emits
     * once the watermark passes its end (last event + gap); trailing
-    * open sessions stay in state, exactly like st4's open windows. */
+    * open sessions stay in state, exactly like st4's open windows.
+    * State lives in RocksDB ([[withRocksDBStateStore]]): session
+    * stores hold the WHOLE open-session set, the one streaming state
+    * class that grows with corpus instead of window count — on the
+    * default on-heap provider that set was the r14 panel's 44 GB
+    * heap-killer at sf100. */
   def st12SessionWindow(s: SparkSession, dir: String): DataFrame = {
     val plan = graft.io.Tables.eventsStream(s, dir)
       .select($"user_id", $"ts", $"value")
@@ -549,7 +578,9 @@ object Stream {
         sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))
       .select($"user_id", $"w.start".as("session_start"),
         $"w.end".as("session_end"), $"n_events", $"sum_value_c")
-    drainAppend(s, plan, "graft_st12_", inputBytes = tableBytes(dir, "events")).orderBy($"user_id", $"session_start")
+    withRocksDBStateStore(s) {
+      drainAppend(s, plan, "graft_st12_", inputBytes = tableBytes(dir, "events"))
+    }.orderBy($"user_id", $"session_start")
   }
 
   /** ST-15 — streaming curation admission: the documents feed drained

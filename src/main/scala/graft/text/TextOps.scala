@@ -316,7 +316,11 @@ object TextOps {
       .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
       .groupBy($"split_a", $"split_b")
       .agg(count(lit(1)).as("n_pairs"),
-        expr("bit_xor(doc_a + doc_b)").as("pair_checksum"))
+        // xor of per-pair XOR, not per-pair SUM: `doc_a + doc_b` kept
+        // an ANSI BIGINT overflow inside the checksum for ids above
+        // 2^62 — the snowflake-magnitude class the r14 bit_xor
+        // migration exists for. xor never overflows. (r15 advice)
+        expr("bit_xor(doc_a ^ doc_b)").as("pair_checksum"))
       .select($"split_a", $"split_b", $"n_pairs", $"pair_checksum",
         ($"split_a" =!= $"split_b").cast("int").as("leak"))
       .orderBy($"split_a", $"split_b")
@@ -418,7 +422,7 @@ object TextOps {
           sp AS (SELECT doc_id, ${splitCaseSql("doc_id")} AS split FROM documents)
           SELECT a.split AS split_a, b.split AS split_b,
                  count(*) AS n_pairs,
-                 CAST(bit_xor(p.doc_a + p.doc_b) AS BIGINT) AS pair_checksum,
+                 CAST(bit_xor(xor(p.doc_a, p.doc_b)) AS BIGINT) AS pair_checksum,
                  CAST(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END AS INT) AS leak
           FROM lsh_pairs p
           JOIN sp a ON p.doc_a = a.doc_id

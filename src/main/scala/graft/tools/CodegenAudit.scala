@@ -99,19 +99,30 @@ object CodegenAudit {
     * many plans each capture channel saw — the AUDIT must be able to
     * assert a streaming entry actually yielded micro-batch plans
     * (a reflection break in [[lastStreamingPlan]] would otherwise read
-    * as "clean sweep" forever — the vacuous-pass failure mode). */
+    * as "clean sweep" forever — the vacuous-pass failure mode).
+    * `batchPlans` counts ONLY QueryExecutionListener-captured
+    * executions — the returned DataFrame's own executedPlan (always
+    * added, so the name sweep covers it) is excluded, otherwise
+    * batchPlans >= 1 unconditionally and a silently broken listener
+    * channel reads as audited (r14 advice: the `batchPlans == 0`
+    * assert was dead code). Every entry runs `df.count()` here, which
+    * posts at least one listener event, so zero listener captures IS
+    * a broken channel, never a legitimate quiet entry. */
   case class RuntimeAudit(names: Set[String], batchPlans: Int, streamPlans: Int)
 
   def runtimeFallbackNames(spark: SparkSession, name: String,
       dir: String): RuntimeAudit = {
     import scala.jdk.CollectionConverters._
     val streamSeen = new java.util.concurrent.atomic.AtomicInteger()
+    val listenerSeen = new java.util.concurrent.atomic.AtomicInteger()
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[
       org.apache.spark.sql.execution.SparkPlan]()
     val ql = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = acc.add(qe.executedPlan)
+          durationNs: Long): Unit = {
+        listenerSeen.incrementAndGet(); acc.add(qe.executedPlan)
+      }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
@@ -127,9 +138,13 @@ object CodegenAudit {
       df.count()
       acc.add(df.queryExecution.executedPlan)
       // QueryExecutionListener posts async on the listener bus: wait
-      // until the capture count is stable for ~0.5 s
+      // until the capture count is stable for ~0.5 s. Bounded (r14
+      // advice): anything else posting executions on the shared
+      // session — or a stalled bus — must time the audit out with
+      // whatever was captured, not hang the suite forever.
       var last = -1; var stable = 0
-      while (stable < 3) {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
         Thread.sleep(150)
         val n = acc.size
         if (n == last) stable += 1 else { stable = 0; last = n }
@@ -141,7 +156,7 @@ object CodegenAudit {
     val names = acc.asScala.toSeq
       .flatMap(p => scala.util.Try(fallbackNames(p)).getOrElse(Set.empty[String]))
       .toSet
-    RuntimeAudit(names, acc.size - streamSeen.get(), streamSeen.get())
+    RuntimeAudit(names, listenerSeen.get(), streamSeen.get())
   }
 
   def main(args: Array[String]): Unit = {

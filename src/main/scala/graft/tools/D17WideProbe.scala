@@ -40,20 +40,29 @@ object D17WideProbe {
         .withColumn("source",
           format_string("src%04d", pmod($"doc_id", lit(sCount)).cast("int")))
 
-    def digestAndTime(label: String, mk: () => DataFrame): Long = {
+    def digestAndTime(label: String, mk: () => DataFrame): (Long, Double) = {
       val d0 = digest(mk()) // warm (memoized inputs + codegen)
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime(); digest(mk()); (System.nanoTime() - t0) / 1e9
       }
-      println(f"D17PROBE $label digest=$d0 median=${ts.sorted.apply(ts.size / 2)}%.3f " +
+      val med = ts.sorted.apply(ts.size / 2)
+      println(f"D17PROBE $label digest=$d0 median=$med%.3f " +
         ts.map(t => f"$t%.3f").mkString("[", ",", "]"))
-      d0
+      (d0, med)
     }
 
     def digest(df: DataFrame): Long =
       df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
         .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
 
+    // `auto` mode (r14 verdict task 5): validate the production picker
+    // instead of only printing raw A/B numbers — for each S, time both
+    // plans, decide the measured winner, and check the choice
+    // [[graft.dedup.Dedup.MatrixMaxSources]] would make agrees. A
+    // DISAGREE is only called past a 15% margin (the S=8 matrix edge
+    // was 2.5% — noise-level; the constant must not flap on that).
+    // Exits 3 on any DISAGREE so a panel script can gate on it.
+    var disagreements = 0
     widths.foreach { sCount =>
       val docs = wideDocs(sCount)
       val dm = if (plans != "exploded")
@@ -64,8 +73,23 @@ object D17WideProbe {
         Some(digestAndTime(s"S=$sCount exploded",
           () => graft.dedup.Dedup.crossSourceOverlap(spark, docs, 0)))
       else None
-      for (m <- dm; e <- de) println(s"D17PROBE S=$sCount identical=${m == e}")
+      for ((md, mt) <- dm; (ed, et) <- de) {
+        println(s"D17PROBE S=$sCount identical=${md == ed}")
+        if (plans == "auto") {
+          val picked = if (sCount <= graft.dedup.Dedup.MatrixMaxSources)
+            "matrix" else "exploded"
+          val winner = if (mt <= et) "matrix" else "exploded"
+          val margin = math.abs(mt - et) / math.max(mt, et)
+          val verdict =
+            if (picked == winner || margin < 0.15) "AGREE"
+            else { disagreements += 1; "DISAGREE" }
+          println(f"D17PROBE S=$sCount auto picked=$picked measured=$winner " +
+            f"margin=${margin * 100}%.1f%% $verdict " +
+            f"(crossover const=${graft.dedup.Dedup.MatrixMaxSources})")
+        }
+      }
     }
     spark.stop()
+    if (disagreements > 0) sys.exit(3)
   }
 }

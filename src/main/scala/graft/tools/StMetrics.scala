@@ -14,6 +14,7 @@ object StMetrics {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     graft.pipeline.Pipeline.sweepOldWorkDirs(0)
+    DiskPreflight.run() // r14 task 4: debris sweep + headroom gate
     val spark = graft.Bench.session(cpus)
     val (name, dir) = (args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 1

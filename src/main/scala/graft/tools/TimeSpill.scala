@@ -11,6 +11,10 @@ object TimeSpill {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     graft.pipeline.Pipeline.sweepOldWorkDirs(0)
+    // r14 task 4: sweep dead-JVM shuffle debris and refuse a run whose
+    // projected shuffle (SPARK_GRAFT_EXPECT_SHUFFLE_GB) can't fit —
+    // BEFORE the session allocates its own local dirs
+    DiskPreflight.run()
     val spark = graft.Bench.session(cpus)
     val (name, dir) = (args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 1
@@ -40,6 +44,7 @@ object TimeSpill {
     // counters reset AFTER warm-up: the reported spill is per the
     // timed reps only (divide by reps for per-run)
     mem.set(0); disk.set(0); shuffleW.set(0)
+    val repDisk = scala.collection.mutable.ArrayBuffer[Double]()
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       graft.Bench.consumeAll(fn(spark, dir))
@@ -47,8 +52,15 @@ object TimeSpill {
       // release the rep's shuffle files NOW (ContextCleaner acts on
       // GC): at the fourth decade one rep's shuffle is tens of GB and
       // letting reps' files stack until the periodic GC can exhaust
-      // the disk the next rep needs (measured: d3@sf1000sel ENOSPC)
+      // the disk the next rep needs (measured: d3@sf1000sel ENOSPC).
+      // The ContextCleaner deletes ASYNC — give it a settle window so
+      // the deletion I/O lands between reps, not inside the next
+      // timed one (r14: 2× rep spread from exactly that overlap), and
+      // record the post-settle disk level per rep so any remaining
+      // interference is a printed fact.
       System.gc()
+      Thread.sleep(3000)
+      repDisk += DiskPreflight.freeGb
       dt
     }
     val med = times.sorted.apply(times.size / 2)
@@ -58,7 +70,8 @@ object TimeSpill {
     println(f"TIMEDS $name hash=$h0 rows=$n0 warm=$warmSec%.3f median=$med%.6f s over $reps reps " +
       times.map(t => f"$t%.3f").mkString("[", ",", "]") +
       s" spillMemGB=${gb(mem.get)} spillDiskGB=${gb(disk.get)} " +
-      s"shuffleWriteGB=${gb(shuffleW.get)}")
+      s"shuffleWriteGB=${gb(shuffleW.get)}" +
+      repDisk.map(d => f"$d%.1f").mkString(" repFreeGB=[", ",", "]"))
     spark.streams.active.foreach { q =>
       scala.util.Try(q.stop()); scala.util.Try(q.awaitTermination(30000))
     }

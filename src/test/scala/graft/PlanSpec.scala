@@ -402,7 +402,11 @@ class PlanSpec extends AnyFunSuite {
       else if (vacuous)
         Some(s"$name: no micro-batch plan captured (audit went vacuous)")
       else if (r.batchPlans == 0)
-        Some(s"$name: no batch execution captured (audit went vacuous)")
+        // batchPlans counts LISTENER-captured executions only (the
+        // returned DF's own plan is excluded from the count), so this
+        // catches a silently broken QueryExecutionListener channel —
+        // every entry's df.count() must post at least one event.
+        Some(s"$name: no listener-captured batch execution (audit went vacuous)")
       else None
     }
     assert(problems.isEmpty,

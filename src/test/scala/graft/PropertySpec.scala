@@ -187,4 +187,79 @@ class PropertySpec extends AnyFunSuite {
     assert(total == graft.io.Tables.documents(spark, sf).count())
     assert(counts("train") > total * 8 / 10, s"train share off: $counts")
   }
+
+  // --- bit_xor checksum contract (r14 verdict finding 2) -------------
+  // The engine's set-pinning id checksums are bit_xor (sum overflows
+  // BIGINT at snowflake id magnitudes — commit 705de34), but xor is
+  // MULTIPLICITY-BLIND: a bug that emits a row an even number of times
+  // leaves the checksum unchanged. The contract that makes xor safe is
+  // therefore "a count(*) rides in the SAME aggregation as every xor
+  // checksum" — the count flips on any duplicated row. These two tests
+  // move that contract from convention into CI.
+
+  test("bit_xor is multiplicity-blind and count is the guard (the contract's why)") {
+    import spark.implicits._
+    val base = Seq(1L, 2L, 5L, 1L << 62).toDF("id")
+    val doubled = base.union(base) // every row exactly twice
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(expr("bit_xor(id)").as("x"), count(lit(1)).as("n"))
+        .as[(Long, Long)].collect()(0)
+    val (x1, n1) = agg(base)
+    val (x2, n2) = agg(doubled)
+    assert(x2 == 0L && x1 != 0L,
+      "even-multiplicity rows must cancel under xor (that is the blindness)")
+    assert(n2 == 2 * n1, "count must catch exactly what xor misses")
+  }
+
+  test("every src/main bit_xor agg site carries a count in the same aggregation") {
+    // Paren-balanced scan: for each `.agg(` whose argument list
+    // contains `bit_xor(`, the SAME argument list must contain a
+    // `count(`. graft/tools is excluded — probes there xor plan-variant
+    // digests against each other (both variants share any multiplicity
+    // bug by construction), they are not correctness gates. Oracle SQL
+    // strings mirror the Spark-side agg shape and are covered by the
+    // driver's hash compare.
+    def aggRegions(src: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = src.indexOf(".agg(")
+      while (i >= 0) {
+        var j = i + 4 // at '('
+        var depth = 0
+        var inStr = false
+        val sb = new StringBuilder
+        var done = false
+        while (!done && j < src.length) {
+          val c = src.charAt(j)
+          if (c == '"') inStr = !inStr
+          if (!inStr && c == '(') depth += 1
+          if (!inStr && c == ')') { depth -= 1; if (depth == 0) done = true }
+          sb.append(c); j += 1
+        }
+        out += sb.toString
+        i = src.indexOf(".agg(", j)
+      }
+      out.toSeq
+    }
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val files = java.nio.file.Files.walk(root).iterator()
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    var sites = 0
+    import scala.jdk.CollectionConverters._
+    files.asScala
+      .filter(p => p.toString.endsWith(".scala") && !p.toString.contains("/tools/"))
+      .foreach { p =>
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        aggRegions(src).filter(_.contains("bit_xor(")).foreach { region =>
+          sites += 1
+          if (!region.contains("count("))
+            bad += s"$p: .agg(${region.take(120)}…"
+        }
+      }
+    assert(sites >= 13,
+      s"expected the 13+ migrated xor-checksum sites, scanner saw $sites — " +
+        "the scan itself regressed (moved files? renamed idiom?)")
+    assert(bad.isEmpty,
+      "bit_xor checksum without a count(*) in the same aggregation — xor " +
+        "alone cannot see even-multiplicity duplicate rows:\n" + bad.mkString("\n"))
+  }
 }
