@@ -87,6 +87,21 @@ object Stream {
       math.min(math.max(8L, bytes / ((24L << 20) * storeWeight)), cores.toLong)
         .toString
     })
+  /** st13's broadcast-vs-shuffle crossover, in EVENTS-TABLE bytes (the
+    * proxy [[st13StreamAntiJoin]] sizes its seen side by: seen = the
+    * event_id column of 1/3 of the rows). Measured r15 A/B at sf100
+    * (events 2.1 GB, 33 M seen ids, StMetrics fresh JVMs): broadcast
+    * regime 114.1 s vs shuffled regime 28.7 s — the driver-side build
+    * and per-thread probe of a 33 M-key hashmap cost 4× the whole
+    * distributed exchange, on a drain st16 proves is ~10 s without the
+    * join. So the crossover sits BELOW sf100, well before the ~8 GB
+    * broadcast hard cap a ~sf500 seen set would hit. 1 GB keeps every
+    * gate/bench SF (≤ sf10, events ≤ 207 MB, where broadcast measured
+    * 11.9 s) on the broadcast plan; outputs are row-identical on both
+    * sides of the threshold (left_anti is plan-invariant;
+    * StreamingSpec drains both). */
+  private[graft] val St13BroadcastSeenMaxBytes: Long = 1L << 30
+
   /** Size of the table `name.parquet` under `dir` — a single file (the
     * driver's layout) or a directory of part files (any Spark-written
     * layout): directories sum their leaf files, so a multi-file table
@@ -358,17 +373,38 @@ object Stream {
     * dropped if its key already exists in the STATIC historical log
     * (here: every event_id ≡ 0 mod 3, standing in for the corpus's
     * processed-id table), and only survivors aggregate onward. The
-    * anti side broadcasts — at 100 TB the historical KEY set is the
-    * dim-sized artifact a pipeline maintains precisely so ingest never
-    * shuffles the full corpus (the bloom form of the same idea is x8).
-    * Complements st8's inner enrichment: anti = "new only". */
-  def st13StreamAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    * anti side broadcasts while small — at 100 TB the historical KEY
+    * set is the dim-sized artifact a pipeline maintains precisely so
+    * ingest never shuffles the full corpus (the bloom form of the same
+    * idea is x8). Complements st8's inner enrichment: anti = "new
+    * only".
+    *
+    * The broadcast is SIZE-CONDITIONAL ([[St13BroadcastSeenMaxBytes]]):
+    * this entry's seen set is 1/3 of ALL event ids, so unlike a true
+    * dim it grows with corpus and the unconditional hint has a cliff —
+    * Spark hard-caps a broadcast table at 8 GB, and the driver builds
+    * the whole hashmap (r15 ladder: 33 M ids at sf100 measured
+    * 114 s ≈ 11× st16's identical drain without the join; ~330 M ids
+    * at sf1000 would be a ~18 GB build, a hard failure). Past the
+    * threshold the hint is dropped and the micro-batch plans a
+    * shuffled join: the one-batch AvailableNow drain pays one bounded,
+    * distributed exchange instead of an unbounded driver build. */
+  def st13StreamAntiJoin(s: SparkSession, dir: String): DataFrame =
+    st13Drained(s, dir,
+      broadcastSeen = tableBytes(dir, "events") <= St13BroadcastSeenMaxBytes)
+
+  /** st13 with the regime explicit — StreamingSpec drains BOTH plans at
+    * gate SF and asserts identical rows (the threshold must never be a
+    * semantics knob). */
+  private[graft] def st13Drained(s: SparkSession, dir: String,
+      broadcastSeen: Boolean): DataFrame = {
     val seen = graft.io.Tables.events(s, dir)
       .filter($"event_id" % 3 === 0).select($"event_id")
+    val seenJoinSide = if (broadcastSeen) broadcast(seen) else seen
     val plan = graft.io.Tables.eventsStream(s, dir)
       .select($"ts", $"event_id", $"event_type", $"value")
       .withWatermark("ts", "2 hours")
-      .join(broadcast(seen), Seq("event_id"), "left_anti")
+      .join(seenJoinSide, Seq("event_id"), "left_anti")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"),
         sum(round($"value" * 100).cast("bigint")).as("sum_value_c"))

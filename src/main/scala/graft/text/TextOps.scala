@@ -687,11 +687,21 @@ object TextOps {
     * TopKRewrite turns it into the bounded-heap TopKPerGroup plan (no
     * per-doc sort — at 100 TB the vocabulary join shuffles on tok and
     * the final pass keeps 3 rows per doc per task).
-    */
+    *
+    * The token source rides the widened-when-starved scan seam
+    * ([[graft.io.Tables.documentsWide]], r15): the tokenize+explode
+    * stage is the entry's compute bulk, and on a row-group-starved
+    * single-file dir it ran at 4–5/32 threads (sf100 measured 224–378 s
+    * pre-widen vs ~12 GB of shuffle that takes a fraction of that).
+    * t14 is widen-eligible because every downstream step is
+    * order-independent: tf/df are counts, the score is exact BIGINT
+    * micro-unit algebra, and the top-3 tie-break (score desc, tok asc)
+    * is total per doc — no float summation anywhere. */
   def t14TfIdf(s: SparkSession, dir: String): DataFrame = {
     graft.plans.TopK.install(s)
-    val tf = tokens(s, dir).groupBy($"doc_id", $"tok")
-      .agg(count(lit(1)).as("tf"))
+    val tf = tokensOf(Tables.documentsWide(s, dir, Seq("doc_id", "text")),
+        $"doc_id")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir)
       .agg(count(lit(1)).cast("double").as("n_total"))

@@ -41,6 +41,13 @@ object TimeSpill {
     // cost — the number a fresh pipeline pays once — while the timed
     // reps are the steady state
     val warmSec = (System.nanoTime() - w0) / 1e9
+    // Release the WARM pass's shuffle files before rep 1, same as the
+    // inter-rep release below: without it the peak disk is warm+rep1
+    // (2× one rep's shuffle), which is exactly the budget that turns a
+    // fits-on-disk decade (t17@sf200 ~64 GB/rep vs ~76 GB free) into an
+    // ENOSPC.
+    System.gc()
+    Thread.sleep(3000)
     // counters reset AFTER warm-up: the reported spill is per the
     // timed reps only (divide by reps for per-run)
     mem.set(0); disk.set(0); shuffleW.set(0)

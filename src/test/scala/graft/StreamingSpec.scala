@@ -289,4 +289,22 @@ class StreamingSpec extends AnyFunSuite {
       new java.io.File(root).delete()
     }
   }
+
+  test("st13: broadcast and shuffled anti-join regimes drain identical rows (threshold is never a semantics knob)") {
+    // The r15 size-conditional broadcast (St13BroadcastSeenMaxBytes)
+    // swaps the seen side's join strategy by input size; left_anti
+    // results must be plan-invariant, so BOTH regimes are drained at
+    // gate SF and compared row-for-row.
+    val sf = "/root/testdata/sf0.001"
+    val a = graft.streaming.Stream.st13Drained(spark, sf, broadcastSeen = true)
+      .collect().toSeq
+    val b = graft.streaming.Stream.st13Drained(spark, sf, broadcastSeen = false)
+      .collect().toSeq
+    assert(a.nonEmpty, "st13 gate drain produced no rows")
+    assert(a == b,
+      s"regimes disagree: broadcast=${a.size} rows, shuffled=${b.size} rows")
+    // and the production picker at gate SF stays on the broadcast plan
+    assert(graft.streaming.Stream.tableBytes(sf, "events") <=
+      graft.streaming.Stream.St13BroadcastSeenMaxBytes)
+  }
 }
