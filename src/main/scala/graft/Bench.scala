@@ -173,7 +173,6 @@ object Bench {
     // measure one family at a time without paying for the whole suite).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val spark = session(cpus)
 
     // Pre-sweep ALL graft work dirs before any timing: stale zone
     // debris from earlier processes must not age past the production
@@ -182,11 +181,16 @@ object Bench {
     graft.pipeline.Pipeline.sweepOldWorkDirs(0)
     // Disk-headroom preflight (r14 task 4): record free disk in the
     // log and, when SPARK_GRAFT_EXPECT_SHUFFLE_GB projects a shuffle,
-    // refuse a run that would ENOSPC. Note: this runs BEFORE the
-    // session exists; the debris sweep inside skips itself when
-    // another live java process (sbt, a parallel suite) might own
-    // tmp's blockmgr dirs.
+    // refuse a run that would ENOSPC. MUST run BEFORE session(): the
+    // debris sweep deletes tmp's blockmgr dirs when no other java is
+    // alive, and with the session already up that included our OWN
+    // store (r15: standalone bench died on its first broadcast with
+    // NoSuchFileException under blockmgr-…; sbt runs masked it because
+    // sbt itself trips the live-JVM guard). DiskPreflight's
+    // MinDebrisAgeMs guard now also makes that ordering mistake
+    // non-fatal — both the order here and the age floor are the fix.
     graft.tools.DiskPreflight.run()
+    val spark = session(cpus)
 
     // Session warmup: touch the scheduler, parquet reader, and codegen
     // paths once. Non-fatal: a bad sfDir must still produce the JSON

@@ -51,22 +51,42 @@ object DiskPreflight {
     n
   }
 
+  /** Only dirs at least this stale are sweepable debris: a live JVM's
+    * blockmgr/spark-local dirs are written continuously, so anything
+    * untouched this long is a dead JVM's leavings. This is the
+    * belt-and-braces guard UNDER the liveness probe — the r15 bench
+    * crash (NoSuchFileException on its own `blockmgr-…/0e` 35 s after
+    * start) was the sweep running AFTER the session existed on a box
+    * with no other java alive: ordering bugs and probe races must
+    * degrade to "swept nothing young", never to deleting a running
+    * session's store. */
+  private[graft] val MinDebrisAgeMs: Long = 10L * 60 * 1000
+
   /** Sweep `blockmgr-*` / `spark-*` / `temporary-*` debris under tmp.
     * Skipped (with a printed reason) when another java process is
     * alive, unless SPARK_GRAFT_SWEEP_SHUFFLE=1 forces it (the operator
-    * asserting the other JVM is not Spark). Returns bytes freed. */
-  def sweepShuffleDebris(): Long = {
-    val force = sys.env.get("SPARK_GRAFT_SWEEP_SHUFFLE").contains("1")
+    * asserting the other JVM is not Spark). Dirs younger than
+    * [[MinDebrisAgeMs]] are never touched. Returns bytes freed. */
+  def sweepShuffleDebris(): Long =
+    sweepShuffleDebris(sys.env.get("SPARK_GRAFT_SWEEP_SHUFFLE").contains("1"))
+
+  /** `root` is injectable for the spec ONLY — a forced sweep of the
+    * real tmp from inside the test suite would race the live session's
+    * own spark-* dirs. */
+  private[graft] def sweepShuffleDebris(force: Boolean,
+      root: java.io.File = tmpDir): Long = {
     if (!force && otherJavaAlive) {
       println("PREFLIGHT sweep=skipped reason=other-java-alive " +
         "(set SPARK_GRAFT_SWEEP_SHUFFLE=1 to force)")
       return 0L
     }
-    val debris = Option(tmpDir.listFiles()).getOrElse(Array.empty).filter { f =>
+    val now = System.currentTimeMillis()
+    val debris = Option(root.listFiles()).getOrElse(Array.empty).filter { f =>
       val n = f.getName
       f.isDirectory &&
         (n.startsWith("blockmgr-") || n.startsWith("spark-") ||
-          n.startsWith("temporary-"))
+          n.startsWith("temporary-")) &&
+        now - f.lastModified() >= MinDebrisAgeMs
     }
     val freed = debris.map(rmTree).sum
     println(f"PREFLIGHT sweep=done dirs=${debris.length} freedGB=${freed / 1e9}%.2f")

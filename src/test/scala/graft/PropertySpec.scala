@@ -262,4 +262,34 @@ class PropertySpec extends AnyFunSuite {
       "bit_xor checksum without a count(*) in the same aggregation — xor " +
         "alone cannot see even-multiplicity duplicate rows:\n" + bad.mkString("\n"))
   }
+
+  test("shuffle-debris sweep never touches young dirs (a live session's store survives any ordering/race)") {
+    // r15 regression: Bench ran DiskPreflight AFTER its session existed
+    // and, alone on the box, swept its own blockmgr dir — first
+    // broadcast died on NoSuchFileException. The age floor makes any
+    // such ordering mistake degrade to "swept nothing young".
+    val root = java.nio.file.Files.createTempDirectory("graft_sweep_spec_").toFile
+    try {
+      val young = new java.io.File(root, "blockmgr-young"); young.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(young, "0e").toPath, "x")
+      val old = new java.io.File(root, "spark-old"); old.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(old, "shuffle_0_0_0.data").toPath, "y")
+      val stale = System.currentTimeMillis() -
+        graft.tools.DiskPreflight.MinDebrisAgeMs - 60000
+      old.setLastModified(stale)
+      val unrelated = new java.io.File(root, "not-spark"); unrelated.mkdirs()
+      unrelated.setLastModified(stale)
+
+      graft.tools.DiskPreflight.sweepShuffleDebris(force = true, root = root)
+      assert(young.exists() && new java.io.File(young, "0e").exists(),
+        "sweep deleted a YOUNG blockmgr dir — a live session's store")
+      assert(!old.exists(), "sweep must still clear stale dead-JVM debris")
+      assert(unrelated.exists(), "sweep must only match spark debris prefixes")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(root)
+    }
+  }
 }
