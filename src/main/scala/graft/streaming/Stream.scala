@@ -389,9 +389,19 @@ object Stream {
     * threshold the hint is dropped and the micro-batch plans a
     * shuffled join: the one-batch AvailableNow drain pays one bounded,
     * distributed exchange instead of an unbounded driver build. */
-  def st13StreamAntiJoin(s: SparkSession, dir: String): DataFrame =
-    st13Drained(s, dir,
-      broadcastSeen = tableBytes(dir, "events") <= St13BroadcastSeenMaxBytes)
+  def st13StreamAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    // tableBytes = 0 means missing/unreadable (it already warned): the
+    // seen-set size is UNKNOWN, so take the conservative shuffled plan —
+    // a mis-sized shuffle costs only speed, a mis-sized broadcast hits
+    // the 8 GB hard cap (r16 ADVICE: an I/O error must never silently
+    // select the regime with the hard failure mode). The regime chosen
+    // is logged either way so a mis-sized pick is a recorded fact.
+    val bytes = tableBytes(dir, "events")
+    val bcast = bytes > 0L && bytes <= St13BroadcastSeenMaxBytes
+    System.err.println(
+      s"[graft] st13 regime=${if (bcast) "broadcast" else "shuffled"} eventsBytes=$bytes")
+    st13Drained(s, dir, broadcastSeen = bcast)
+  }
 
   /** st13 with the regime explicit — StreamingSpec drains BOTH plans at
     * gate SF and asserts identical rows (the threshold must never be a

@@ -59,8 +59,24 @@ object DiskPreflight {
     * start) was the sweep running AFTER the session existed on a box
     * with no other java alive: ordering bugs and probe races must
     * degrade to "swept nothing young", never to deleting a running
-    * session's store. */
+    * session's store. Staleness is judged on [[newestMtime]] (the dir
+    * AND its immediate children), not the top dir alone: a live
+    * blockmgr-* dir stops gaining direct children once its hashed
+    * subdirs exist, so after ~10 min of runtime its own mtime exceeds
+    * the floor while its children (where block files actually land,
+    * touching the subdir mtime) stay young — judging the top dir alone
+    * would re-open exactly the window this floor exists to close
+    * (r16 ADVICE). */
   private[graft] val MinDebrisAgeMs: Long = 10L * 60 * 1000
+
+  /** Newest lastModified across `f` and its IMMEDIATE children — the
+    * bounded walk that sees a live blockmgr's activity (writes land in
+    * hashed subdirs, touching the subdir's mtime) without paying a full
+    * recursive stat of thousands of shuffle files. */
+  private[graft] def newestMtime(f: java.io.File): Long = {
+    val kids = Option(f.listFiles()).getOrElse(Array.empty)
+    (f.lastModified() +: kids.map(_.lastModified())).max
+  }
 
   /** Sweep `blockmgr-*` / `spark-*` / `temporary-*` debris under tmp.
     * Skipped (with a printed reason) when another java process is
@@ -86,7 +102,7 @@ object DiskPreflight {
       f.isDirectory &&
         (n.startsWith("blockmgr-") || n.startsWith("spark-") ||
           n.startsWith("temporary-")) &&
-        now - f.lastModified() >= MinDebrisAgeMs
+        now - newestMtime(f) >= MinDebrisAgeMs
     }
     val freed = debris.map(rmTree).sum
     println(f"PREFLIGHT sweep=done dirs=${debris.length} freedGB=${freed / 1e9}%.2f")

@@ -48,6 +48,13 @@ object TimeSpill {
     // ENOSPC.
     System.gc()
     Thread.sleep(3000)
+    // Record free disk AFTER the warm settle (r16 ADVICE): System.gc()
+    // is a hint (a no-op under -XX:+DisableExplicitGC) and the
+    // ContextCleaner deletes async, so "the warm shuffle was released
+    // before rep 1" must be a printed fact, not an assumption — a
+    // warmFreeGB far below the repFreeGB tail IS the unreleased warm
+    // shuffle, visible in the artifact.
+    val warmFreeGb = DiskPreflight.freeGb
     // counters reset AFTER warm-up: the reported spill is per the
     // timed reps only (divide by reps for per-run)
     mem.set(0); disk.set(0); shuffleW.set(0)
@@ -78,6 +85,7 @@ object TimeSpill {
       times.map(t => f"$t%.3f").mkString("[", ",", "]") +
       s" spillMemGB=${gb(mem.get)} spillDiskGB=${gb(disk.get)} " +
       s"shuffleWriteGB=${gb(shuffleW.get)}" +
+      f" warmFreeGB=$warmFreeGb%.1f" +
       repDisk.map(d => f"$d%.1f").mkString(" repFreeGB=[", ",", "]"))
     spark.streams.active.foreach { q =>
       scala.util.Try(q.stop()); scala.util.Try(q.awaitTermination(30000))

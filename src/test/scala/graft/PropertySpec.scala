@@ -270,19 +270,33 @@ class PropertySpec extends AnyFunSuite {
     // such ordering mistake degrade to "swept nothing young".
     val root = java.nio.file.Files.createTempDirectory("graft_sweep_spec_").toFile
     try {
+      val stale = System.currentTimeMillis() -
+        graft.tools.DiskPreflight.MinDebrisAgeMs - 60000
       val young = new java.io.File(root, "blockmgr-young"); young.mkdirs()
       java.nio.file.Files.writeString(new java.io.File(young, "0e").toPath, "x")
       val old = new java.io.File(root, "spark-old"); old.mkdirs()
-      java.nio.file.Files.writeString(new java.io.File(old, "shuffle_0_0_0.data").toPath, "y")
-      val stale = System.currentTimeMillis() -
-        graft.tools.DiskPreflight.MinDebrisAgeMs - 60000
+      val oldChild = new java.io.File(old, "shuffle_0_0_0.data")
+      java.nio.file.Files.writeString(oldChild.toPath, "y")
+      oldChild.setLastModified(stale)
       old.setLastModified(stale)
+      // r16 ADVICE case: a LIVE blockmgr after ~10 min of runtime — the
+      // top dir stopped gaining direct children (hashed subdirs exist)
+      // so its own mtime is past the floor, but writes keep touching
+      // the subdirs. Staleness must be judged on the newest mtime
+      // across dir + immediate children, so this one survives.
+      val liveOldTop = new java.io.File(root, "blockmgr-live"); liveOldTop.mkdirs()
+      val liveSub = new java.io.File(liveOldTop, "0f"); liveSub.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(liveSub, "blk").toPath, "z")
+      liveOldTop.setLastModified(stale) // top dir old, subdir young
       val unrelated = new java.io.File(root, "not-spark"); unrelated.mkdirs()
       unrelated.setLastModified(stale)
 
       graft.tools.DiskPreflight.sweepShuffleDebris(force = true, root = root)
       assert(young.exists() && new java.io.File(young, "0e").exists(),
         "sweep deleted a YOUNG blockmgr dir — a live session's store")
+      assert(liveOldTop.exists() && new java.io.File(liveSub, "blk").exists(),
+        "sweep deleted an old-top/young-child blockmgr dir — a live " +
+          "session past 10 min of runtime")
       assert(!old.exists(), "sweep must still clear stale dead-JVM debris")
       assert(unrelated.exists(), "sweep must only match spark debris prefixes")
     } finally {

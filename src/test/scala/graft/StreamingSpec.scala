@@ -295,16 +295,55 @@ class StreamingSpec extends AnyFunSuite {
     // swaps the seen side's join strategy by input size; left_anti
     // results must be plan-invariant, so BOTH regimes are drained at
     // gate SF and compared row-for-row.
+    //
+    // r16 (ADVICE): at gate SF the seen side is far below the session's
+    // default autoBroadcastJoinThreshold, so dropping the hint alone
+    // still PLANS a broadcast join — the broadcastSeen=false drain must
+    // disable auto-broadcast or the regime comparison is vacuous. The
+    // executed micro-batch plan is captured at the drainObserver seam
+    // and asserted to actually contain a shuffled join.
     val sf = "/root/testdata/sf0.001"
     val a = graft.streaming.Stream.st13Drained(spark, sf, broadcastSeen = true)
       .collect().toSeq
-    val b = graft.streaming.Stream.st13Drained(spark, sf, broadcastSeen = false)
-      .collect().toSeq
+    val captured = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val bcKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prevBc = bcKeys.map(k => k -> spark.conf.getOption(k))
+    val prevObs = graft.streaming.Stream.drainObserver.get()
+    val b = try {
+      bcKeys.foreach(spark.conf.set(_, "-1"))
+      graft.streaming.Stream.drainObserver.set { q =>
+        graft.tools.CodegenAudit.lastStreamingPlan(q).foreach(captured += _)
+      }
+      graft.streaming.Stream.st13Drained(spark, sf, broadcastSeen = false)
+        .collect().toSeq
+    } finally {
+      graft.streaming.Stream.drainObserver.set(prevObs)
+      prevBc.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
     assert(a.nonEmpty, "st13 gate drain produced no rows")
     assert(a == b,
       s"regimes disagree: broadcast=${a.size} rows, shuffled=${b.size} rows")
+    // anti-vacuity: the shuffled drain's executed micro-batch plans were
+    // captured, the anti join really ran as a shuffled join, and no
+    // broadcast anti join crept back in via auto-broadcast
+    assert(captured.nonEmpty,
+      "drainObserver captured no micro-batch plan — the shuffled-regime assert is vacuous")
+    val trees = captured.map(_.treeString)
+    assert(trees.exists(t =>
+        (t.contains("SortMergeJoin") || t.contains("ShuffledHashJoin")) &&
+          t.contains("LeftAnti")),
+      "no captured micro-batch plan ran the anti join as a shuffled join:\n" +
+        trees.map(_.take(2000)).mkString("\n---\n"))
+    assert(!trees.exists(t => t.contains("BroadcastHashJoin") && t.contains("LeftAnti")),
+      "broadcastSeen=false drain still planned a broadcast anti join — regime check vacuous")
     // and the production picker at gate SF stays on the broadcast plan
-    assert(graft.streaming.Stream.tableBytes(sf, "events") <=
-      graft.streaming.Stream.St13BroadcastSeenMaxBytes)
+    val gateBytes = graft.streaming.Stream.tableBytes(sf, "events")
+    assert(gateBytes > 0L &&
+      gateBytes <= graft.streaming.Stream.St13BroadcastSeenMaxBytes)
   }
 }
