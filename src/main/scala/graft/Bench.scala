@@ -68,6 +68,16 @@ import org.apache.spark.sql.functions._
   * protocol section records the same rule.
   */
 object Bench {
+  /** Measured per-entry A/A fresh-JVM noise bound at sf0.1 (seconds):
+    * the largest |A−B| median delta across two back-to-back fresh
+    * measurements of every fresh-population entry on UNCHANGED code
+    * (tools/r16_aa.sh; the full matrix is SCALING.md's NOISE table).
+    * Ships as "noise_bound" in the bench artifact — the mechanical
+    * discount for round-over-round per-entry deltas. Re-measure (and
+    * update) whenever the fresh manifest or the box changes;
+    * SPARK_GRAFT_BENCH_NOISE_BOUND overrides without a rebuild. */
+  private[graft] val NoiseBoundSec: Double = 1.5
+
   /** The measurement session conf — ONE definition shared by Bench
     * (in-suite) and TimeOne (fresh-JVM re-measure), so the two numbers
     * can differ only by suite state, never by conf drift.
@@ -270,28 +280,51 @@ object Bench {
     val freshFloor =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH_FLOOR", "1.0").toDouble
     val FreshFamilies = Seq("st", "p")
-    // Pinned keep-list (round-13 verdict finding 4 / task 7): the floor
-    // criterion alone lets scale-sensitive entries FLAP in and out of
-    // fresh selection between rounds as their in-suite medians cross
-    // 1.0 s (r13 lost fresh provenance on d11b/d11c/d19/s11/x12 that
-    // r12 had), which breaks per-entry cross-round comparison — fresh
-    // and in-suite numbers are different populations. These entries are
-    // always fresh-measured regardless of their in-suite median, and
-    // the list ships in the conf fingerprint so a change to it reads as
-    // a conf change, not a code delta.
-    val FreshKeep: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_FRESH_KEEP")
+    // Frozen fresh MANIFEST (round-16, replacing the r11 time-floor
+    // trigger + r13 keep-list): selection by an in-suite TIME threshold
+    // made the fresh population itself a function of run-to-run timing —
+    // r15 measured n_fresh 43 vs 50 between same-code runs as borderline
+    // entries crossed 1.0 s, so the headline total summed DIFFERENT
+    // populations (each fresh entry carries a ~1 s JVM floor) and
+    // round-over-round totals were incomparable. The fresh set is now an
+    // explicit entry list: the st/p families (deterministic by name) plus
+    // this manifest — the union of every entry the floor ever selected
+    // through r15 (subsumes the old keep-list). n_fresh is constant
+    // across runs and rounds by construction. freshFloor survives only
+    // as a DRIFT DETECTOR: an unselected entry whose in-suite median
+    // crosses it is named in "fresh_manifest_drift" (and on stderr) so
+    // the manifest gets extended deliberately, never silently.
+    val FreshManifest: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_FRESH_MANIFEST")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("d11b_simhash_neardup64", "d11c_simhash_wideband",
-        "d19_cluster_split", "s11_hamming_rerank", "x12_dpp"))
+      .getOrElse(Set(
+        "d11b_simhash_neardup64", "d11c_simhash_wideband",
+        "d12_minhash_calibration", "d13_incremental_dedup",
+        "d14_dedup_verdict", "d15_semantic_dedup", "d16_containment",
+        "d17_source_overlap", "d19_cluster_split", "d2_minhash_sig",
+        "d3_lsh_pairs", "d4_ngram_jaccard", "d8_lsh_jaccard",
+        "mt13_wap", "mt7_partition_overwrite", "mt9_compact_small_files",
+        "q18_percentile", "q23_approx_sketches", "q9_limit_scan",
+        "s11_hamming_rerank", "s13_trained_recall", "t17_boilerplate",
+        "x12_dpp"))
     def inFreshFamily(name: String): Boolean =
       FreshFamilies.exists(f => name.startsWith(f) &&
         name.length > f.length && name.charAt(f.length).isDigit)
     val freshTargets =
       if (!freshOn) Seq.empty
       else results.filter(_._2 > 0)
-        .filter { case (name, med, _, _) =>
-          med >= freshFloor || inFreshFamily(name) || FreshKeep(name) }
+        .filter { case (name, _, _, _) =>
+          inFreshFamily(name) || FreshManifest(name) }
         .sortBy(-_._2).map(_._1)
+    // Drift detector: a non-manifest entry whose in-suite median crossed
+    // the old floor would have been fresh under the r11 policy — name it
+    // loudly so the manifest is extended by a COMMIT, not by timing.
+    val manifestDrift = results
+      .filter { case (name, med, _, _) =>
+        med >= freshFloor && !inFreshFamily(name) && !FreshManifest(name) }
+      .map(_._1).sorted
+    manifestDrift.foreach(n => System.err.println(
+      s"[bench] manifest drift: $n in-suite >= ${freshFloor}s but not in " +
+        "the fresh manifest — extend FreshManifest (its number ships in-suite this run)"))
     /** One fresh JVM: returns (median, stddev-over-reps, n). Timeout
       * scales with the entry's own in-suite cost (ADVICE: a flat 10 min
       * hits exactly the expensive entries that need correction most at
@@ -408,13 +441,21 @@ object Bench {
     // constants: session() is the one conf definition, and a future
     // edit there must not desynchronize the fingerprint that
     // cross-round comparisons trust
+    // Manifest fingerprint: count + a stable content hash, NOT the name
+    // list — the conf block also ships in the compact line, whose whole
+    // point is fitting the driver's ~2 KB stdout tail. The full name
+    // list lives in "fresh_manifest" on the detail line only.
+    val manifestFp = {
+      val joined = FreshManifest.toSeq.sorted.mkString(",")
+      f"n=${FreshManifest.size};h=${joined.hashCode & 0xffffffffL}%08x"
+    }
     val confFp = s"""{"cpus":$cpus,""" +
       s""""shufflePartitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
       s""""aqeInitialPartitionNum":${spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")},""" +
       s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")},""" +
       s""""freshEnabled":$freshOn,"freshFloor":$freshFloor,""" +
       s""""freshFamilies":"${FreshFamilies.mkString(",")}",""" +
-      s""""freshKeep":"${FreshKeep.toSeq.sorted.mkString(",")}",""" +
+      s""""freshManifest":"$manifestFp",""" +
       // the r14 measurement-contract change: every entry's timing now
       // consumes its FULL output (consumeAll) instead of .count() —
       // totals are not comparable to pre-r14 artifacts, and this field
@@ -423,9 +464,23 @@ object Bench {
     val onlyField = only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")
     val failedField = "\"fresh_failed\":" +
       freshFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Measured per-entry A/A noise bound for the fresh population
+    // (round-16 task 6): the largest |A−B| fresh-JVM median delta
+    // observed on UNCHANGED code at sf0.1 (tools/r16_aa.sh → SCALING.md
+    // NOISE table). A per-entry round-over-round delta inside this
+    // bound is run noise, not a regression — the field ships in the
+    // artifact so the driver's 2× gate (and the judge) can discount it
+    // mechanically instead of re-running ad-hoc A/As each round.
+    val noiseBound = sys.env.getOrElse("SPARK_GRAFT_BENCH_NOISE_BOUND",
+      NoiseBoundSec.toString).toDouble
     val provenanceFields = s""""total_insuite":${fmt(totalInsuite)},""" +
-      s""""total_fresh":${fmt(totalFresh)},"n_fresh":${fresh.size}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$provenanceFields,"queries":$qs,"stddev":$sd,"n":$ns,"insuite":$insuite,$failedField,"conf":$confFp$onlyField,"reps":$reps,"sf":"$sfDir"}"""
+      s""""total_fresh":${fmt(totalFresh)},"n_fresh":${fresh.size},""" +
+      s""""noise_bound":$noiseBound"""
+    val manifestFields = "\"fresh_manifest\":" +
+      FreshManifest.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]") +
+      ",\"fresh_manifest_drift\":" +
+      manifestDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$provenanceFields,"queries":$qs,"stddev":$sd,"n":$ns,"insuite":$insuite,$failedField,$manifestFields,"conf":$confFp$onlyField,"reps":$reps,"sf":"$sfDir"}"""
     // The driver parses the stdout TAIL. A streaming state-store
     // maintenance thread racing spark.stop() can dump a benign
     // RpcEnvStoppedException stack AFTER our line and flood it out
