@@ -17,6 +17,9 @@ object StMetrics {
     DiskPreflight.run() // r14 task 4: debris sweep + headroom gate
     val spark = graft.Bench.session(cpus)
     val (name, dir) = (args(0), args(1))
+    // r15 task 4: refuse to pin a scan-starved run (the t14 class —
+    // fail fast with the widen-eligible message, never record it)
+    StarveGuard.check(spark, name, dir)
     val reps = if (args.length > 2) args(2).toInt else 1
     val drains = new java.util.concurrent.atomic.AtomicInteger()
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()

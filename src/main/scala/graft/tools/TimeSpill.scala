@@ -17,6 +17,9 @@ object TimeSpill {
     DiskPreflight.run()
     val spark = graft.Bench.session(cpus)
     val (name, dir) = (args(0), args(1))
+    // r15 task 4: refuse to pin a scan-starved run (the t14 class —
+    // fail fast with the widen-eligible message, never record it)
+    StarveGuard.check(spark, name, dir)
     val reps = if (args.length > 2) args(2).toInt else 1
     val mem = new java.util.concurrent.atomic.AtomicLong()
     val disk = new java.util.concurrent.atomic.AtomicLong()

@@ -263,6 +263,46 @@ class PropertySpec extends AnyFunSuite {
         "alone cannot see even-multiplicity duplicate rows:\n" + bad.mkString("\n"))
   }
 
+  test("starve guard: a single-row-group big table trips, a wide-enough one passes, family map scopes the probe") {
+    // r15 task 4: t14 shipped 4.7× slow for two rounds because its
+    // sf100 documents file had 5 row groups — the panel tools must
+    // refuse to pin a starved run. minBytes is injected (1 byte) so a
+    // tiny fixture stands in for the 256 MB production threshold.
+    val root = java.nio.file.Files.createTempDirectory("graft_starve_").toString
+    try {
+      // single file, single row group => effectiveScanSplits = 1
+      spark.range(1000).selectExpr("id AS doc_id", "'x' AS text")
+        .coalesce(1).write.parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$root/documents.parquet"))
+      val starved = graft.tools.StarveGuard.starvedTables(
+        spark, "t14_tfidf", root, minBytes = 1L)
+      assert(starved.map(_._1) == Seq("documents"),
+        s"single-row-group documents must trip the guard, got $starved")
+      assert(starved.head._2 * 4 <= spark.sparkContext.defaultParallelism)
+      // family scoping: an events-family entry in the SAME dir must not
+      // be blocked by the starved documents file it never reads
+      // (events.parquet is absent => 0 bytes => skipped)
+      assert(graft.tools.StarveGuard.starvedTables(
+        spark, "st6_stream_dedup", root, minBytes = 1L).isEmpty,
+        "events-family entry blocked by an unrelated starved documents file")
+      // a multi-file table is as wide as its file count: 64 parts >= cores/4
+      spark.range(10000).selectExpr("id AS event_id")
+        .repartition(64).write.parquet(s"$root/events.parquet")
+      assert(graft.tools.StarveGuard.starvedTables(
+        spark, "st6_stream_dedup", root, minBytes = 1L).isEmpty,
+        "a 64-part events dir must not read as starved")
+    } finally {
+      graft.io.Tables.invalidateTableCache(root)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("shuffle-debris sweep never touches young dirs (a live session's store survives any ordering/race)") {
     // r15 regression: Bench ran DiskPreflight AFTER its session existed
     // and, alone on the box, swept its own blockmgr dir — first
