@@ -168,6 +168,23 @@ object Bench {
           math.max(1024, cpus.toInt * 8).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // r16 optimization (guide §2.2 fewer-larger partitions): by
+      // default AQE may NOT change the output partitioning of a plan
+      // that feeds a .persist() (canChangeCachedPlanOutputPartitioning
+      // = false), so every cached table materialized at the FULL
+      // initialPartitionNum — the dedup memos (LSH pairs, cluster map)
+      // were 1024-partition RDDs of KB-sized blocks, and every
+      // consumer (d3/d6/d8/d14/d16/d19/t20/p2…) ran 1024-task stages
+      // over them: measured 0.5–0.7 s of pure scheduling per stage at
+      // sf0.1 (d19: 10 such stages). With coalescing allowed the cache
+      // materializes at AQE's advisory-sized width — partition count
+      // follows DATA SIZE at every SF, which is exactly the sizing
+      // rule the rest of the conf already encodes. Trade-off
+      // (documented on the conf): a consumer can no longer reuse the
+      // cached plan's exchange partitioning — irrelevant here, every
+      // consumer re-aggregates by a different key than the cache's
+      // output order.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

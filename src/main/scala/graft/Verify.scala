@@ -21,6 +21,9 @@ object Verify {
         math.max(256, cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // allow AQE to right-size cached plans (see Bench.session) — the
+      // dedup memos otherwise materialize at initialPartitionNum
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,12 +16,22 @@ import graft.io.Tables
   */
 object Advanced {
 
-  /** Q-18 — exact interpolated percentiles (p50/p90/p99). */
+  /** Q-18 — exact interpolated percentiles (p50/p90/p99).
+    *
+    * r16 optimization: ONE `percentile(col, array(...))` call instead
+    * of three scalar calls — each scalar percentile keeps its OWN
+    * value-counts buffer, so the old agg built and merged three copies
+    * of the column (measured ~1 s over two single-task stages at
+    * sf0.1). The array form shares one buffer and one final sort;
+    * per-element interpolation is the same arithmetic, so the three
+    * outputs are bit-identical. */
   def q18Percentile(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir).agg(
-      round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-      round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-      round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+    Tables.orders(s, dir)
+      .agg(expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(
+        round($"ps".getItem(0), 4).as("p50"),
+        round($"ps".getItem(1), 4).as("p90"),
+        round($"ps".getItem(2), 4).as("p99"))
 
   /** Q-19 — ROLLUP hierarchy totals (status → priority → grand). */
   def q19Rollup(s: SparkSession, dir: String): DataFrame =
@@ -250,17 +260,32 @@ object Advanced {
     * sketch — the flag proves it. At scale the sketches replace their
     * exact counterparts: HLL buffers merge map-side in O(1) memory vs
     * countDistinct's exchange of every distinct value. */
-  def q23ApproxSketches(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).agg(
+  def q23ApproxSketches(s: SparkSession, dir: String): DataFrame = {
+    // The exact-distinct scalar is computed in its OWN aggregate and
+    // crossJoined back (r16 optimization): mixing count(DISTINCT) with
+    // the non-distinct sketches in one Aggregate makes Catalyst rewrite
+    // the whole thing as a pre-aggregation KEYED BY the distinct column
+    // — the plan shuffled one 400-slot HLL buffer + one percentile
+    // value-map PER DISTINCT l_partkey (a 413-column exchange, measured
+    // 1.5 s stage) before merging. Split, the sketches run as one
+    // global 1-row aggregate (partial-merged, constant-size buffers on
+    // the wire) and the exact distinct as a plain two-level count.
+    // Values are identical — the same rows reach every aggregate
+    // function; the 1×1 crossJoin is the documented scalar-broadcast
+    // pattern (PlanSpec allowlist).
+    val li = Tables.lineitem(s, dir)
+    val sketches = li.agg(
       approx_count_distinct($"l_partkey", 0.02).as("ac"),
-      countDistinct($"l_partkey").as("exact_parts"),
       expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
       expr("percentile(l_extendedprice, 0.5)").as("ep"))
+    val exact = li.agg(countDistinct($"l_partkey").as("exact_parts"))
+    sketches.crossJoin(exact)
     .select(
       $"exact_parts",
       (abs($"ac" - $"exact_parts") <= $"exact_parts" * 0.1).cast("int").as("approx_parts_ok"),
       round($"ep", 4).as("exact_p50"),
       (abs($"ap" - $"ep") <= abs($"ep") * 0.05).cast("int").as("approx_p50_ok"))
+  }
 
   /** Q-42 — single-pass distributed moments: per-group stddev and
     * correlation computed from EXACT integer power sums (n, Σx, Σy,

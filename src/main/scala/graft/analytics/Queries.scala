@@ -96,14 +96,27 @@ object Queries {
     * .limit(1048575)` as a full-table shuffle sort at scale; this plan
     * is LocalLimit → single-partition GlobalLimit → agg: bounded by the
     * limit constant, not the table. (Sum of 2^32-max terms over ≤2^20
-    * rows ≤ 2^52 — no bigint overflow under ANSI.) */
+    * rows ≤ 2^52 — no bigint overflow under ANSI.)
+    *
+    * r16 optimization: the md5 digest TERM is projected BELOW the
+    * limit, inside the scan stage. Catalyst pushed the concat_ws
+    * projection under the LocalLimit on its own but left the
+    * md5+conv above the single-partition GlobalLimit, so ~10^6 md5
+    * evaluations ran on ONE task (measured the whole 1.27 s entry);
+    * the explicit pre-limit projection runs them scan-wide and the
+    * exchange ships an 8-byte bigint per row instead of a ~40-byte
+    * row_key string. Row selection is untouched — LocalLimit passes
+    * the same first-N rows per partition whatever the projection
+    * computes — and the digest is the same exact integer sum over
+    * the same rows. */
   def q9LimitScan(s: SparkSession, dir: String): DataFrame =
-    q9Rows(s, dir)
+    Tables.lineitem(s, dir)
       .select(concat_ws("|", $"l_orderkey", $"l_partkey",
         round($"l_quantity" * 100).cast("bigint"),
         round($"l_extendedprice" * 100).cast("bigint")).as("row_key"))
-      .agg(count(lit(1)).as("n"),
-        sum(conv(substring(md5($"row_key"), 1, 8), 16, 10).cast("bigint")).as("digest"))
+      .select(conv(substring(md5($"row_key"), 1, 8), 16, 10).cast("bigint").as("term"))
+      .limit(1048575)
+      .agg(count(lit(1)).as("n"), sum($"term").as("digest"))
 
   /** Q-10 — MBQL temporal-bucket AVG, sorted desc (ref dump:11072,11117). */
   def q10MinuteAvg(s: SparkSession, dir: String): DataFrame =

@@ -670,12 +670,22 @@ object Dedup {
       .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
     val sizes = splits.groupBy($"split")
       .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("id_checksum"))
-    val within = tagged.filter($"split_a" === $"split_b")
-      .groupBy($"split_a".as("split")).agg(count(lit(1)).as("n_pairs_within"))
-    val strays = tagged.filter($"split_a" =!= $"split_b")
-      .select($"split_a".as("split"))
-      .unionAll(tagged.filter($"split_a" =!= $"split_b").select($"split_b".as("split")))
-      .groupBy($"split").agg(count(lit(1)).as("n_pairs_straddling"))
+    // Aggregate the pair stream to the (split_a, split_b) MATRIX first
+    // (≤ |splits|² rows), then derive both audits from the matrix (r16
+    // optimization, guide §2.3 "aggregate before you shuffle"): the
+    // within/strays branches previously consumed the tagged pair
+    // stream THREE times — three full pairs⋈splits⋈splits passes in
+    // one plan. Counts are additive, so summing matrix cells is
+    // row-identical to counting raw pairs; at 100 TB the pair stream
+    // is Ω(near-dup pairs) and this is two fewer passes over it.
+    val pairMatrix = tagged.groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val within = pairMatrix.filter($"split_a" === $"split_b")
+      .groupBy($"split_a".as("split")).agg(sum($"n_pairs").as("n_pairs_within"))
+    val strayCells = pairMatrix.filter($"split_a" =!= $"split_b")
+    val strays = strayCells.select($"split_a".as("split"), $"n_pairs")
+      .unionAll(strayCells.select($"split_b".as("split"), $"n_pairs"))
+      .groupBy($"split").agg(sum($"n_pairs").as("n_pairs_straddling"))
     sizes.join(within, Seq("split"), "left").join(strays, Seq("split"), "left")
       .select($"split", $"n_docs", $"id_checksum",
         coalesce($"n_pairs_within", lit(0L)).as("n_pairs_within"),

@@ -32,6 +32,24 @@ object Pipeline {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** Raw-zone snapshot writer width, derived from the SOURCE table's
+    * bytes (r16 optimization, guide §2.5 input skew / §6 file layout):
+    * the driver's single-row-group parquet files plan ONE scan task, so
+    * the raw CSV/JSON serialization (date_format per row) and the
+    * clean-zone parse-back both ran single-threaded — measured 738 ms
+    * for the sf0.1 lineitem CSV hop alone. One narrow round-robin
+    * exchange before the write spreads the text serialization and gives
+    * the raw zone a multi-file layout, which is what the clean-side
+    * reader needs for parallel parse. Scale-adaptive: ~1 MB of source
+    * parquet per writer task, clamped to the core count — at cluster
+    * SFs the scan is already wide and the clamp keeps this a no-op
+    * policy, never a fixed local constant. */
+  private def rawWriteWidth(s: SparkSession, dir: String, table: String): Int = {
+    val bytes = graft.streaming.Stream.tableBytes(dir, table)
+    math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+      bytes >> 20)).toInt
+  }
+
   /** Latest raw object by the name-embedded timestamp (O-13 on object
     * names — the reference's list_objects + max(LastModified)). */
   private def latestObject(root: String, prefix: String): String = {
@@ -58,7 +76,10 @@ object Pipeline {
     // reference's list_objects+max(LastModified) done on the
     // name-embedded ts), normalize/coerce/dropna, snapshot-overwrite (O-9).
     val sheetsHop = scala.concurrent.Future {
+      // widen BEFORE the date_format projection so the per-row text
+      // serialization runs post-exchange on every core (see rawWriteWidth)
       val li = Tables.lineitem(s, dir)
+        .repartition(rawWriteWidth(s, dir, "lineitem"))
       val messy = li.select(
         $"l_orderkey".as("L OrderKey"), $"l_partkey".as(" L PartKey"),
         $"l_quantity".as("L Quantity "), date_format($"l_shipdate", TsFmt).as("L ShipDate"))
@@ -91,6 +112,7 @@ object Pipeline {
     // zone) + explicit ts parse-back.
     val apiHop = scala.concurrent.Future {
       val ev = Tables.events(s, dir)
+        .repartition(rawWriteWidth(s, dir, "events"))
       val evJson = ev.select($"event_id", date_format($"ts", TsFmt).as("ts"),
         $"user_id", $"event_type", $"value", $"props")
       def writeRawJson(df: DataFrame, ts: String): Unit =
@@ -118,11 +140,20 @@ object Pipeline {
     val result = Scoring.score(cleanLi, Tables.orders(s, dir),
       cleanEv, Tables.part(s, dir))
     Snapshot.overwriteSnapshot(result, s"$work/curated-zone/prescriptive_hygiene")
-    Snapshot.auditLogCsv(result, s"$work/curated-zone/logs/last_calculation")
+
+    // Downstream stages read the CURATED ZONE, not the live scoring
+    // plan (r16 optimization, guide §1.2 "don't compute things twice"):
+    // feeding `result` to all four sinks re-ran the entire upstream —
+    // including the raw-zone JSON parse — once PER ACTION (4× total,
+    // measured ~2 s of repeated broadcast/scan jobs at sf0.1). The
+    // medallion contract is exactly that serving derives from curated;
+    // at 100 TB the delta is three full corpus re-reads.
+    val curated = Snapshot.readZone(s, s"$work/curated-zone/prescriptive_hygiene")
+    Snapshot.auditLogCsv(curated, s"$work/curated-zone/logs/last_calculation")
 
     // ---- SERVING: history append (O-10) + snapshot replace (O-11) ----
-    Snapshot.appendHistory(result, s"$work/serving/rekomendasi_history")
-    Snapshot.overwriteSnapshot(result, s"$work/serving/rekomendasi_snapshot")
+    Snapshot.appendHistory(curated, s"$work/serving/rekomendasi_history")
+    Snapshot.overwriteSnapshot(curated, s"$work/serving/rekomendasi_snapshot")
 
     Snapshot.readZone(s, s"$work/curated-zone/prescriptive_hygiene")
   }
@@ -437,9 +468,22 @@ object Pipeline {
                 s.read.schema("h STRING").parquet(priorDirs: _*),
                 Seq("h"), "left_anti")
             else firstInBatch
+          // Two sinks (admitted zone + seen-hash index) from ONE
+          // computation (r16 optimization): previously each write
+          // action re-ran the whole gate → window-dedup → anti-join
+          // chain — the batch paid its curation cost twice. The
+          // admitted zone already carries `h` (only `pb` is dropped),
+          // so the seen index is a PROJECTION of the files just
+          // written: read them back instead of recomputing the chain.
+          // (An in-memory persist of `fresh` was measured FAR slower
+          // here — caching a micro-batch-derived plan re-materialized
+          // at ~4 s per sink action — so the zone read-back, which is
+          // also the crash-replay-faithful source, is the fix.)
           fresh.drop("pb").write.mode("overwrite")
             .format(graft.ops.Snapshot.ZoneFormat).save(s"$admitted/b=$batchId")
-          fresh.select(col("h")).write.mode("overwrite")
+          s.read.format(graft.ops.Snapshot.ZoneFormat)
+            .load(s"$admitted/b=$batchId").select(col("h"))
+            .write.mode("overwrite")
             .format(graft.ops.Snapshot.ZoneFormat).save(s"$seen/b=$batchId")
           ()
         }

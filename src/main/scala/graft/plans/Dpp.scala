@@ -39,8 +39,15 @@ object Dpp {
     val ev = Tables.events(s, dir).select(
       $"event_id", $"ts".cast("date").as("day"),
       round($"value" * 100).cast("bigint").as("value_c"))
-    // fact: day-partitioned parquet (the lakehouse layout under test)
-    ev.write.mode(SaveMode.Overwrite).partitionBy("day")
+    // fact: day-partitioned parquet (the lakehouse layout under test).
+    // Clustered by the partition column before the write (r16
+    // optimization, guide §6 layout-on-write): an unclustered
+    // partitionBy makes EVERY scan task open a writer per day it
+    // holds — task×day file fan-out at scale, and at gate SF one task
+    // serially wrote all ~31 day files (measured 714 ms). The
+    // day-hash exchange writes each day as one file from one task;
+    // the read-back data is identical.
+    ev.repartition($"day").write.mode(SaveMode.Overwrite).partitionBy("day")
       .parquet(s"$work/fact")
     // dim: one row per day with the attribute the query filters on;
     // weekday(day) = 0 is Monday in both engines' isodow-1 convention

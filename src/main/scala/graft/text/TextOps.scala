@@ -841,11 +841,26 @@ object TextOps {
         Tables.documentsWide(s, dir, Seq("doc_id", "text")),
         Seq("doc_id"), k = BoilerShingle)
       .select($"doc_id", $"shingle".as("sh"))
-    val docFreq = sh.groupBy($"sh").agg(countDistinct($"doc_id").as("n_docs"))
-    val perDoc = sh.join(docFreq, "sh")
+    // (doc, shingle) pre-aggregation (r16 optimization, guide §2.3
+    // "aggregate before you shuffle"): the JOIN PROBE side previously
+    // shipped the RAW shingle stream (every instance) into the sh-join
+    // against docFreq; it now ships deduped (doc_id, sh, c) pairs —
+    // strictly fewer rows/bytes through the join, and the docFreq arm
+    // replaces countDistinct's internal two-phase dedup+count with a
+    // plain count over the already-distinct pairs. n_shingles/n_boiler
+    // are sums of c (additivity ⇒ identical counts). This is t14's
+    // tf/df shape applied to t17.
+    val pairCounts = sh.groupBy($"doc_id", $"sh").agg(count(lit(1)).as("c"))
+    // The explode still runs once per branch (t14's accepted 2-pass
+    // doc-frequency shape): forcing ReusedExchange by referencing `c`
+    // in this count was tried and defeated — the optimizer rewrites
+    // count(non-null col) to count(1) and prunes `c`, de-identifying
+    // the subtrees. The win that stands is on the PROBE side below.
+    val docFreq = pairCounts.groupBy($"sh").agg(count(lit(1)).as("n_docs"))
+    val perDoc = pairCounts.join(docFreq, "sh")
       .groupBy($"doc_id").agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when($"n_docs" >= BoilerMinDocs, 1L).otherwise(0L)).as("n_boiler"))
+        sum($"c").as("n_shingles"),
+        sum(when($"n_docs" >= BoilerMinDocs, $"c").otherwise(0L)).as("n_boiler"))
     Tables.documents(s, dir).select($"doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select($"doc_id",

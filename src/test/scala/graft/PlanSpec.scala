@@ -300,6 +300,7 @@ class PlanSpec extends AnyFunSuite {
       "mt3_skew_audit", "x2_kmv_distinct", "st4_watermark_append",
       "s6_ann_recall", "p1_pipeline_e2e",
       "q44_sketch_rollup", // 1-row merged-sketch x 1-row exact-total
+      "q23_approx_sketches", // r16: 1-row sketch agg x 1-row exact-distinct agg (the Expand-free split)
       "t14_tfidf",         // 1-row corpus-size N broadcast into the idf
       "t16_zipf_profile",  // 1-row totals x 1-row head-mass x 1-row slope fit
       "t19_source_mix",    // 1-row min-source-size cap broadcast into the rank filter
