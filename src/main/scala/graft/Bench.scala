@@ -69,14 +69,18 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
   /** Measured per-entry A/A fresh-JVM noise bound at sf0.1 (seconds):
-    * the largest |A−B| median delta across two back-to-back fresh
-    * measurements of every fresh-population entry on UNCHANGED code
-    * (tools/r16_aa.sh; the full matrix is SCALING.md's NOISE table).
-    * Ships as "noise_bound" in the bench artifact — the mechanical
-    * discount for round-over-round per-entry deltas. Re-measure (and
-    * update) whenever the fresh manifest or the box changes;
-    * SPARK_GRAFT_BENCH_NOISE_BOUND overrides without a rebuild. */
-  private[graft] val NoiseBoundSec: Double = 1.5
+    * the largest |A−B| median delta across two back-to-back FULL bench
+    * runs of the whole fresh population on UNCHANGED code (r16
+    * optimization round, commit 655d326 A/A pair: totals 142.11 vs
+    * 147.86 s, max per-entry |Δ| 1.66 s — t14_tfidf 0.88→2.55 and
+    * t17 2.37→3.66, both untouched between the runs and both stable in
+    * standalone 5–7-rep TimeOne series, i.e. the swing is suite-state /
+    * page-cache noise, not plan variance). Ships as "noise_bound" in
+    * the bench artifact — the mechanical discount for round-over-round
+    * per-entry deltas. Re-measure (and update) whenever the fresh
+    * manifest or the box changes; SPARK_GRAFT_BENCH_NOISE_BOUND
+    * overrides without a rebuild. */
+  private[graft] val NoiseBoundSec: Double = 1.7
 
   /** The measurement session conf — ONE definition shared by Bench
     * (in-suite) and TimeOne (fresh-JVM re-measure), so the two numbers
@@ -321,8 +325,12 @@ object Bench {
         "d3_lsh_pairs", "d4_ngram_jaccard", "d8_lsh_jaccard",
         "mt13_wap", "mt7_partition_overwrite", "mt9_compact_small_files",
         "q18_percentile", "q23_approx_sketches", "q9_limit_scan",
-        "s11_hamming_rerank", "s13_trained_recall", "t17_boilerplate",
-        "x12_dpp"))
+        "s11_hamming_rerank", "s13_trained_recall",
+        // r16: the drift detector named t14 (in-suite 0.60/0.88/1.0+ s
+        // across three same-code runs — a borderline floor-flapper);
+        // extended by commit per the manifest contract, n_fresh 50→51.
+        "t14_tfidf",
+        "t17_boilerplate", "x12_dpp"))
     def inFreshFamily(name: String): Boolean =
       FreshFamilies.exists(f => name.startsWith(f) &&
         name.length > f.length && name.charAt(f.length).isDigit)

@@ -431,6 +431,15 @@ object Ann {
         .agg(sort_array(collect_list(struct($"pos", $"cv"))).as("pc"))
         .select($"cell_id", $"pc".getField("cv").cast("array<double>").as("cqd"))
         .withColumn("cc", dot($"cqd", $"cqd").cast("long"))
+      // r16 optimization NEGATIVE RESULT, recorded: eagerly
+      // localCheckpoint-ing `newCents` per round (d6's loop pattern) to
+      // truncate the round chain was tried and REGRESSED s12 0.9→2.1 s
+      // / s13 2.5→2.9 s at sf0.1 — the eager per-round jobs run at
+      // every fn() construction (per bench rep) ON TOP of the timed
+      // consumption, while the lazy chain's apparent O(R²) recompute is
+      // largely recovered by exchange reuse within one execution. With
+      // KmRounds=2 the lazy chain stays the cheaper plan; revisit only
+      // if KmRounds grows.
       val stats = assigned.groupBy($"cell_id")
         .agg(count(lit(1)).as("n_vecs"), sum($"d2").as("inertia"))
         .join(newCents.select($"cell_id",
