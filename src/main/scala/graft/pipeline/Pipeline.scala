@@ -481,7 +481,12 @@ object Pipeline {
           // also the crash-replay-faithful source, is the fix.)
           fresh.drop("pb").write.mode("overwrite")
             .format(graft.ops.Snapshot.ZoneFormat).save(s"$admitted/b=$batchId")
-          s.read.format(graft.ops.Snapshot.ZoneFormat)
+          // explicit schema: a batch whose every doc was rejected or
+          // deduped writes an empty dir, and a schema-INFERRING read
+          // of it would throw instead of yielding the empty seen set
+          s.read.schema(
+              "doc_id BIGINT, text STRING, source STRING, n_chars BIGINT, h STRING")
+            .format(graft.ops.Snapshot.ZoneFormat)
             .load(s"$admitted/b=$batchId").select(col("h"))
             .write.mode("overwrite")
             .format(graft.ops.Snapshot.ZoneFormat).save(s"$seen/b=$batchId")
